@@ -1,0 +1,195 @@
+"""Benchmark harness (driver contract + north-rule scaling evidence).
+
+Phase 1 — headline queries at local[$SPARK_GRAFT_CPUS] over
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1): per-query wall seconds.
+
+Phase 2 — scaling: the SAME extraction job (same input, same plan, same
+partition count) at local[N_SMALL] and local[N_BIG]; reports pages/sec at
+both and efficiency = (pps_big / pps_small) / (N_BIG / N_SMALL). This is the
+sandbox stand-in for the north rule's N vs 4N executor requirement (no real
+cluster here).
+
+Width choice on this 32-core box: a local[N] Python-UDF job occupies ~2N
+cores (N JVM task threads + N Python worker processes running pipelined), so
+local[16]/local[32] oversubscribe the physical machine and measure hardware
+saturation, not job scalability — measured eff collapses to ~0.75/~0.5 there
+while 2→8 and 3→12 sit at ~1.0 (see BENCH.md for the full width matrix).
+Default pair is therefore 3 → 12 (4×, 24 effective cores ≤ 32). On a real
+cluster, executors are provisioned with their Python workers accounted for,
+so this artifact does not arise.
+
+Protocol: interleaved rounds (small, big, small, big, ...) with a fresh
+SparkSession per run, min wall per width — minimizes cross-run machine-noise
+bias. The corpus is replicated BENCH_REPLICATE× (distinct urls per replica)
+so fixed overheads don't drown the measurement; the factor is identical at
+both widths, so it cancels in the ratio.
+
+Prints ONE JSON line:
+  {"metric": "pages_per_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "scaling": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# scaling pair: N and 4N, sized so 2*N_BIG effective cores fit the machine
+N_BIG = int(os.environ.get("BENCH_BIG", str(min(CPUS, max(4, (os.cpu_count() or CPUS) * 3 // 8)))))
+N_SMALL = int(os.environ.get("BENCH_SMALL", str(max(1, N_BIG // 4))))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "32"))
+NUM_PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "128"))
+SCALING_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
+# shuffle spill dir: tmpfs, the local-mode stand-in for NVMe shuffle disks
+LOCAL_DIR = os.environ.get("BENCH_LOCAL_DIR", "/dev/shm/zerox-spark-shuffle")
+
+
+def fresh_spark(cores: int):
+    from zerox_spark.session import get_spark
+
+    spark = get_spark(
+        f"local[{cores}]",
+        app_name=f"zerox-bench-{cores}",
+        shuffle_partitions=NUM_PARTITIONS,
+        extra_conf={"spark.local.dir": LOCAL_DIR},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def prepare_input(spark, sf_dir: str, replicate: int, path: str) -> None:
+    """Materialize the (replicated) pages table to parquet ONCE, shared by
+    both scaling runs — the measured job is scan → repartition → extract,
+    exactly the shape of the production Iceberg-table job (synthesis is
+    input creation, not extraction work)."""
+    from zerox_spark.synth import synth_pages
+
+    pages = synth_pages(spark, sf_dir, NUM_PARTITIONS)
+    if replicate > 1:
+        reps = spark.range(replicate).select(F.col("id").alias("_rep"))
+        pages = pages.crossJoin(F.broadcast(reps)).select(
+            F.concat_ws("#", "url", "_rep").alias("url"),
+            "warc_ts", "html", "text", "lang",
+        )
+    pages.write.mode("overwrite").parquet(path)
+
+
+def run_extract_job(spark, input_path: str) -> tuple[float, int]:
+    """The flagship job (scan → salted repartition → extract+fold → agg).
+    Returns (seconds, pages)."""
+    from zerox_spark.extract.core import ExtractConfig
+    from zerox_spark.operators.extract import extract_pages
+    from zerox_spark.operators.repartition import salted_repartition
+
+    pages = spark.read.parquet(input_path)
+    repart = salted_repartition(pages, NUM_PARTITIONS)
+    extracted = extract_pages(repart, ExtractConfig(maintain_format=True), 64)
+    t0 = time.monotonic()
+    n_pages, n_err = (
+        extracted.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("status") == "ERROR", 1).otherwise(0)).alias("e"),
+        ).collect()[0]
+    )
+    dt = time.monotonic() - t0
+    assert n_err == 0, f"bench job produced {n_err} error pages"
+    return dt, int(n_pages)
+
+
+def timed(fn, *args) -> tuple[float, int]:
+    t0 = time.monotonic()
+    n = fn(*args).count()
+    return time.monotonic() - t0, n
+
+
+def main() -> None:
+    from zerox_spark.queries import (
+        q_ann_topk,
+        q_dedup_minhash,
+        q_extract_doc_agg,
+        q_extract_markdown,
+        q_quality_score,
+        q_token_counts,
+    )
+
+    results: dict[str, float] = {}
+
+    # ---- phase 1: headline queries at full width ----
+    spark = fresh_spark(CPUS)
+    spark.range(1).count()  # warm the JVM/scheduler
+    for name, fn in [
+        ("extract_markdown", q_extract_markdown),
+        ("extract_doc_agg", q_extract_doc_agg),
+        ("dedup_minhash", q_dedup_minhash),
+        ("ann_topk", q_ann_topk),
+        ("quality_score", q_quality_score),
+        ("token_counts", q_token_counts),
+    ]:
+        dt, _ = timed(fn, spark, SF_DIR)
+        results[name] = round(dt, 3)
+
+    # ---- phase 2: scaling (same job, two widths, fresh sessions) ----
+    import tempfile
+
+    input_path = os.path.join(
+        tempfile.mkdtemp(prefix="zerox_bench_"), "pages"
+    )
+    prepare_input(spark, SF_DIR, REPLICATE, input_path)
+    # full-width headline throughput (warm-up then measured)
+    run_extract_job(spark, input_path)
+    head_dt, head_pages = run_extract_job(spark, input_path)
+    spark.stop()
+
+    def one_timed_run(width: int) -> tuple[float, int]:
+        s = fresh_spark(width)
+        s.range(1).count()
+        run_extract_job(s, input_path)  # warm-up (JIT, workers, page cache)
+        dt, n = run_extract_job(s, input_path)
+        s.stop()
+        return dt, n
+
+    best: dict[int, float] = {N_SMALL: float("inf"), N_BIG: float("inf")}
+    pages_count = 0
+    for _ in range(SCALING_ROUNDS):
+        for width in (N_SMALL, N_BIG):
+            dt, pages_count = one_timed_run(width)
+            best[width] = min(best[width], dt)
+
+    small_dt, big_dt = best[N_SMALL], best[N_BIG]
+    pps_big = pages_count / big_dt
+    pps_small = pages_count / small_dt
+    efficiency = (pps_big / pps_small) / (N_BIG / N_SMALL)
+
+    out = {
+        "metric": "pages_per_sec",
+        "value": round(head_pages / head_dt, 2),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "headline_cores": CPUS,
+        "scaling": {
+            "n_small": N_SMALL,
+            "n_big": N_BIG,
+            "pages": pages_count,
+            "sec_small": round(small_dt, 3),
+            "sec_big": round(big_dt, 3),
+            "pages_per_sec_small": round(pps_small, 2),
+            "pages_per_sec_big": round(pps_big, 2),
+            "efficiency": round(efficiency, 3),
+            "replicate": REPLICATE,
+            "rounds": SCALING_ROUNDS,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

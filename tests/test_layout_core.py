@@ -1,0 +1,123 @@
+"""Unit tests: pseudo-PDF layout pass, extraction dispatch, error modes,
+maintainFormat fold semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from zerox_spark.extract.core import ExtractConfig, extract_document
+from zerox_spark.extract.layout import (
+    is_pdf,
+    parse_pdf,
+    pdf_to_pages,
+    segment_page,
+)
+from zerox_spark.operators.fold import apply_maintain_format
+
+PDF = b"""%PDF-SYNTH 1.0
+%%page no=1 w=612.0 h=792.0
+%%line y=750.0 x=72.0 size=18.0 text=Title Here
+%%line y=700.0 x=72.0 size=10.0 text=first words
+%%line y=680.0 x=72.0 size=10.0 text=same paragraph
+%%line y=600.0 x=72.0 size=10.0 text=new paragraph after valley
+%%line y=40.0 x=306.0 size=8.0 text=1
+garbage directive that must be ignored
+%%line y=bad x=72.0 size=10.0 text=also ignored
+"""
+
+
+def test_magic_sniff():
+    assert is_pdf(b"%PDF-1.4 real")
+    assert not is_pdf(b"<html>")
+
+
+def test_parse_tolerates_garbage():
+    pages = parse_pdf(PDF)
+    assert len(pages) == 1
+    assert len(pages[0].lines) == 5
+
+
+def test_valley_segmentation_and_classification():
+    page = parse_pdf(PDF)[0]
+    blocks = segment_page(page)
+    kinds = [(b.kind, b.text) for b in blocks]
+    assert kinds == [
+        ("heading", "# Title Here"),
+        ("para", "first words same paragraph"),
+        ("para", "new paragraph after valley"),
+        ("page_number", "<page_number>1</page_number>"),
+    ]
+
+
+def test_pdf_to_pages_ordering():
+    two = PDF + b"%%page no=2 w=612.0 h=792.0\n%%line y=700.0 x=72.0 size=10.0 text=second page\n"
+    pages = pdf_to_pages(two)
+    assert [p[0] for p in pages] == [1, 2]
+
+
+def test_dispatch_fast_path_bypasses_dom():
+    out = extract_document(b"<html><p>ignored</p></html>", "trusted text")
+    assert len(out) == 1 and out[0].markdown == "trusted text"
+
+
+def test_dispatch_error_containment_ignore():
+    out = extract_document(None, None)
+    assert out[0].status == "ERROR"
+    assert out[0].markdown == "" and out[0].content_length == 0
+
+
+def test_dispatch_error_mode_throw():
+    with pytest.raises(ValueError):
+        extract_document(b"", None, ExtractConfig(error_mode="THROW"))
+
+
+def test_crlf_and_nfc_normalized():
+    out = extract_document(
+        "<article><p>café</p></article>".encode(), None
+    )
+    assert out[0].markdown == "café"
+
+
+# --- maintainFormat fold ---------------------------------------------------
+
+TBL1 = "<table><tr><th>h</th></tr><tr><td>1</td></tr></table>"
+TBL2 = "<table><tr><td>2</td></tr></table>"
+TBL2_FIXED = "<table><tr><th>h</th></tr><tr><td>2</td></tr></table>"
+
+
+def test_fold_reemits_header():
+    out = apply_maintain_format(
+        [(1, TBL1, "SUCCESS"), (2, TBL2, "SUCCESS")]
+    )
+    assert out[1][1] == TBL2_FIXED
+
+
+def test_fold_skips_page_furniture():
+    p1 = TBL1 + "\n\n<page_number>1</page_number>"
+    p2 = "<page_number>2</page_number>\n\n" + TBL2
+    out = apply_maintain_format([(1, p1, "SUCCESS"), (2, p2, "SUCCESS")])
+    assert TBL2_FIXED in out[1][1]
+
+
+def test_fold_no_change_when_continuation_has_header():
+    out = apply_maintain_format(
+        [(1, TBL1, "SUCCESS"), (2, TBL1, "SUCCESS")]
+    )
+    assert out[1][1] == TBL1
+
+
+def test_fold_py_mode_continues_after_error_with_reset():
+    out = apply_maintain_format(
+        [(1, TBL1, "SUCCESS"), (2, "", "ERROR"), (3, TBL2, "SUCCESS")]
+    )
+    # prior context was reset at the error → no header re-emission on page 3
+    assert [s for _, _, s in out] == ["SUCCESS", "ERROR", "SUCCESS"]
+    assert out[2][1] == TBL2
+
+
+def test_fold_node_mode_breaks_on_error():
+    out = apply_maintain_format(
+        [(1, "a", "SUCCESS"), (2, "", "ERROR"), (3, "c", "SUCCESS")],
+        mode="node",
+    )
+    assert len(out) == 2  # node-zerox/src/index.ts:362-364

@@ -1,0 +1,205 @@
+"""End-to-end Spark tests: pipeline output parity, lineage, resume,
+duplicate-url handling, the grouped fold operator, and the approximate
+operators' recall against their exact counterparts."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+from tests.conftest import SF_SMOKE
+
+from zerox_spark.pipeline import ExtractionPipeline, PipelineConfig
+from zerox_spark.sinks import ParquetSnapshotSink
+from zerox_spark.synth import doc_url, expected_markdown_pages, synth_pages
+
+
+def expected_all(sf_dir: str) -> dict[tuple[str, int], str]:
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, lang, source FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    out = {}
+    for doc_id, text, lang, source in rows:
+        for page_no, md in expected_markdown_pages(doc_id, text, source):
+            out[(doc_url(doc_id, source), page_no)] = md
+    return out
+
+
+@pytest.fixture(scope="module")
+def run_result(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sink"))
+    pages = synth_pages(spark, SF_SMOKE)
+    pipe = ExtractionPipeline(PipelineConfig(num_partitions=8, num_buckets=16))
+    sink = ParquetSnapshotSink(out)
+    stats = pipe.run(spark, pages, sink, job_id="t1")
+    return out, stats, sink
+
+
+def test_pipeline_byte_parity(spark, run_result):
+    out, stats, _ = run_result
+    got = {
+        (r.url, r.page_no): r.markdown
+        for r in spark.read.parquet(f"{out}/extracted").collect()
+    }
+    want = expected_all(SF_SMOKE)
+    assert got == want
+    assert stats["failed"] == 0
+    assert stats["total_pages"] == len(want)
+
+
+def test_lineage_complete_and_consistent(spark, run_result):
+    out, stats, _ = run_result
+    lin = spark.read.parquet(f"{out}/lineage")
+    rows = lin.collect()
+    assert sum(r.page_count for r in rows) == stats["total_pages"]
+    assert sum(r.doc_count for r in rows) == stats["total_docs"]
+    assert all(r.status == "SUCCESS" for r in rows)
+    # checksum recomputable from the output table
+    ex = spark.read.parquet(f"{out}/extracted")
+    recomputed = {
+        r.partition_id: str(r.c)
+        for r in ex.groupBy("partition_id")
+        .agg(F.bit_xor(F.xxhash64("url", "page_no", "markdown")).alias("c"))
+        .collect()
+    }
+    assert {r.partition_id: r.checksum for r in rows} == recomputed
+
+
+def test_resume_skips_committed_buckets(spark, run_result):
+    out, _, sink = run_result
+    from zerox_spark.operators.resume import committed_buckets, filter_uncommitted
+
+    pages = synth_pages(spark, SF_SMOKE)
+    committed = committed_buckets(sink.read_lineage(spark), "t1")
+    remaining = filter_uncommitted(pages, committed, 16)
+    # everything was committed → nothing left to do
+    assert remaining.count() == 0
+    # a fresh job id sees no committed work
+    fresh = filter_uncommitted(
+        pages, committed_buckets(sink.read_lineage(spark), "other"), 16
+    )
+    assert fresh.count() == pages.count()
+
+
+def test_duplicate_url_latest_warc_ts_wins(spark):
+    pages = synth_pages(spark, SF_SMOKE).limit(4)
+    old = pages.withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("INTERVAL 1 DAY")
+    ).withColumn("html", F.lit(b"<html><body><p>stale stale stale</p></body></html>"))
+    both = pages.unionByName(old)
+    pipe = ExtractionPipeline(PipelineConfig(num_partitions=4, num_buckets=8))
+    got = pipe.transform(both).select("url", "markdown").collect()
+    texts = [r.markdown for r in got]
+    assert not any("stale" in t for t in texts)
+    assert len({r.url for r in got}) == 4
+
+
+def test_grouped_fold_operator_matches_inline(spark):
+    """applyInPandas fold ≡ inline fold on multi-row page provenance."""
+    from zerox_spark.operators.fold import maintain_format_fold
+
+    rows = [
+        Row(url="u", page_no=1,
+            markdown="<table><tr><th>h</th></tr><tr><td>1</td></tr></table>",
+            content_length=10, status="SUCCESS", error=None),
+        Row(url="u", page_no=2,
+            markdown="<table><tr><td>2</td></tr></table>",
+            content_length=10, status="SUCCESS", error=None),
+        Row(url="v", page_no=1, markdown="plain", content_length=5,
+            status="SUCCESS", error=None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, page_no int, markdown string, content_length int, "
+        "status string, error string",
+    )
+    out = {(r.url, r.page_no): r.markdown
+           for r in maintain_format_fold(df).collect()}
+    assert out[("u", 2)] == (
+        "<table><tr><th>h</th></tr><tr><td>2</td></tr></table>"
+    )
+    assert out[("v", 1)] == "plain"
+
+
+def test_error_rows_contained_not_fatal(spark):
+    from zerox_spark.schema import PAGES_SCHEMA
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="https://x/1", warc_ts=None, html=None, text=None, lang="en"),
+            Row(url="https://x/2", warc_ts=None,
+                html=b"<html><body><article><p>fine text</p></article></body></html>",
+                text=None, lang="en"),
+        ],
+        PAGES_SCHEMA,
+    )
+    pipe = ExtractionPipeline(
+        PipelineConfig(num_partitions=2, num_buckets=4, dedupe_latest_warc_ts=False)
+    )
+    got = {r.url: r for r in pipe.transform(pages).collect()}
+    assert got["https://x/1"].status == "ERROR"
+    assert got["https://x/2"].status == "SUCCESS"
+    assert got["https://x/2"].markdown == "fine text"
+
+
+def test_simhash_finds_injected_near_dups(spark):
+    from zerox_spark.operators.dedup import (
+        DUP_NEAR_EQ, DUP_NEAR_MOD, DUP_NEAR_OFFSET,
+        dedup_simhash_pairs, with_injected_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = with_injected_duplicates(docs)
+    pairs = dedup_simhash_pairs(corpus).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    injected = {
+        (r.doc_id, r.doc_id + DUP_NEAR_OFFSET)
+        for r in docs.filter(F.col("doc_id") % DUP_NEAR_MOD == DUP_NEAR_EQ).collect()
+    }
+    recall = len(found & injected) / len(injected)
+    # simhash at hamming≤7 is approximate by design: a 2-word edit on a
+    # short doc can flip >7 bits; ~0.85+ recall is the honest contract
+    assert recall >= 0.8, (recall, len(injected))
+    # exact copies must always collide (hamming 0)
+    exact = {
+        (r.doc_id, r.doc_id + 2_000_000)
+        for r in docs.filter(F.col("doc_id") % 10 == 4).collect()
+    }
+    assert exact <= found
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    from zerox_spark.queries import q_ann_lsh, q_ann_topk
+
+    exact = {(r.query_id, r.neighbor_id)
+             for r in q_ann_topk(spark, SF_SMOKE).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in q_ann_lsh(spark, SF_SMOKE).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall
+
+
+def test_media_metadata_plumbing(spark):
+    from zerox_spark.operators.multimodal import media_metadata
+
+    pages = synth_pages(spark, SF_SMOKE)
+    meta = {r.url: r for r in media_metadata(pages).collect()}
+    assert meta
+    kinds = {r.media_kind for r in meta.values()}
+    assert kinds == {"html", "pdf"}
+    assert all(r.n_bytes > 0 for r in meta.values())
+
+
+def test_fingerprint_properties(spark):
+    from zerox_spark.operators.textstats import _winnow_one
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    # identical text → identical fingerprint
+    assert _winnow_one(a) == _winnow_one(a)
+    # winnowing guarantee: shared fingerprints for heavily-overlapping texts
+    b = "PREFIX " + a
+    shared = set(_winnow_one(a)) & set(_winnow_one(b))
+    assert len(shared) >= len(set(_winnow_one(a))) * 0.5
+    # short text → empty fingerprint, no crash
+    assert _winnow_one("ab") == []

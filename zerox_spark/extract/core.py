@@ -1,0 +1,119 @@
+"""Per-document extraction dispatch — the engine's analog of the reference's
+``processOCR`` (node-zerox/src/index.ts:256-355) with its routing stage
+(index.ts:161-213) and error containment (ErrorMode.IGNORE,
+index.ts:338-352).
+
+Routing (logical-plan branch per document):
+
+1. trusted pre-extracted ``text`` → fast path, no DOM work (the Excel /
+   structured-data fast path analog, node-zerox/src/index.ts:167-168 +
+   extractPagesFromStructuredDataFile, file.ts:311-329);
+2. ``%PDF`` magic bytes → layout pass (layout.py);
+3. anything else → HTML pipeline (tokenize → DOM → score → markdown);
+4. empty/undecodable payload → ERROR page with content "" and
+   content_length 0, job continues (the IGNORE containment).
+
+Determinism guarantees: NFC unicode normalization, CRLF→LF, a single
+whitespace-collapse rule in the emitter, no environment lookups.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+from dataclasses import dataclass, field
+
+from zerox_spark.extract.fences import format_markdown
+from zerox_spark.extract.layout import is_pdf, pdf_to_pages
+from zerox_spark.extract.markdown import html_to_markdown
+from zerox_spark.extract.pages import normalize_select_pages, select_and_renumber
+
+STATUS_SUCCESS = "SUCCESS"
+STATUS_ERROR = "ERROR"
+
+
+@dataclass
+class PageResult:
+    page_no: int
+    markdown: str
+    content_length: int
+    status: str
+    error: str | None = None
+    spans: list[tuple[str, int, int, float]] = field(default_factory=list)
+
+
+@dataclass
+class ExtractConfig:
+    """Per-run knobs (subset of ZeroxArgs, node-zerox/src/types.ts:4-44,
+    that are meaningful for a deterministic extractor)."""
+
+    select_pages: list[int] | None = None
+    maintain_format: bool = False  # applied by operators/fold.py, not here
+    error_mode: str = "IGNORE"  # IGNORE | THROW (node-zerox/src/types.ts:172-175)
+    trust_text: bool = True  # honor the pre-extracted text fast path
+
+    def __post_init__(self) -> None:
+        self.select_pages = normalize_select_pages(self.select_pages)
+        if self.error_mode not in ("IGNORE", "THROW"):
+            raise ValueError(f"bad error_mode {self.error_mode!r}")
+
+
+def _finalize(markdown: str) -> str:
+    markdown = markdown.replace("\r\n", "\n").replace("\r", "\n")
+    markdown = unicodedata.normalize("NFC", markdown)
+    return format_markdown(markdown)
+
+
+def extract_document(
+    html: bytes | None,
+    text: str | None,
+    config: ExtractConfig | None = None,
+) -> list[PageResult]:
+    """Extract one document into its ordered page results. Never raises in
+    IGNORE mode — failures become ERROR pages (content "", length 0, per
+    node-zerox/src/index.ts:344-351)."""
+    config = config or ExtractConfig()
+    try:
+        raw_pages = _extract_raw(html, text, config)
+        selected = select_and_renumber(raw_pages, config.select_pages)
+        out = []
+        for page_no, markdown, spans in selected:
+            out.append(
+                PageResult(
+                    page_no=page_no,
+                    markdown=markdown,
+                    content_length=len(markdown),
+                    status=STATUS_SUCCESS,
+                    spans=spans,
+                )
+            )
+        return out
+    except Exception as exc:  # noqa: BLE001 — containment is the contract
+        if config.error_mode == "THROW":
+            raise
+        return [
+            PageResult(
+                page_no=1,
+                markdown="",
+                content_length=0,
+                status=STATUS_ERROR,
+                error=f"{type(exc).__name__}: {exc}",
+            )
+        ]
+
+
+def _extract_raw(
+    html: bytes | None, text: str | None, config: ExtractConfig
+) -> list[tuple[int, str, list]]:
+    if config.trust_text and text:
+        return [(1, _finalize(text), [("para", 0, len(text), 1.0)])]
+    if not html:
+        raise ValueError("empty document payload")
+    if is_pdf(html):
+        pages = pdf_to_pages(html)
+        if not pages:
+            raise ValueError("PDF payload with no pages")
+        return [(no, _finalize(md), spans) for no, md, spans in pages]
+    src = html.decode("utf-8", errors="replace")
+    src = src.replace("\r\n", "\n").replace("\r", "\n")
+    markdown, spans = html_to_markdown(src)
+    return [(1, _finalize(markdown), spans)]

@@ -1,0 +1,86 @@
+"""spark-submit entry point.
+
+    spark-submit --py-files zerox_spark.zip zerox_spark/job.py \
+        --input  /path/or/catalog.db.pages \
+        --output /path/to/sink \
+        --partitions 4096 --buckets 1024 [--maintain-format/--no-maintain-format]
+        [--job-id resumable-id] [--synth-sf-dir /root/testdata/sf0.1]
+
+Reads the pages table (parquet path or, with --iceberg, a catalog table),
+runs the extraction pipeline with resume + lineage, commits a snapshot.
+``--synth-sf-dir`` replaces the scan with the deterministic synthesized
+corpus (sandbox mode, TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# spark-submit zerox_spark/job.py runs this as a plain file: put the repo
+# root on sys.path so the package resolves (harmless under --py-files)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(prog="zerox-spark-job")
+    ap.add_argument("--input", help="pages parquet path or iceberg table name")
+    ap.add_argument("--synth-sf-dir", help="synthesize pages from this TESTDATA dir")
+    ap.add_argument("--output", required=True, help="sink root dir (parquet mode)")
+    ap.add_argument("--iceberg", action="store_true", help="treat --input/--output as iceberg tables")
+    ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--job-id", default=None, help="stable id enables resume")
+    ap.add_argument("--maintain-format", dest="maintain_format", action="store_true", default=True)
+    ap.add_argument("--no-maintain-format", dest="maintain_format", action="store_false")
+    ap.add_argument("--error-mode", choices=["IGNORE", "THROW"], default="IGNORE")
+    ap.add_argument("--select-pages", default=None, help="comma-separated 1-indexed page list")
+    ap.add_argument("--master", default=None)
+    return ap.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    from zerox_spark.pipeline import ExtractionPipeline, PipelineConfig
+    from zerox_spark.session import get_spark
+    from zerox_spark.sinks import IcebergSink, ParquetSnapshotSink
+
+    spark = get_spark(args.master, app_name="zerox-spark-job")
+
+    if args.synth_sf_dir:
+        from zerox_spark.synth import synth_pages
+
+        pages = synth_pages(spark, args.synth_sf_dir)
+    elif args.iceberg:
+        pages = spark.read.table(args.input)
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        raise SystemExit("one of --input / --synth-sf-dir is required")
+
+    select_pages = (
+        [int(p) for p in args.select_pages.split(",")] if args.select_pages else None
+    )
+    pipe = ExtractionPipeline(
+        PipelineConfig(
+            num_partitions=args.partitions,
+            num_buckets=args.buckets,
+            maintain_format=args.maintain_format,
+            error_mode=args.error_mode,
+            select_pages=select_pages,
+        )
+    )
+    sink = (
+        IcebergSink(args.output + ".extracted", args.output + ".lineage")
+        if args.iceberg
+        else ParquetSnapshotSink(args.output)
+    )
+    stats = pipe.run(spark, pages, sink, job_id=args.job_id)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,315 @@
+"""Deduplication operators for training-data pipelines.
+
+Four strategies, cheapest-first, all DataFrame-native:
+
+- exact:      hash-groupBy on normalized text — one shuffle, map-side
+              partial agg; the 100 TB default first pass.
+- ngram:      word-n-gram Jaccard via shingle explode + self-join on the
+              shingle — exact near-dup pairs; quadratic in cluster size but
+              the join only touches pairs sharing ≥1 shingle. Used as the
+              verification stage of minhash and as the oracle-checkable
+              ground truth at test scale.
+- minhash:    MinHash + LSH banding — the scale path. k permutation hashes
+              per doc (one explode + groupBy agg), band signatures → bucket
+              join on (band, signature) → candidate pairs (only docs sharing
+              a band bucket) → exact-Jaccard verification of candidates.
+              Sub-quadratic: cost ∝ candidates, not pairs.
+- simhash:    64-bit SimHash per doc + banded hamming candidate search.
+
+Dedup corpus note: the sandbox documents table is ~all-unique, so
+``with_injected_duplicates`` derives a corpus with deterministic exact +
+near duplicates (id offsets DUP_EXACT_OFFSET/DUP_NEAR_OFFSET) — the same
+derivation is stated in SQL by the oracle (see __spark_entry__.py), keeping
+every dedup operator value-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# injected-duplicate derivation (mirrored in oracle SQL — keep in sync)
+DUP_EXACT_MOD = 10
+DUP_EXACT_EQ = 4
+DUP_EXACT_OFFSET = 2_000_000
+DUP_NEAR_MOD = 10
+DUP_NEAR_EQ = 3
+DUP_NEAR_OFFSET = 1_000_000
+DUP_NEAR_DROP_WORDS = 2
+
+NGRAM_N = 2
+JACCARD_THRESHOLD = 0.5
+
+MINHASH_K = 128  # permutations
+LSH_BANDS = 32  # 32 bands × 4 rows: P[miss | s=0.5] ≈ (1-0.5^4)^32 ≈ 12%…
+LSH_ROWS = MINHASH_K // LSH_BANDS
+# …so the verify stage uses the SAME exact-jaccard test as the ngram
+# operator; at the corpus' actual near-dup similarity (~0.9+) miss
+# probability is < 1e-10.
+# 31-bit Mersenne prime: keeps a*h + b within 62 bits so the modular hash
+# arithmetic stays inside ANSI-safe int64 (no overflow, no bigint UDF)
+MERSENNE_PRIME = (1 << 31) - 1
+
+
+def with_injected_duplicates(docs: DataFrame) -> DataFrame:
+    """documents → corpus with deterministic exact + near duplicates."""
+    base = docs.select("doc_id", "text")
+    exact = (
+        base.filter(F.col("doc_id") % DUP_EXACT_MOD == DUP_EXACT_EQ)
+        .select(
+            (F.col("doc_id") + DUP_EXACT_OFFSET).alias("doc_id"), F.col("text")
+        )
+    )
+    words = F.split(F.col("text"), " ")
+    near = (
+        base.filter(F.col("doc_id") % DUP_NEAR_MOD == DUP_NEAR_EQ)
+        .select(
+            (F.col("doc_id") + DUP_NEAR_OFFSET).alias("doc_id"),
+            F.array_join(
+                F.slice(words, 1, F.size(words) - DUP_NEAR_DROP_WORDS), " "
+            ).alias("text"),
+        )
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def dedup_exact(corpus: DataFrame) -> DataFrame:
+    """One survivor (min doc_id) per distinct text; returns survivors with
+    their duplicate counts. Single hash-aggregate shuffle."""
+    return (
+        corpus.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def _shingles(text_col: Column) -> Column:
+    """Distinct word-n-gram shingles of a text column (JVM-side only:
+    split + transform + slice — no Python)."""
+    words = F.split(text_col, " ")
+    n_sh = F.greatest(F.size(words) - (NGRAM_N - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(words, i, NGRAM_N), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def dedup_ngram_pairs(
+    corpus: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact near-dup pairs (a<b) with word-bigram Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → self-join on shingle (co-shingled
+    pairs only) → count intersections → join doc shingle-counts → Jaccard.
+    """
+    sh = (
+        corpus.select(
+            F.col("doc_id"), F.explode(_shingles(F.col("text"))).alias("sh")
+        )
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        inter.join(ca, F.col("id_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("id_b") == F.col("cb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _minhash_params() -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) coefficient lists for k universal hashes
+    h_i(x) = (a_i * x + b_i) mod p — seeded by a fixed LCG, no RNG state."""
+    a, b, state = [], [], 0x5DEECE66D
+    for _ in range(MINHASH_K):
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 63) - 1)
+        a.append(state % (MERSENNE_PRIME - 1) + 1)
+        state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 63) - 1)
+        b.append(state % MERSENNE_PRIME)
+    return a, b
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<bigint>[k]) — min over shingle hashes per
+    permutation, computed as explode + groupBy(min…) entirely JVM-side."""
+    a_coef, b_coef = _minhash_params()
+    sh = corpus.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    ).select(
+        "doc_id",
+        F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_PRIME)).alias("h"),
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.col("h") * F.lit(a_coef[i]) + F.lit(b_coef[i]),
+                F.lit(MERSENNE_PRIME),
+            )
+        ).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    agged = sh.groupBy("doc_id").agg(*mins)
+    return agged.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def dedup_minhash_pairs(
+    corpus: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """LSH-banded candidate generation + exact-Jaccard verification.
+
+    Output contract matches dedup_ngram_pairs (the oracle): pairs that share
+    ≥1 LSH band bucket AND verify at ≥ threshold exact Jaccard.
+    """
+    sigs = minhash_signatures(corpus)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[i * LSH_ROWS + r] for r in range(LSH_ROWS)]
+                        ).alias("sig_hash"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig_hash")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig_hash") == F.col("r.sig_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact jaccard (re-using the ngram machinery on
+    # the candidate-restricted corpus keeps verification cost ∝ candidates)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    restricted = corpus.join(cand_ids, "doc_id", "left_semi")
+    verified = dedup_ngram_pairs(restricted, threshold)
+    return candidates.join(verified, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def _bit_lit(i: int):
+    """Signed-long literal with only bit i set (bit 63 = Long.MIN_VALUE)."""
+    return F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+
+
+def simhash(corpus: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: xxhash64 per distinct word *unigram* feature,
+    sum ±1 per bit, sign → bit. Unigram features (the classic Charikar
+    setup) keep small edits small in hamming space — n-gram features would
+    amplify a 2-word edit into ~3n flipped features. All JVM-side."""
+    sh = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("sh"),
+    ).select("doc_id", F.xxhash64(F.col("sh")).alias("h"))
+    bit_sums = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(_bit_lit(i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    bit_terms = [
+        F.when(F.col(f"b{i}") > 0, _bit_lit(i)).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    return bit_sums.select("doc_id", acc.alias("simhash"))
+
+
+def dedup_simhash_pairs(corpus: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, found via
+    8-band exact-match blocking (any pair within hamming 7 of a 64-bit hash
+    agrees exactly on ≥1 of 8 8-bit bands — pigeonhole, zero false
+    negatives w.r.t. the hamming radius)."""
+    sigs = simhash(corpus)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", "bc.band", "bc.chunk")
+    l, r = bands.alias("l"), bands.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,134 @@
+"""The hot-loop operator: pages → per-page markdown rows via mapInPandas.
+
+Design notes (scale-first):
+
+- ONE ``mapInPandas`` over the (repartitioned) scan. The trusted-text fast
+  path and the %PDF layout branch are routed **inside** the vectorized UDF
+  rather than as a DataFrame filter+union: a plan-level branch would scan the
+  input twice (or force a cache) and union two UDF stages — strictly worse at
+  100 TB than one pass with a per-row branch that costs nanoseconds. The
+  reference's routing (node-zerox/src/index.ts:161-213) is likewise a
+  per-document switch, not a second pass.
+- Arrow batch size is capped (session.py) so a batch of heavy rows cannot
+  blow executor memory; within a batch, work is per-document Python over
+  numpy/str — no JVM round-trips.
+- Error containment is row-level (ErrorMode.IGNORE,
+  node-zerox/src/index.ts:338-352): one ERROR row per failed doc, the task
+  never dies.
+- Each output row carries ``partition_id`` — the **logical url bucket**
+  (operators/repartition.py partition_bucket), the shared id space of the
+  lineage table, the resume anti-join and the sink's overwrite granularity —
+  plus a first-row-of-batch ``elapsed_ms`` so lineage (operators/lineage.py)
+  can aggregate per-bucket metrics without a second timing pass. (Physical
+  task ids are useless across runs; stable url buckets survive restarts.)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from zerox_spark.extract.core import ExtractConfig, extract_document
+from zerox_spark.schema import SPAN_TYPE
+
+# extract output + lineage carrier columns
+RAW_EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("page_no", T.IntegerType(), False),
+        T.StructField("markdown", T.StringType(), False),
+        T.StructField("content_length", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("error", T.StringType(), True),
+        T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("elapsed_ms", T.LongType(), False),
+    ]
+)
+
+_COLS = [f.name for f in RAW_EXTRACTED_SCHEMA.fields]
+
+
+def _extract_iter(
+    batches: Iterator[pd.DataFrame], config: ExtractConfig
+) -> Iterator[pd.DataFrame]:
+    from zerox_spark.operators.fold import apply_maintain_format
+
+    for pdf in batches:
+        t0 = time.monotonic()
+        rows: list[tuple] = []
+        for url, html, text, pid in zip(
+            pdf["url"], pdf["html"], pdf["text"], pdf["_bucket"]
+        ):
+            payload = bytes(html) if html is not None else None
+            pages = extract_document(payload, text, config)
+            if config.maintain_format and len(pages) > 1:
+                # zero-shuffle inline fold: all pages of this document are
+                # right here in this task (see operators/fold.py rationale)
+                folded = apply_maintain_format(
+                    [(p.page_no, p.markdown, p.status) for p in pages]
+                )
+                by_no = {no: (md, st) for no, md, st in folded}
+                pages = [p for p in pages if p.page_no in by_no]
+                for p in pages:
+                    p.markdown, p.status = by_no[p.page_no]
+                    p.content_length = len(p.markdown)
+            for page in pages:
+                rows.append(
+                    (
+                        url,
+                        page.page_no,
+                        page.markdown,
+                        page.content_length,
+                        page.status,
+                        page.error,
+                        [
+                            {"kind": k, "start": s, "end": e, "score": sc}
+                            for k, s, e, sc in page.spans
+                        ],
+                        int(pid),
+                        0,
+                    )
+                )
+        elapsed_us = int((time.monotonic() - t0) * 1_000_000)
+        out = pd.DataFrame(rows, columns=_COLS)
+        if len(out):
+            # amortize the batch's wall time across its rows (µs resolution,
+            # remainder on row 0) so lineage sums are correct under ANY
+            # grouping of rows into logical buckets (lineage.py)
+            per_row = elapsed_us // len(out) // 1000
+            loc = out.columns.get_loc("elapsed_ms")
+            out.iloc[:, loc] = per_row
+            out.iloc[0, loc] = elapsed_us // 1000 - per_row * (len(out) - 1)
+        yield out
+
+
+def extract_pages(
+    pages: DataFrame,
+    config: ExtractConfig | None = None,
+    num_buckets: int = 64,
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → raw extracted rows.
+
+    ``num_buckets`` sizes the logical url-bucket space (lineage/resume/
+    overwrite granularity) — on a real cluster set it ≥ executor count so a
+    resume can skip work at sub-executor granularity.
+
+    Catalyst prunes unreferenced input columns (``lang``/``warc_ts`` never
+    reach Python unless a prior operator used them) — check with
+    ``.explain``: the parquet ReadSchema excludes them.
+    """
+    from zerox_spark.operators.repartition import partition_bucket
+
+    config = config or ExtractConfig()
+    needed = pages.select(
+        "url", "html", "text", partition_bucket(num_buckets).alias("_bucket")
+    )
+    return needed.mapInPandas(
+        lambda it: _extract_iter(it, config), schema=RAW_EXTRACTED_SCHEMA
+    )

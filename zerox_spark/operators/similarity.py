@@ -1,0 +1,183 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- ``ann_topk_exact``: brute-force cosine top-k — the correctness baseline.
+  Dot products run JVM-side (zip_with + aggregate on double-cast arrays —
+  no Python in the loop); top-k via window row_number. Cost O(Q·N); fine for
+  a query subset, the oracle at test scale.
+- ``ann_topk_lsh``: the 100 TB path — random-hyperplane LSH. Each vector
+  hashes to a ``n_planes``-bit bucket per table; only intra-bucket pairs get
+  exact scoring. Buckets are computed from deterministic pseudo-random
+  hyperplanes (fixed LCG), so results are reproducible run-to-run. Recall
+  is probabilistic → verified in tests against the exact path, not oracle-
+  hashed.
+
+Scale note: at N=10^9+, exact is infeasible and LSH's bucket join is the
+shuffle that matters — bucket sizes stay bounded because the plane count
+scales log(N); skewed buckets (duplicate embeddings) fall under the same
+salting machinery as the extract path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DEFAULT_K = 5
+# Plane count scales with log2(N / target_bucket_size): more planes → smaller
+# buckets → fewer candidates but lower per-table recall; more tables buy the
+# recall back. The sandbox corpus is *unclustered* random vectors (top-1
+# cosine ≈ 0.37), the hardest regime for LSH: 4-bit codes × 12 tables give
+# ~0.85 expected recall there. At 10^9 clustered production vectors the same
+# code would use ~16-20 planes and fewer tables.
+LSH_TABLES = 12
+LSH_PLANES = 4
+
+
+def _cosine(a, b):
+    """Cosine similarity of two array<double> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return dot / (na * nb)
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def ann_topk_exact(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, cos) top-k cosine neighbors for each
+    query vector (self excluded). queries: (vec_id, embedding) subset."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH path
+
+
+def _planes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG → ±1 components).
+    ±1 planes make the projection a signed sum — cheap and JVM-friendly."""
+    state = 0x2545F4914F6CDD1D
+    planes = []
+    for _ in range(LSH_TABLES * LSH_PLANES):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & (
+                (1 << 64) - 1
+            )
+            row.append(1.0 if (state >> 32) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_buckets(embeddings: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, table, bucket) — sign-bit bucket per LSH table."""
+    planes = _planes(dim)
+    ev = embeddings.select("vec_id", _as_double("embedding").alias("v"))
+    out_cols = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for p in range(LSH_PLANES):
+            plane = planes[t * LSH_PLANES + p]
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        out_cols.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    return ev.select(
+        "vec_id", F.explode(F.array(*out_cols)).alias("tb")
+    ).select("vec_id", "tb.table", "tb.bucket")
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing any (table, bucket)
+    with the query, then exact cosine + window top-k on candidates only."""
+    all_buckets = lsh_buckets(embeddings, dim)
+    q_ids = queries.select(F.col("vec_id").alias("query_id"))
+    q_buckets = all_buckets.join(
+        q_ids, all_buckets["vec_id"] == q_ids["query_id"], "inner"
+    ).select("query_id", "table", "bucket")
+    cand = (
+        q_buckets.join(all_buckets, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
+    )
+    scored = (
+        cand.join(q, "query_id").join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""End-to-end job assembly (SURVEY.md §3.4 lifecycle).
+
+    scan → resume-filter → salted repartition → extract (+inline fold)
+         → write extracted (bucket-partitioned, dynamic overwrite)
+         → lineage agg → append lineage → snapshot commit
+
+Every stage is a DataFrame transformation; the only actions are the two
+writes. The plan Catalyst sees: parquet/Iceberg scan with column pruning
+(url/html/text/+bucket only), one explicit repartition (the job's only full
+shuffle), one mapInPandas, a map-side-combinable grouped agg for lineage.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from zerox_spark.extract.core import ExtractConfig
+from zerox_spark.operators.extract import extract_pages
+from zerox_spark.operators.lineage import lineage_rows, summary
+from zerox_spark.operators.repartition import salted_repartition
+from zerox_spark.operators.resume import committed_buckets, filter_uncommitted
+from zerox_spark.sinks import ParquetSnapshotSink
+
+
+@dataclass
+class PipelineConfig:
+    num_partitions: int = 32  # shuffle width; ≈ input_bytes / 200MB at scale
+    num_buckets: int = 64  # lineage/resume/overwrite granularity
+    maintain_format: bool = True
+    trust_text: bool = True
+    error_mode: str = "IGNORE"
+    select_pages: list[int] | None = None
+    dedupe_latest_warc_ts: bool = True  # e08: latest snapshot of a url wins
+    extract: ExtractConfig = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.extract = ExtractConfig(
+            select_pages=self.select_pages,
+            maintain_format=self.maintain_format,
+            error_mode=self.error_mode,
+            trust_text=self.trust_text,
+        )
+
+
+class ExtractionPipeline:
+    def __init__(self, config: PipelineConfig | None = None) -> None:
+        self.config = config or PipelineConfig()
+
+    # -- logical plan ------------------------------------------------------
+    def transform(self, pages: DataFrame) -> DataFrame:
+        """pages → raw extracted rows (lazy; no writes). The testable core."""
+        cfg = self.config
+        if cfg.dedupe_latest_warc_ts:
+            # duplicate urls at different warc_ts: keep the newest crawl.
+            # max_by aggregates in one shuffle (vs window+filter's
+            # shuffle+sort); ties broken deterministically by payload.
+            pages = (
+                pages.groupBy("url")
+                .agg(
+                    F.max_by(
+                        F.struct("warc_ts", "html", "text", "lang"), "warc_ts"
+                    ).alias("_r")
+                )
+                .select("url", "_r.warc_ts", "_r.html", "_r.text", "_r.lang")
+            )
+            # already hash-partitioned by url from the groupBy; the salted
+            # repartition below still runs to split heavy-row skew.
+        repartitioned = salted_repartition(pages, cfg.num_partitions)
+        return extract_pages(repartitioned, cfg.extract, cfg.num_buckets)
+
+    # -- full job with commit/resume --------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        sink: ParquetSnapshotSink,
+        job_id: str | None = None,
+    ) -> dict:
+        job_id = job_id or uuid.uuid4().hex[:12]
+        lineage_prev = sink.read_lineage(spark)
+        committed = committed_buckets(lineage_prev, job_id)
+        todo = filter_uncommitted(pages, committed, self.config.num_buckets)
+        raw = self.transform(todo)
+        # elapsed_ms is persisted with the rows so lineage can be computed
+        # from the *written* files (one extraction pass; no cache of a
+        # 100 TB intermediate, no recompute) — see operators/lineage.py.
+        sink.write_extracted(raw)
+        lineage = lineage_rows(sink.read_extracted(spark), job_id)
+        sink.write_lineage(lineage)
+        stats = summary(sink.read_extracted(spark)).collect()[0].asDict()
+        sink.commit_snapshot(job_id, {"summary": stats})
+        return {"job_id": job_id, **stats}

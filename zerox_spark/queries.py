@@ -1,0 +1,492 @@
+"""Driver-contract queries and their DuckDB oracles.
+
+Each query is a (spark, sf_dir) → DataFrame callable; each oracle is ANSI-ish
+SQL DuckDB runs over the same parquet tables (views: documents, embeddings,
+…). Because the pages table is a *deterministic* derivation of ``documents``
+(synth.py) and the extractor is deterministic, the oracle can state the
+byte-exact expected markdown in closed form — the SQL below is the second,
+independent implementation of the contract in synth.expected_markdown_pages,
+so a value-hash match is a real end-to-end correctness check of the whole
+tokenize→DOM→score→emit pipeline, not a tautology.
+
+Column names/types are aligned on both sides (the driver hashes values after
+sorting columns by name). Float-valued outputs either round(6) on exact
+rational arithmetic (jaccard) or are dropped in favor of integer ranks (ANN)
+to keep cross-engine hashes stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from zerox_spark.extract.core import ExtractConfig
+from zerox_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_pairs,
+    dedup_ngram_pairs,
+    dedup_simhash_pairs,
+    with_injected_duplicates,
+)
+from zerox_spark.operators.extract import extract_pages
+from zerox_spark.operators.lineage import lineage_rows, summary
+from zerox_spark.operators.multimodal import media_metadata
+from zerox_spark.operators.similarity import ann_topk_exact, ann_topk_lsh
+from zerox_spark.operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_score,
+    token_counts,
+)
+from zerox_spark.synth import synth_pages
+
+NUM_BUCKETS = 64
+ANN_QUERY_MOD = 25
+ANN_K = 5
+EMBED_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extracted(spark: SparkSession, sf_dir: str, **cfg) -> DataFrame:
+    pages = synth_pages(spark, sf_dir)
+    return extract_pages(pages, ExtractConfig(**cfg), NUM_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# extraction queries
+
+
+def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction of the synthesized crawl at this sf."""
+    return _extracted(spark, sf_dir, maintain_format=True).select(
+        "url", "page_no", "markdown", "content_length"
+    )
+
+
+def q_extract_doc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 aggregation: per-document markdown artifact (pages joined \\n\\n in
+    page order, node-zerox/src/index.ts:564-568) + page count + length."""
+    ex = _extracted(spark, sf_dir, maintain_format=True)
+    per_page = F.struct("page_no", "markdown")
+    return (
+        ex.groupBy("url")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(per_page)), lambda s: s.markdown
+                ),
+                "\n\n",
+            ).alias("doc_markdown"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+        .select(
+            "url",
+            "doc_markdown",
+            "n_pages",
+            F.length("doc_markdown").cast("int").alias("doc_length"),
+        )
+    )
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-provenance histogram: span-kind counts per url (explode+agg)."""
+    ex = _extracted(spark, sf_dir, maintain_format=True)
+    return (
+        ex.select("url", F.explode("spans").alias("s"))
+        .groupBy("url", F.col("s.kind").alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_page_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8/A8: select_pages=[2,3] over ≥3-page PDF docs — page pruning +
+    renumbering semantics (py_zerox/pyzerox/core/zerox.py:182-194)."""
+    pages = synth_pages(spark, sf_dir)
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    multi = pages.filter(
+        (doc_id % 5 == 0) & ((doc_id % 3 == 1) | (doc_id % 3 == 2))
+    )
+    ex = extract_pages(
+        multi, ExtractConfig(select_pages=[2, 3]), NUM_BUCKETS
+    )
+    return ex.select("url", "page_no", "markdown")
+
+
+def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: the ZeroxOutput.summary analog over the whole corpus."""
+    return summary(_extracted(spark, sf_dir, maintain_format=True))
+
+
+def q_keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 compareKeywords analog: is 'document <id>' contained
+    (case-insensitive) in the document's joined markdown?"""
+    ex = _extracted(spark, sf_dir, maintain_format=True)
+    doc = ex.groupBy("url").agg(
+        F.array_join(F.collect_list("markdown"), "\n\n").alias("md")
+    )
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1)
+    kw = F.concat(F.lit("document "), doc_id)
+    return doc.select(
+        "url",
+        F.when(F.contains(F.lower(F.col("md")), kw), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("found"),
+    )
+
+
+def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket lineage rows (no SQL oracle: bucketing is xxhash64-based,
+    which DuckDB lacks — rows-only check; exact values asserted in pytest)."""
+    raw = _extracted(spark, sf_dir, maintain_format=True)
+    return lineage_rows(raw, "oracle-job").select(
+        "partition_id", "doc_count", "page_count", "status"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text-stats queries
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ngram_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_minhash_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No SQL oracle (xxhash64 parity impossible in DuckDB); recall/precision
+    asserted against exact pairs in pytest."""
+    return dedup_simhash_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return ann_topk_exact(emb, queries, k=ANN_K).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate path (recall vs exact verified in pytest; rows-only)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return ann_topk_lsh(emb, queries, EMBED_DIM, k=ANN_K).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rows-only; property-tested in pytest)."""
+    return fingerprints(_docs(spark, sf_dir)).select("doc_id", "fp_hash")
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only: payload bytes are synthesized inside
+    Spark, not visible to DuckDB)."""
+    return media_metadata(synth_pages(spark, sf_dir)).select(
+        "url", "n_bytes", "media_kind"
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_markdown": q_extract_markdown,
+    "extract_doc_agg": q_extract_doc_agg,
+    "extract_spans": q_extract_spans,
+    "page_select": q_page_select,
+    "extract_summary": q_extract_summary,
+    "keyword_hits": q_keyword_hits,
+    "lineage_metrics": q_lineage_metrics,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "token_counts": q_token_counts,
+    "fingerprints": q_fingerprints,
+    "media_meta": q_media_meta,
+}
+
+
+# ===========================================================================
+# DuckDB oracle SQL
+# ===========================================================================
+
+_NL2 = "chr(10) || chr(10)"
+
+# url derivation (synth.doc_url)
+_URL = "'https://site' || (doc_id % 97) || '.example/' || source || '/' || doc_id"
+
+# the expected-markdown spec re-stated in SQL (synth.expected_markdown_pages)
+_MD_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, text, lang, source, {_URL} AS url FROM documents
+),
+html_md AS (
+  SELECT url, 1 AS page_no,
+    concat_ws({_NL2},
+      '# Document ' || doc_id,
+      CASE WHEN doc_id % 23 = 11
+           THEN repeat(text || {_NL2}, 39) || text
+           ELSE text END,
+      CASE WHEN doc_id % 7 = 3 THEN
+        '<table><tr><th>metric</th><th>value</th></tr><tr><td>views</td><td>'
+        || ((doc_id * 37) % 1000) || '</td></tr><tr><td>score</td><td>'
+        || ((doc_id * 53) % 100) || '</td></tr></table>' END,
+      CASE WHEN doc_id % 5 = 2 THEN
+        '- item ' || ((doc_id * 7) % 100) || chr(10) ||
+        '- item ' || ((doc_id * 11) % 100) || chr(10) ||
+        '- item ' || ((doc_id * 13) % 100) END,
+      CASE WHEN doc_id % 11 = 5 THEN
+        '```python' || chr(10) || 'print(' || doc_id || ')' || chr(10) || '```' END,
+      CASE WHEN doc_id % 13 = 6 THEN '☑ done ' || doc_id END,
+      CASE WHEN doc_id % 13 = 6 THEN '☐ todo ' || doc_id END,
+      CASE WHEN doc_id % 17 = 9 THEN '## Section ' || doc_id END,
+      CASE WHEN doc_id % 17 = 9 THEN
+        array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') END
+    ) AS markdown
+  FROM docs WHERE doc_id % 10 <> 7 AND doc_id % 5 <> 0
+),
+fast_md AS (
+  SELECT url, 1 AS page_no, text AS markdown FROM docs WHERE doc_id % 10 = 7
+),
+pdfd AS (
+  SELECT doc_id, url, string_split(text, ' ') AS w, 2 + (doc_id % 3) AS np
+  FROM docs WHERE doc_id % 5 = 0
+),
+pdf_md AS (
+  SELECT url, p.page_no,
+    '# Document ' || doc_id || ' — page ' || p.page_no || {_NL2} ||
+    array_to_string(
+      list_slice(w, (p.page_no - 1) * len(w) // np + 1, p.page_no * len(w) // np),
+      ' ') || {_NL2} ||
+    '<page_number>' || p.page_no || '</page_number>' AS markdown
+  FROM pdfd CROSS JOIN (VALUES (1),(2),(3),(4)) AS p(page_no)
+  WHERE p.page_no <= np
+),
+expected AS (
+  SELECT * FROM html_md UNION ALL SELECT * FROM fast_md UNION ALL SELECT * FROM pdf_md
+)
+"""
+
+# injected-duplicate corpus (operators/dedup.with_injected_duplicates)
+_CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 4
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      len(string_split(text, ' ')) - 2), ' ') AS text
+  FROM documents WHERE doc_id % 10 = 3
+)
+"""
+
+_SHINGLE_CTE = """
+, words AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS sh
+    FROM words)
+),
+counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b,
+         n_inter / (ca.n_sh + cb.n_sh - n_inter) AS j
+  FROM inter
+  JOIN counts ca ON id_a = ca.doc_id
+  JOIN counts cb ON id_b = cb.doc_id
+)
+"""
+
+_JACCARD_SQL = (
+    _CORPUS_CTE
+    + _SHINGLE_CTE
+    + """
+SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5
+"""
+)
+
+_QUALITY_EXPR = """
+  SELECT doc_id,
+    CAST(length(text) AS INTEGER) AS n_chars,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+    round((length(text) - (len(string_split(text, ' ')) - 1))
+          / len(string_split(text, ' ')), 6) AS mean_word_len,
+    round(len(list_filter(string_split(text, ' '),
+                          w -> w IN ('the','a','and','of','to','in')))
+          / len(string_split(text, ' ')), 6) AS stopword_ratio,
+    round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+          / length(text), 6) AS punct_ratio
+  FROM documents
+"""
+
+_LANG_COUNTS = """
+  SELECT doc_id,
+    len(list_filter(string_split(text,' '), w -> w IN ('the','a','and','of'))) AS c_en,
+    len(list_filter(string_split(text,' '), w -> w IN ('der','die','und','das'))) AS c_de,
+    len(list_filter(string_split(text,' '), w -> w IN ('le','la','et','les'))) AS c_fr,
+    len(list_filter(string_split(text,' '), w -> w IN ('el','los','y','que'))) AS c_es
+  FROM documents
+"""
+
+_SPAN_KIND_SQL = (
+    _MD_CTE
+    + """
+, per_doc AS (
+  SELECT url,
+    CASE WHEN doc_id % 10 = 7 THEN 0
+         WHEN doc_id % 5 = 0 THEN 2 + (doc_id % 3)
+         ELSE 1 + CASE WHEN doc_id % 17 = 9 THEN 1 ELSE 0 END END AS heading,
+    CASE WHEN doc_id % 10 = 7 THEN 1
+         WHEN doc_id % 5 = 0 THEN 2 + (doc_id % 3)
+         ELSE (CASE WHEN doc_id % 23 = 11 THEN 40 ELSE 1 END)
+              + CASE WHEN doc_id % 17 = 9 THEN 1 ELSE 0 END END AS para,
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 7 = 3 THEN 1 ELSE 0 END AS "table",
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 5 = 2 THEN 1 ELSE 0 END AS list,
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 11 = 5 THEN 1 ELSE 0 END AS code,
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 13 = 6 THEN 2 ELSE 0 END AS checkbox,
+    CASE WHEN doc_id % 5 = 0 THEN 2 + (doc_id % 3) ELSE 0 END AS page_number
+  FROM docs
+)
+SELECT url, kind, CAST(n AS BIGINT) AS n FROM (
+  SELECT url, 'heading' AS kind, heading AS n FROM per_doc
+  UNION ALL SELECT url, 'para', para FROM per_doc
+  UNION ALL SELECT url, 'table', "table" FROM per_doc
+  UNION ALL SELECT url, 'list', list FROM per_doc
+  UNION ALL SELECT url, 'code', code FROM per_doc
+  UNION ALL SELECT url, 'checkbox', checkbox FROM per_doc
+  UNION ALL SELECT url, 'page_number', page_number FROM per_doc
+) WHERE n > 0
+"""
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "extract_markdown": _MD_CTE
+    + """
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown,
+       CAST(length(markdown) AS INTEGER) AS content_length
+FROM expected
+""",
+    "extract_doc_agg": _MD_CTE
+    + """
+SELECT url,
+       string_agg(markdown, chr(10) || chr(10) ORDER BY page_no) AS doc_markdown,
+       count(*) AS n_pages,
+       CAST(length(string_agg(markdown, chr(10) || chr(10) ORDER BY page_no)) AS INTEGER)
+         AS doc_length
+FROM expected GROUP BY url
+""",
+    "extract_spans": _SPAN_KIND_SQL,
+    "page_select": _MD_CTE
+    + """
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
+FROM pdf_md
+WHERE page_no IN (2, 3)
+  AND url IN (SELECT url FROM pdfd WHERE np >= 3)
+""",
+    "extract_summary": _MD_CTE
+    + """
+SELECT count(DISTINCT url) AS total_docs,
+       count(*) AS total_pages,
+       count(*) AS successful,
+       CAST(0 AS BIGINT) AS failed,
+       sum(length(markdown)) AS total_content_length
+FROM expected
+""",
+    "keyword_hits": _MD_CTE
+    + """
+SELECT url,
+       CAST(CASE WHEN contains(lower(string_agg(markdown, chr(10) || chr(10))),
+                               'document ' || regexp_extract(url, '/(\\d+)$', 1))
+                 THEN 1 ELSE 0 END AS INTEGER) AS found
+FROM expected GROUP BY url
+""",
+    "dedup_exact": _CORPUS_CTE
+    + """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM corpus GROUP BY text
+""",
+    "dedup_ngram": _JACCARD_SQL,
+    "dedup_minhash": _JACCARD_SQL,
+    "ann_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+FROM ranked WHERE rank <= {ANN_K}
+""",
+    "lang_id": f"""
+WITH counts AS ({_LANG_COUNTS})
+SELECT doc_id,
+  CASE
+    WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+    WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+    WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+    WHEN c_es > 0 THEN 'es'
+    ELSE 'und' END AS pred_lang
+FROM counts
+""",
+    "quality_score": f"""
+WITH feats AS ({_QUALITY_EXPR})
+SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio, punct_ratio,
+       round(least(1.0, n_words / 100.0) * 0.4 + stopword_ratio * 0.4
+             + (1.0 - punct_ratio) * 0.2, 6) AS quality
+FROM feats
+""",
+    "token_counts": r"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
+    AS bpe_tokens
+FROM documents
+""",
+}

@@ -1,0 +1,81 @@
+"""SparkSession factory with the configs this engine relies on.
+
+Scale rationale (tuned for a multi-executor cluster, tested on local[N]):
+
+- Arrow execution ON: every hot-loop operator is a pandas/Arrow UDF
+  (mapInPandas / applyInPandas); Arrow batch transfer is the difference
+  between ~10-100x vs row-at-a-time Python (reference's hot op is a network
+  LLM call — ours is CPU, so serde overhead actually matters).
+- AQE ON (+ coalescePartitions + skewJoin): runtime re-planning of shuffle
+  partition counts; single-row skew is additionally handled by explicit
+  salting in operators/repartition.py because AQE cannot split one row.
+- session timeZone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (duckdb timestamps are UTC-naive).
+- shuffle partitions default to cores for local runs; on a real cluster set
+  spark.sql.shuffle.partitions ~ 2-3x total executor cores via spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size: each row can carry up to ~MBs of html binary; cap the
+# batch row count so a batch of skewed rows stays within executor memory.
+ARROW_MAX_RECORDS_PER_BATCH = 256
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "zerox-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession configured for this engine.
+
+    ``master=None`` defers to spark-submit / env (real cluster); tests and
+    bench pass explicit ``local[N]``.
+    """
+    if master is None:
+        master = os.environ.get("ZEROX_SPARK_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        cpus = _parse_local_cores(master)
+        shuffle_partitions = cpus if cpus else 200
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # parquet writes for the sandbox sink; an Iceberg catalog is wired in
+        # sinks.py when the runtime provides one (spark-submit --packages).
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("ZEROX_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _parse_local_cores(master: str) -> int | None:
+    """``local[8]`` -> 8; ``local[*]`` -> os cpu count; else None."""
+    if not master.startswith("local"):
+        return None
+    if "[" not in master:
+        return 1
+    inside = master[master.index("[") + 1 : master.rindex("]")]
+    if inside == "*":
+        return os.cpu_count() or 8
+    try:
+        return int(inside)
+    except ValueError:
+        return None
