@@ -44,9 +44,7 @@ def test_corpus_byte_parity(sf: str):
     from zerox_spark.synth import (
         expected_markdown_pages,
         is_fast,
-        is_pdf_doc,
-        render_html,
-        render_pdf,
+        render_payload,
     )
 
     rows = duckdb.sql(
@@ -54,11 +52,7 @@ def test_corpus_byte_parity(sf: str):
     ).fetchall()
     assert rows
     for doc_id, text, lang, source in rows:
-        payload = (
-            render_pdf(doc_id, text)
-            if is_pdf_doc(doc_id)
-            else render_html(doc_id, text, lang, source)
-        )
+        payload = render_payload(doc_id, text, lang, source)
         trusted = text if is_fast(doc_id) else ""
         pages = extract_document(payload, trusted)
         folded = apply_maintain_format(

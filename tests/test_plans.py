@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the scan must stay pruned and pushed.
+
+These assert the *plan*, not the data — a refactor that silently starts
+reading all columns for the extract (or stops pushing the lang filter down)
+is a 100 TB regression that no correctness test would catch."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    from zerox_spark.synth import synth_pages
+
+    path = str(tmp_path_factory.mktemp("plan") / "pages")
+    synth_pages(spark, SF_SMOKE).write.parquet(path)
+    return path
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_extract_scan_prunes_lang(spark, pages_parquet):
+    from zerox_spark.extract.core import ExtractConfig
+    from zerox_spark.operators.extract import extract_pages
+    from zerox_spark.operators.repartition import salted_repartition
+
+    pages = spark.read.parquet(pages_parquet)
+    ex = extract_pages(salted_repartition(pages, 8), ExtractConfig(), 16)
+    m = re.search(r"ReadSchema: (.*)", plan_of(ex))
+    assert m, "no ReadSchema in plan"
+    read_schema = m.group(1)
+    # lang is never used by the extract path → must not be scanned.
+    # (warc_ts IS read: the deterministic skew salt hashes (url, warc_ts).)
+    assert "lang" not in read_schema
+    assert "html" in read_schema and "url" in read_schema
+
+
+def test_lang_filter_pushed_to_scan(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    plan = plan_of(pages.filter(F.col("lang") == "en").select("url"))
+    m = re.search(r"PushedFilters: \[(.*)\]", plan)
+    assert m and "EqualTo(lang,en)" in m.group(1)
+    # column pruning too: projection of url only must not scan html
+    m2 = re.search(r"ReadSchema: (.*)", plan)
+    assert m2 and "html" not in m2.group(1)
+
+
+def test_minhash_plan_has_partial_aggregation(spark):
+    """The minhash signature agg must be map-side combinable (partial
+    HashAggregate before the exchange) — the property that keeps the
+    shuffle ∝ docs, not ∝ shingles."""
+    from zerox_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    # two HashAggregates (partial + final) around one Exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan

@@ -1,0 +1,202 @@
+"""Tests: sources & routing predicates, sheet fast path, pluggable
+extractor (O8), structured extraction (A5-A7), streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from zerox_spark.extract.core import ExtractConfig, extract_document
+from zerox_spark.extract.sheets import parse_sheet_payload, sheets_to_pages
+from zerox_spark.operators.structured import extract_structured, split_schema
+
+SHEET = b"""%SHEET csv 1.0
+%%sheet name=one
+h1,h2
+a,1
+b,2
+%%sheet name=two
+x
+9
+"""
+
+
+# --- sheet fast path -------------------------------------------------------
+
+def test_parse_sheets():
+    sheets = parse_sheet_payload(SHEET)
+    assert [s[0] for s in sheets] == ["one", "two"]
+    assert sheets[0][1] == [["h1", "h2"], ["a", "1"], ["b", "2"]]
+
+
+def test_sheets_to_pages_header_rule():
+    pages = sheets_to_pages(SHEET)
+    assert pages[0][1] == (
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>1</td></tr><tr><td>b</td><td>2</td></tr></table>"
+    )
+    assert pages[1][0] == 2
+    assert pages[1][1] == "<table><tr><th>x</th></tr><tr><td>9</td></tr></table>"
+
+
+def test_dispatch_routes_sheet_payload():
+    out = extract_document(SHEET, None)
+    assert len(out) == 2 and out[0].spans[0][0] == "table"
+
+
+# --- pluggable extractor (customModelFunction analog) ----------------------
+
+def _shout_extractor(html: bytes, text: str | None):
+    return [(1, html.decode("utf-8", "replace").upper()[:10], [])]
+
+
+def test_custom_extractor_replaces_builtin():
+    out = extract_document(b"<p>hi</p>", None, ExtractConfig(extractor=_shout_extractor))
+    assert out[0].markdown == "<P>HI</P>"
+
+
+def test_custom_extractor_must_be_callable():
+    with pytest.raises(ValueError):
+        ExtractConfig(extractor="not-a-function")
+
+
+# --- split_schema (common.ts:85-121 semantics) -----------------------------
+
+def test_split_schema_partitions_properties_and_required():
+    schema = {
+        "type": "object",
+        "properties": {"a": {"type": "string"}, "b": {"type": "integer"},
+                       "c": {"type": "string"}},
+        "required": ["a", "c"],
+    }
+    page, doc = split_schema(schema, ["a"])
+    assert set(page["properties"]) == {"a"} and page["required"] == ["a"]
+    assert set(doc["properties"]) == {"b", "c"} and doc["required"] == ["c"]
+
+
+# --- sources (Spark) -------------------------------------------------------
+
+def test_read_html_dir_binary_source(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.html").write_bytes(
+        b"<html><body><article><p>page one content here</p></article></body></html>"
+    )
+    (d / "b.html").write_bytes(b"%PDF-SYNTH 1.0\n%%page no=1 w=1.0 h=1.0\n")
+    from zerox_spark.sources import is_pdf_payload, read_html_dir
+
+    pages = read_html_dir(spark, str(d))
+    rows = {r.url.rsplit("/", 1)[-1]: r for r in pages.collect()}
+    assert set(rows) == {"a.html", "b.html"}
+    flags = {
+        r.url.rsplit("/", 1)[-1]: r.pdf
+        for r in pages.select("url", is_pdf_payload(F.col("html")).alias("pdf")).collect()
+    }
+    assert flags == {"a.html": False, "b.html": True}
+
+
+def test_magic_predicates(spark):
+    from zerox_spark.sources import (
+        is_cfb_payload, is_html_payload, is_sheet_payload, is_valid_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("https://x/1", bytes([0xD0, 0xCF, 0x11, 0xE0]) + b"rest"),
+            ("ftp://x/2", b"%SHEET csv 1.0\n"),
+            ("https://x/3", b"  <html><body>"),
+        ],
+        "url string, html binary",
+    )
+    got = df.select(
+        "url",
+        is_cfb_payload(F.col("html")).alias("cfb"),
+        is_sheet_payload(F.col("html")).alias("sheet"),
+        is_html_payload(F.col("html")).alias("html_p"),
+        is_valid_url(F.col("url")).alias("okurl"),
+    ).collect()
+    by_url = {r.url: r for r in got}
+    assert by_url["https://x/1"].cfb and not by_url["https://x/1"].sheet
+    assert by_url["ftp://x/2"].sheet and not by_url["ftp://x/2"].okurl
+    assert by_url["https://x/3"].html_p and by_url["https://x/3"].okurl
+
+
+# --- structured extraction on Spark ----------------------------------------
+
+def test_structured_extraction_scopes(spark):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(url="u", page_no=1, markdown="# Title One\n\nbody 42",
+            spans=[{"kind": "heading", "start": 0, "end": 11, "score": 1.0}]),
+        Row(url="u", page_no=2, markdown="no heading page",
+            spans=[{"kind": "para", "start": 0, "end": 15, "score": 1.0}]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, page_no int, markdown string, "
+        "spans array<struct<kind:string,start:int,end:int,score:double>>",
+    )
+    schema = {
+        "type": "object",
+        "properties": {
+            "title": {"type": "string", "x-selector": "first_heading"},
+            "n_pages": {"type": "integer", "x-selector": "page_count"},
+            "first_num": {"type": "string", "x-selector": "regex:([0-9]+)"},
+        },
+    }
+    out = {(r.key, r.page_no): r.value
+           for r in extract_structured(df, schema, ["title"]).collect()}
+    # A5: null values skipped → no title row for page 2
+    assert out == {
+        ("title", 1): "Title One",
+        ("n_pages", 0): "2",
+        ("first_num", 0): "42",
+    }
+
+
+# --- streaming -------------------------------------------------------------
+
+def test_stream_extract_availablenow(spark, tmp_path):
+    from zerox_spark.streaming import read_pages_stream, stream_extract
+    from zerox_spark.synth import synth_pages
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    synth_pages(spark, SF_SMOKE).limit(50).write.parquet(src)
+
+    q = stream_extract(read_pages_stream(spark, src), out, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    # restart with same checkpoint: no new input → no duplicates
+    q2 = stream_extract(read_pages_stream(spark, src), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == first
+
+
+def test_stream_metrics_watermark_plan(spark, tmp_path):
+    from zerox_spark.streaming import read_pages_stream, stream_metrics
+    from zerox_spark.synth import synth_pages
+
+    src = str(tmp_path / "in")
+    synth_pages(spark, SF_SMOKE).limit(20).write.parquet(src)
+    metrics = stream_metrics(read_pages_stream(spark, src))
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("ingest_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "c2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only windows closed by the watermark; with a single
+    # drained batch the plan ran (that's the assertion) even if all windows
+    # are still open
+    assert spark.table("ingest_metrics").columns == [
+        "window_start", "window_end", "docs", "bytes",
+    ]

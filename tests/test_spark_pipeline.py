@@ -187,7 +187,7 @@ def test_media_metadata_plumbing(spark):
     meta = {r.url: r for r in media_metadata(pages).collect()}
     assert meta
     kinds = {r.media_kind for r in meta.values()}
-    assert kinds == {"html", "pdf"}
+    assert kinds == {"html", "pdf", "sheet"}
     assert all(r.n_bytes > 0 for r in meta.values())
 
 

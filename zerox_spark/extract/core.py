@@ -5,13 +5,18 @@ index.ts:338-352).
 
 Routing (logical-plan branch per document):
 
-1. trusted pre-extracted ``text`` → fast path, no DOM work (the Excel /
-   structured-data fast path analog, node-zerox/src/index.ts:167-168 +
-   extractPagesFromStructuredDataFile, file.ts:311-329);
-2. ``%PDF`` magic bytes → layout pass (layout.py);
-3. anything else → HTML pipeline (tokenize → DOM → score → markdown);
-4. empty/undecodable payload → ERROR page with content "" and
+1. trusted pre-extracted ``text`` → fast path, no DOM work
+   (node-zerox/src/index.ts:167-168 routing);
+2. ``%SHEET`` magic → structured-sheet fast path, sheet = page (the Excel
+   branch: extractPagesFromStructuredDataFile, file.ts:311-329);
+3. ``%PDF`` magic bytes → layout pass (layout.py);
+4. anything else → HTML pipeline (tokenize → DOM → score → markdown);
+5. empty/undecodable payload → ERROR page with content "" and
    content_length 0, job continues (the IGNORE containment).
+
+A user-supplied ``ExtractConfig.extractor`` callable replaces steps 2-4
+entirely — the customModelFunction extension point
+(node-zerox/src/types.ts:9-15, invoked index.ts:287-298).
 
 Determinism guarantees: NFC unicode normalization, CRLF→LF, a single
 whitespace-collapse rule in the emitter, no environment lookups.
@@ -26,6 +31,7 @@ from zerox_spark.extract.fences import format_markdown
 from zerox_spark.extract.layout import is_pdf, pdf_to_pages
 from zerox_spark.extract.markdown import html_to_markdown
 from zerox_spark.extract.pages import normalize_select_pages, select_and_renumber
+from zerox_spark.extract.sheets import is_sheet, sheets_to_pages
 
 STATUS_SUCCESS = "SUCCESS"
 STATUS_ERROR = "ERROR"
@@ -44,17 +50,26 @@ class PageResult:
 @dataclass
 class ExtractConfig:
     """Per-run knobs (subset of ZeroxArgs, node-zerox/src/types.ts:4-44,
-    that are meaningful for a deterministic extractor)."""
+    that are meaningful for a deterministic extractor). Validated at
+    construction — config errors fail before job submit, the reference's
+    validate-at-init pattern (py_zerox/pyzerox/models/modellitellm.py:33-38)."""
 
     select_pages: list[int] | None = None
-    maintain_format: bool = False  # applied by operators/fold.py, not here
+    maintain_format: bool = False  # inline fold in operators/extract.py
     error_mode: str = "IGNORE"  # IGNORE | THROW (node-zerox/src/types.ts:172-175)
     trust_text: bool = True  # honor the pre-extracted text fast path
+    # customModelFunction analog (node-zerox/src/types.ts:9-15): a callable
+    # (html_bytes, text) → [(page_no, markdown, spans)] replacing the
+    # built-in extractor; must be deterministic and picklable (it ships to
+    # executors inside the UDF closure)
+    extractor: object | None = None
 
     def __post_init__(self) -> None:
         self.select_pages = normalize_select_pages(self.select_pages)
         if self.error_mode not in ("IGNORE", "THROW"):
             raise ValueError(f"bad error_mode {self.error_mode!r}")
+        if self.extractor is not None and not callable(self.extractor):
+            raise ValueError("extractor must be callable")
 
 
 def _finalize(markdown: str) -> str:
@@ -108,6 +123,14 @@ def _extract_raw(
         return [(1, _finalize(text), [("para", 0, len(text), 1.0)])]
     if not html:
         raise ValueError("empty document payload")
+    if config.extractor is not None:
+        pages = config.extractor(html, text)  # type: ignore[operator]
+        return [(no, _finalize(md), spans) for no, md, spans in pages]
+    if is_sheet(html):
+        pages = sheets_to_pages(html)
+        if not pages:
+            raise ValueError("sheet payload with no sheets")
+        return [(no, _finalize(md), spans) for no, md, spans in pages]
     if is_pdf(html):
         pages = pdf_to_pages(html)
         if not pages:

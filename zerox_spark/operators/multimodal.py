@@ -35,6 +35,7 @@ MEDIA_META_SCHEMA = T.StructType(
 
 _MAGIC = [
     (b"%PDF", "pdf"),
+    (b"%SHEET", "sheet"),
     (b"\x89PNG", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),

@@ -143,6 +143,32 @@ def q_keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# demo JSON Schema for the structured-extraction mode (selector semantics in
+# operators/structured.py; split per common.ts:85-121 via extract_per_page)
+DEMO_EXTRACTION_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "title": {"type": "string", "x-selector": "first_heading"},
+        "n_checkboxes": {"type": "integer", "x-selector": "span_count:checkbox"},
+        "page_chars": {"type": "integer", "x-selector": "content_length"},
+        "doc_chars": {"type": "integer", "x-selector": "content_length"},
+        "n_pages": {"type": "integer", "x-selector": "page_count"},
+        "first_num": {"type": "string", "x-selector": "regex:([0-9]+)"},
+    },
+    "required": ["title"],
+}
+DEMO_PER_PAGE_KEYS = ["title", "n_checkboxes", "page_chars"]
+
+
+def q_extract_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTRACTION mode: schema-driven per-page + full-doc value extraction
+    (A5 accumulation shape: url, key, page_no, value; page_no=0 = doc)."""
+    from zerox_spark.operators.structured import extract_structured
+
+    ex = _extracted(spark, sf_dir, maintain_format=True)
+    return extract_structured(ex, DEMO_EXTRACTION_SCHEMA, DEMO_PER_PAGE_KEYS)
+
+
 def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket lineage rows (no SQL oracle: bucketing is xxhash64-based,
     which DuckDB lacks — rows-only check; exact values asserted in pytest)."""
@@ -220,6 +246,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_markdown": q_extract_markdown,
     "extract_doc_agg": q_extract_doc_agg,
     "extract_spans": q_extract_spans,
+    "extract_structured": q_extract_structured,
     "page_select": q_page_select,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
@@ -275,10 +302,25 @@ html_md AS (
       CASE WHEN doc_id % 17 = 9 THEN
         array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ') END
     ) AS markdown
-  FROM docs WHERE doc_id % 10 <> 7 AND doc_id % 5 <> 0
+  FROM docs WHERE doc_id % 10 <> 7 AND doc_id % 10 <> 1 AND doc_id % 5 <> 0
 ),
 fast_md AS (
   SELECT url, 1 AS page_no, text AS markdown FROM docs WHERE doc_id % 10 = 7
+),
+sheet_md AS (
+  SELECT url, p.page_no,
+    CASE p.page_no
+      WHEN 1 THEN
+        '<table><tr><th>name</th><th>q1</th><th>q2</th></tr><tr><td>r0</td><td>'
+        || ((doc_id * 7) % 100) || '</td><td>' || ((doc_id * 11) % 100)
+        || '</td></tr><tr><td>r1</td><td>' || ((doc_id * 7 + 13) % 100)
+        || '</td><td>' || ((doc_id * 11 + 17) % 100) || '</td></tr></table>'
+      ELSE
+        '<table><tr><th>name</th><th>total</th></tr><tr><td>all</td><td>'
+        || ((doc_id * 19) % 1000) || '</td></tr></table>'
+    END AS markdown
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 10 = 1
 ),
 pdfd AS (
   SELECT doc_id, url, string_split(text, ' ') AS w, 2 + (doc_id % 3) AS np
@@ -295,7 +337,8 @@ pdf_md AS (
   WHERE p.page_no <= np
 ),
 expected AS (
-  SELECT * FROM html_md UNION ALL SELECT * FROM fast_md UNION ALL SELECT * FROM pdf_md
+  SELECT * FROM html_md UNION ALL SELECT * FROM fast_md
+  UNION ALL SELECT * FROM sheet_md UNION ALL SELECT * FROM pdf_md
 )
 """
 
@@ -374,17 +417,19 @@ _SPAN_KIND_SQL = (
     + """
 , per_doc AS (
   SELECT url,
-    CASE WHEN doc_id % 10 = 7 THEN 0
+    CASE WHEN doc_id % 10 = 7 OR doc_id % 10 = 1 THEN 0
          WHEN doc_id % 5 = 0 THEN 2 + (doc_id % 3)
          ELSE 1 + CASE WHEN doc_id % 17 = 9 THEN 1 ELSE 0 END END AS heading,
     CASE WHEN doc_id % 10 = 7 THEN 1
+         WHEN doc_id % 10 = 1 THEN 0
          WHEN doc_id % 5 = 0 THEN 2 + (doc_id % 3)
          ELSE (CASE WHEN doc_id % 23 = 11 THEN 40 ELSE 1 END)
               + CASE WHEN doc_id % 17 = 9 THEN 1 ELSE 0 END END AS para,
-    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 7 = 3 THEN 1 ELSE 0 END AS "table",
-    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 5 = 2 THEN 1 ELSE 0 END AS list,
-    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 11 = 5 THEN 1 ELSE 0 END AS code,
-    CASE WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 13 = 6 THEN 2 ELSE 0 END AS checkbox,
+    CASE WHEN doc_id % 10 = 1 THEN 2
+         WHEN doc_id % 10 <> 7 AND doc_id % 5 <> 0 AND doc_id % 7 = 3 THEN 1 ELSE 0 END AS "table",
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 10 <> 1 AND doc_id % 5 <> 0 AND doc_id % 5 = 2 THEN 1 ELSE 0 END AS list,
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 10 <> 1 AND doc_id % 5 <> 0 AND doc_id % 11 = 5 THEN 1 ELSE 0 END AS code,
+    CASE WHEN doc_id % 10 <> 7 AND doc_id % 10 <> 1 AND doc_id % 5 <> 0 AND doc_id % 13 = 6 THEN 2 ELSE 0 END AS checkbox,
     CASE WHEN doc_id % 5 = 0 THEN 2 + (doc_id % 3) ELSE 0 END AS page_number
   FROM docs
 )
@@ -417,6 +462,38 @@ SELECT url,
 FROM expected GROUP BY url
 """,
     "extract_spans": _SPAN_KIND_SQL,
+    "extract_structured": _MD_CTE
+    + """
+, docjoin AS (
+  SELECT url,
+         string_agg(markdown, chr(10) || '<hr><hr>' || chr(10) ORDER BY page_no)
+           AS doc_markdown,
+         count(*) AS n_pages
+  FROM expected GROUP BY url
+),
+taxo AS (SELECT url AS turl, doc_id FROM docs)
+SELECT url, key, CAST(page_no AS INTEGER) AS page_no, value FROM (
+  SELECT url, 'title' AS key, page_no,
+         regexp_extract(markdown, '#{1,6} ([^' || chr(10) || ']*)', 1) AS value
+  FROM expected
+  UNION ALL
+  SELECT e.url, 'n_checkboxes', e.page_no,
+         CAST(CASE WHEN t.doc_id % 10 <> 7 AND t.doc_id % 10 <> 1
+                    AND t.doc_id % 5 <> 0 AND t.doc_id % 13 = 6
+               THEN 2 ELSE 0 END AS VARCHAR)
+  FROM expected e JOIN taxo t ON e.url = t.turl
+  UNION ALL
+  SELECT url, 'page_chars', page_no, CAST(length(markdown) AS VARCHAR)
+  FROM expected
+  UNION ALL
+  SELECT url, 'doc_chars', 0, CAST(length(doc_markdown) AS VARCHAR) FROM docjoin
+  UNION ALL
+  SELECT url, 'n_pages', 0, CAST(n_pages AS VARCHAR) FROM docjoin
+  UNION ALL
+  SELECT url, 'first_num', 0, regexp_extract(doc_markdown, '([0-9]+)', 1)
+  FROM docjoin
+) WHERE value <> ''
+""",
     "page_select": _MD_CTE
     + """
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown

@@ -36,8 +36,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 # ---------------------------------------------------------------------------
-# taxonomy constants (shared with oracles.py — change both or neither)
+# taxonomy constants (shared with queries.py oracles — change both or neither)
 FAST_MOD, FAST_EQ = 10, 7
+SHEET_MOD, SHEET_EQ = 10, 1  # structured-sheet fast path (Excel analog)
 PDF_MOD = 5  # doc_id % 5 == 0 → pdf
 TABLE_MOD, TABLE_EQ = 7, 3
 LIST_MOD, LIST_EQ = 5, 2
@@ -62,6 +63,10 @@ def doc_ts(doc_id: int) -> _dt.datetime:
 
 def is_fast(doc_id: int) -> bool:
     return doc_id % FAST_MOD == FAST_EQ
+
+
+def is_sheet_doc(doc_id: int) -> bool:
+    return doc_id % SHEET_MOD == SHEET_EQ
 
 
 def is_pdf_doc(doc_id: int) -> bool:
@@ -127,6 +132,27 @@ def render_html(doc_id: int, text: str, lang: str, source: str) -> bytes:
     return html.encode("utf-8")
 
 
+def sheet_cells(doc_id: int) -> tuple[list[list[str]], list[list[str]]]:
+    """Deterministic cell grids for the two sheets of a sheet-doc."""
+    data = [
+        ["name", "q1", "q2"],
+        ["r0", str((doc_id * 7) % 100), str((doc_id * 11) % 100)],
+        ["r1", str((doc_id * 7 + 13) % 100), str((doc_id * 11 + 17) % 100)],
+    ]
+    summary = [["name", "total"], ["all", str((doc_id * 19) % 1000)]]
+    return data, summary
+
+
+def render_sheet(doc_id: int) -> bytes:
+    """Structured-sheet payload (grammar in extract/sheets.py): 2 sheets."""
+    data, summary = sheet_cells(doc_id)
+    out = ["%SHEET csv 1.0"]
+    for name, rows in (("data", data), ("summary", summary)):
+        out.append(f"%%sheet name={name}")
+        out.extend(",".join(row) for row in rows)
+    return ("\n".join(out) + "\n").encode("utf-8")
+
+
 def render_pdf(doc_id: int, text: str) -> bytes:
     """Pseudo-PDF layout payload (grammar in layout.py)."""
     words = text.split(" ")
@@ -152,11 +178,35 @@ def render_pdf(doc_id: int, text: str) -> bytes:
 # the closed-form expected output (the oracle contract, python statement)
 
 
+def render_payload(doc_id: int, text: str, lang: str, source: str) -> bytes:
+    """Route to the right renderer for this doc_id (single entry point for
+    tests and the Spark batch renderer)."""
+    if is_sheet_doc(doc_id):
+        return render_sheet(doc_id)
+    if is_pdf_doc(doc_id):
+        return render_pdf(doc_id, text)
+    return render_html(doc_id, text, lang, source)
+
+
+def _table_html(rows: list[list[str]]) -> str:
+    parts = ["<table>"]
+    for i, row in enumerate(rows):
+        tag = "th" if i == 0 else "td"
+        parts.append(
+            "<tr>" + "".join(f"<{tag}>{c}</{tag}>" for c in row) + "</tr>"
+        )
+    parts.append("</table>")
+    return "".join(parts)
+
+
 def expected_markdown_pages(
     doc_id: int, text: str, source: str
 ) -> list[tuple[int, str]]:
     if is_fast(doc_id):
         return [(1, text)]
+    if is_sheet_doc(doc_id):
+        data, summary = sheet_cells(doc_id)
+        return [(1, _table_html(data)), (2, _table_html(summary))]
     if is_pdf_doc(doc_id):
         words = text.split(" ")
         total = len(words)
@@ -207,7 +257,9 @@ def _synth_batch(batches):
             pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
         ):
             doc_id = int(doc_id)
-            if is_pdf_doc(doc_id):
+            if is_sheet_doc(doc_id):
+                payload = render_sheet(doc_id)
+            elif is_pdf_doc(doc_id):
                 payload = render_pdf(doc_id, text)
             else:
                 payload = render_html(doc_id, text, lang, source)
