@@ -37,6 +37,41 @@ STATUS_SUCCESS = "SUCCESS"
 STATUS_ERROR = "ERROR"
 
 
+def _builtin_html(html: bytes, text: str | None):
+    src = html.decode("utf-8", errors="replace").replace("\r\n", "\n")
+    markdown, spans = html_to_markdown(src)
+    return [(1, markdown, spans)]
+
+
+def _builtin_layout(html: bytes, text: str | None):
+    return pdf_to_pages(html)
+
+
+def _builtin_sheets(html: bytes, text: str | None):
+    return sheets_to_pages(html)
+
+
+# strategy registry — the createModel factory analog (SURVEY.md §2.5 M1,
+# node-zerox/src/models/index.ts:48-80): named extractor strategies a
+# pipeline can select explicitly instead of the magic-byte auto-routing.
+EXTRACTORS: dict[str, object] = {
+    "auto": None,  # full dispatch below (the default)
+    "readability": _builtin_html,
+    "layout": _builtin_layout,
+    "sheets": _builtin_sheets,
+}
+
+
+def get_extractor(name: str):
+    """Resolve a named strategy; raises at plan time on unknown names (the
+    validate-at-init pattern, modellitellm.py:33-38)."""
+    if name not in EXTRACTORS:
+        raise ValueError(
+            f"unknown extractor {name!r}; known: {sorted(EXTRACTORS)}"
+        )
+    return EXTRACTORS[name]
+
+
 @dataclass
 class PageResult:
     page_no: int
@@ -63,6 +98,12 @@ class ExtractConfig:
     # built-in extractor; must be deterministic and picklable (it ships to
     # executors inside the UDF closure)
     extractor: object | None = None
+    # payload bound — the compressImage analog (15 MB cap + quality ladder,
+    # node-zerox/src/index.ts:68, image.ts:78-114): an oversized payload is
+    # deterministically truncated at the last tag boundary before the cap
+    # (salting spreads heavy *rows*; this bounds work *within* one row —
+    # SURVEY.md §7 hard part (c), the I5 intra-doc analog)
+    max_payload_bytes: int = 15 * 1024 * 1024
 
     def __post_init__(self) -> None:
         self.select_pages = normalize_select_pages(self.select_pages)
@@ -116,6 +157,17 @@ def extract_document(
         ]
 
 
+def _cap_payload(html: bytes, cap: int) -> bytes:
+    """Deterministic truncation of an oversized payload at the last '>' (or
+    newline, for the line-oriented PDF/sheet grammars) before the cap — the
+    error-tolerant parsers then see well-formed-enough input. The reference
+    bounds payloads the same way in spirit (recompress until under the cap,
+    image.ts:78-114): lose fidelity, never fail the document."""
+    head = html[:cap]
+    cut = max(head.rfind(b">"), head.rfind(b"\n"))
+    return head[: cut + 1] if cut > 0 else head
+
+
 def _extract_raw(
     html: bytes | None, text: str | None, config: ExtractConfig
 ) -> list[tuple[int, str, list]]:
@@ -123,6 +175,8 @@ def _extract_raw(
         return [(1, _finalize(text), [("para", 0, len(text), 1.0)])]
     if not html:
         raise ValueError("empty document payload")
+    if config.max_payload_bytes and len(html) > config.max_payload_bytes:
+        html = _cap_payload(html, config.max_payload_bytes)
     if config.extractor is not None:
         pages = config.extractor(html, text)  # type: ignore[operator]
         return [(no, _finalize(md), spans) for no, md, spans in pages]

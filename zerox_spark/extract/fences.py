@@ -52,7 +52,24 @@ format_markdown = format_markdown_py
 
 def sanitize_filename(path_or_name: str) -> str:
     """Python-SDK file-name sanitization (py_zerox/pyzerox/core/zerox.py:123-126):
-    every non-alphanumeric char → '_', lowercase, truncated to 255."""
+    every non-alphanumeric char → '_', lowercase, truncated to 255. The
+    engine's default (SURVEY.md §7: standardize on PY where SDKs diverge)."""
     base = path_or_name.rsplit("/", 1)[-1]
     stem = base.rsplit(".", 1)[0] if "." in base else base
     return "".join(c.lower() if c.isalnum() else "_" for c in stem)[:255]
+
+
+_NON_WORD = re.compile(r"[^\w\s]")
+_WS_RUN = re.compile(r"\s+")
+
+
+def sanitize_filename_node(path_or_name: str) -> str:
+    """Node-SDK variant (node-zerox/src/index.ts:556-562): strip non-word
+    chars, whitespace → '_', lowercase, truncate 255 — kept for parity
+    testing of the documented SDK divergence (underscores only whitespace,
+    unlike the PY rule above)."""
+    base = path_or_name.rsplit("/", 1)[-1]
+    stem = base.rsplit(".", 1)[0] if "." in base else base
+    out = _NON_WORD.sub("", stem)
+    out = _WS_RUN.sub("_", out)
+    return out.lower()[:255]

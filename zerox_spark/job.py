@@ -37,6 +37,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--no-maintain-format", dest="maintain_format", action="store_false")
     ap.add_argument("--error-mode", choices=["IGNORE", "THROW"], default="IGNORE")
     ap.add_argument("--select-pages", default=None, help="comma-separated 1-indexed page list")
+    ap.add_argument("--export-md", default=None, help="also write one .md artifact per document to this dir (the reference's primary sink)")
     ap.add_argument("--master", default=None)
     return ap.parse_args(argv)
 
@@ -78,6 +79,12 @@ def main(argv: list[str] | None = None) -> int:
         else ParquetSnapshotSink(args.output)
     )
     stats = pipe.run(spark, pages, sink, job_id=args.job_id)
+    if args.export_md:
+        from zerox_spark.sinks import export_markdown_files
+
+        stats["md_files"] = export_markdown_files(
+            sink.read_extracted(spark), args.export_md
+        )
     print(json.dumps(stats))
     return 0
 

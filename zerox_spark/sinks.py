@@ -23,10 +23,28 @@ from __future__ import annotations
 import json
 import os
 import time
+from typing import Callable, TypeVar
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from zerox_spark.schema import LINEAGE_SCHEMA
+
+T = TypeVar("T")
+
+
+def run_retries(fn: Callable[[], T], max_retries: int = 1) -> T:
+    """runRetries analog (node-zerox/src/utils/common.ts:62-80): retry up to
+    max_retries times, rethrow at the limit. The deterministic compute needs
+    no retries — this guards I/O commits only (SURVEY.md §2.4 O6); task-level
+    compute retries stay with spark.task.maxFailures."""
+    attempt = 0
+    while True:
+        try:
+            return fn()
+        except Exception:
+            if attempt >= max_retries:
+                raise
+            attempt += 1
 
 
 class ParquetSnapshotSink:
@@ -49,7 +67,9 @@ class ParquetSnapshotSink:
         )
 
     def write_lineage(self, lineage: DataFrame) -> None:
-        lineage.write.mode("append").parquet(self.lineage_path)
+        run_retries(
+            lambda: lineage.write.mode("append").parquet(self.lineage_path)
+        )
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         try:
@@ -70,6 +90,39 @@ class ParquetSnapshotSink:
         with open(path, "w", encoding="utf-8") as fh:
             json.dump(payload, fh, sort_keys=True)
         return path
+
+
+def export_markdown_files(extracted: DataFrame, out_dir: str) -> int:
+    """The reference's primary sink: one ``{outputDir}/{fileName}.md`` per
+    document, pages joined "\\n\\n" in page order (node-zerox/src/index.ts:
+    564-568; py_zerox/pyzerox/core/zerox.py:97-99,168-172), file name via
+    the PY sanitization rule. Runs distributed (foreachPartition writes from
+    executors — ``out_dir`` must be a shared filesystem on a cluster).
+    Returns the document count. Collision note: faithful to the reference,
+    the name is the sanitized stem only — two urls sanitizing equal
+    overwrite each other, exactly as two equal input file names would."""
+    from zerox_spark.extract.fences import sanitize_filename
+
+    os.makedirs(out_dir, exist_ok=True)
+    per_page = F.struct("page_no", "markdown")
+    docs = extracted.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(per_page)), lambda s: s.markdown
+            ),
+            "\n\n",
+        ).alias("doc_markdown")
+    )
+
+    def write_part(rows) -> None:
+        for row in rows:
+            name = sanitize_filename(row.url) or "doc"
+            path = os.path.join(out_dir, f"{name}.md")
+            with open(path, "w", encoding="utf-8") as fh:
+                fh.write(row.doc_markdown)
+
+    docs.foreachPartition(write_part)
+    return len(os.listdir(out_dir))
 
 
 class IcebergSink:
