@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): the extractor must never crash and
+must obey its structural invariants on ARBITRARY input — the 10^12-row
+robustness contract that example-based tests can't cover."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from zerox_spark.extract.core import ExtractConfig, extract_document
+from zerox_spark.extract.fences import format_markdown_py
+from zerox_spark.extract.markdown import html_to_markdown
+from zerox_spark.html.dom import parse
+from zerox_spark.operators.fold import apply_maintain_format
+from zerox_spark.operators.textstats import _winnow_one
+
+# text that may contain markup-ish fragments
+_markupish = st.text(
+    alphabet=st.sampled_from(list("abc <>/=\"'&;!-\n\t#`*%PDF")), max_size=300
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_markupish)
+def test_parse_never_crashes_and_tree_is_consistent(src: str):
+    nodes = parse(src)
+    assert nodes[0].tag == "#root"
+    for n in nodes[1:]:
+        assert 0 <= n.parent < n.idx  # parents precede children (doc order)
+        assert n.idx in nodes[n.parent].children
+
+
+@settings(max_examples=200, deadline=None)
+@given(_markupish)
+def test_html_to_markdown_total_and_spans_in_bounds(src: str):
+    md, spans = html_to_markdown(src)
+    for kind, start, end, score in spans:
+        assert 0 <= start <= end <= len(md)
+        assert kind
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400), st.text(max_size=100))
+def test_extract_document_never_raises_in_ignore_mode(payload: bytes, text: str):
+    pages = extract_document(payload, text, ExtractConfig())
+    assert pages
+    for p in pages:
+        assert p.status in ("SUCCESS", "ERROR")
+        assert p.content_length == len(p.markdown)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_fence_strip_idempotent(text: str):
+    once = format_markdown_py(text)
+    assert format_markdown_py(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), min_size=0, max_size=200))
+def test_winnow_deterministic_and_bounded(text: str):
+    fp = _winnow_one(text)
+    assert fp == _winnow_one(text)
+    assert all(0 <= h < (1 << 31) for h in fp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=80), st.sampled_from(["SUCCESS", "ERROR"])),
+        max_size=8,
+    )
+)
+def test_fold_preserves_page_order_and_count_invariants(pages):
+    rows = [(i + 1, md, status) for i, (md, status) in enumerate(pages)]
+    out = apply_maintain_format(rows)
+    assert [p[0] for p in out] == [p[0] for p in rows[: len(out)]]
+    assert len(out) == len(rows)  # py mode never drops pages

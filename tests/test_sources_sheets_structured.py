@@ -200,3 +200,45 @@ def test_stream_metrics_watermark_plan(spark, tmp_path):
     assert spark.table("ingest_metrics").columns == [
         "window_start", "window_end", "docs", "bytes",
     ]
+
+
+def test_stream_stateful_document_assembly(spark, tmp_path):
+    """applyInPandasWithState: pages arriving in separate micro-batches
+    assemble into one fold-consistent document per url."""
+    from zerox_spark.streaming import stream_assemble_documents
+
+    import glob
+    import shutil
+
+    src = tmp_path / "pages_stream"
+    src.mkdir()
+    schema = "url string, page_no int, markdown string"
+    t1 = "<table><tr><th>h</th></tr><tr><td>1</td></tr></table>"
+    t2 = "<table><tr><td>2</td></tr></table>"
+    # two single-file drops → with maxFilesPerTrigger=1 they become two
+    # micro-batches of ONE query run; state must carry page 1 across
+    for i, (no, md) in enumerate([(1, t1), (2, t2)]):
+        d = tmp_path / f"stage{i}"
+        spark.createDataFrame([("u", no, md)], schema).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        shutil.copy(part, src / f"batch{i}.parquet")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream_assemble_documents(stream)
+        .writeStream.format("memory").queryName("assembled")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("assembled").collect()
+    final = max(rows, key=lambda r: r.n_pages)
+    assert final.n_pages == 2
+    # fold applied across the batch boundary: header re-emitted in page 2
+    assert final.doc_markdown == (
+        t1 + "\n\n" + "<table><tr><th>h</th></tr><tr><td>2</td></tr></table>"
+    )

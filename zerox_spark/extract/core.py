@@ -180,6 +180,11 @@ def _extract_raw(
     if config.extractor is not None:
         pages = config.extractor(html, text)  # type: ignore[operator]
         return [(no, _finalize(md), spans) for no, md, spans in pages]
+    if html[:4] == b"\xd0\xcf\x11\xe0":
+        # legacy-Office CFB (checkIsCFBFile, file.ts:89-92): the reference
+        # shells out to libreoffice (convertFileToPdf, file.ts:129-150);
+        # no office runtime in this env → contained ERROR, never a crash
+        raise ValueError("legacy Office (CFB) payload: converter not available")
     if is_sheet(html):
         pages = sheets_to_pages(html)
         if not pages:

@@ -139,6 +139,52 @@ def lsh_buckets(embeddings: DataFrame, dim: int) -> DataFrame:
     ).select("vec_id", "tb.table", "tb.bucket")
 
 
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold) — the vector-space member of the dedup family
+    (operators/dedup.py).
+
+    Default path mirrors the MinHash pattern: LSH bucket join generates
+    candidates, exact cosine verifies them. At threshold ≥0.9 the per-pair
+    LSH miss probability is ≈(1-p_bit^PLANES)^TABLES < 1e-8 (p_bit =
+    1-θ/π ≥ 0.93), so the verified output matches brute force.
+    ``brute_force=True`` is the O(N²) oracle baseline for tests."""
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"), _as_double("embedding").alias("va")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"), _as_double("embedding").alias("vb")
+    )
+    if brute_force:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        buckets = lsh_buckets(embeddings, dim)
+        l, r = buckets.alias("l"), buckets.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.table") == F.col("r.table"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.vec_id") < F.col("r.vec_id")),
+            )
+            .select(
+                F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b")
+            )
+            .distinct()
+        )
+        cand = pairs.join(a, "id_a").join(b, "id_b")
+    return (
+        cand.withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

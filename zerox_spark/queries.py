@@ -208,6 +208,40 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DUP_MOD, EMB_DUP_EQ = 10, 6
+EMB_DUP_EXACT_OFFSET = 2_000_000
+EMB_DUP_NEAR_OFFSET = 1_000_000
+EMB_DUP_THRESHOLD = 0.9
+
+
+def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject deterministic near-duplicate vectors (random embeddings have
+    no natural near-dups): an exact copy and a first-component-zeroed copy
+    (cosine ≈ 0.99) for every vec_id % 10 == 6 — the same derivation the
+    oracle states in SQL."""
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") % EMB_DUP_MOD == EMB_DUP_EQ)
+    exact = base.select(
+        (F.col("vec_id") + EMB_DUP_EXACT_OFFSET).alias("vec_id"), "embedding"
+    )
+    near = base.select(
+        (F.col("vec_id") + EMB_DUP_NEAR_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0).cast("float")),
+            F.slice(F.col("embedding"), 2, EMBED_DIM - 1),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(exact).unionByName(near)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH candidates + exact verify."""
+    from zerox_spark.operators.similarity import embedding_dup_pairs
+
+    corpus = _embeddings_with_dups(spark, sf_dir)
+    return embedding_dup_pairs(corpus, EMBED_DIM, EMB_DUP_THRESHOLD)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate path (recall vs exact verified in pytest; rows-only)."""
     emb = _embeddings(spark, sf_dir)
@@ -255,6 +289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "lang_id": q_lang_id,
@@ -524,6 +559,23 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM corpus GROUP BY text
 """,
     "dedup_ngram": _JACCARD_SQL,
     "dedup_minhash": _JACCARD_SQL,
+    "dedup_embedding": f"""
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_EXACT_OFFSET}, embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % {EMB_DUP_MOD} = {EMB_DUP_EQ}
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_NEAR_OFFSET},
+         list_concat([0.0], list_slice(embedding::DOUBLE[], 2, {EMBED_DIM}))
+  FROM embeddings WHERE vec_id % {EMB_DUP_MOD} = {EMB_DUP_EQ}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+      >= {EMB_DUP_THRESHOLD}
+""",
     "ann_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0),

@@ -66,6 +66,59 @@ def stream_extract(
     return writer.start()
 
 
+ASSEMBLED_SCHEMA = "url string, n_pages int, doc_markdown string"
+_ASSEMBLE_STATE_SCHEMA = "pages_json string"
+
+
+def _assemble_doc_fn(key, pdfs, state):
+    """Custom stateful operator body (applyInPandasWithState): accumulate a
+    url's pages across micro-batches, re-emit the assembled document (A1
+    join in page order + maintainFormat fold) whenever new pages arrive."""
+    import json
+
+    import pandas as pd
+
+    from zerox_spark.operators.fold import apply_maintain_format
+
+    if state.exists:
+        pages = {int(k): v for k, v in json.loads(state.get[0]).items()}
+    else:
+        pages = {}
+    for pdf in pdfs:
+        for page_no, markdown in zip(pdf["page_no"], pdf["markdown"]):
+            pages[int(page_no)] = markdown
+    state.update((json.dumps({str(k): v for k, v in pages.items()}),))
+    ordered = [(no, pages[no], "SUCCESS") for no in sorted(pages)]
+    folded = apply_maintain_format(ordered)
+    doc = "\n\n".join(md for _, md, _ in folded)
+    yield pd.DataFrame(
+        {"url": [key[0]], "n_pages": [len(pages)], "doc_markdown": [doc]}
+    )
+
+
+def stream_assemble_documents(extracted_stream: DataFrame) -> DataFrame:
+    """Cross-batch document assembly — the engine's custom stateful
+    streaming operator (``applyInPandasWithState``): pages of a url may
+    arrive in different micro-batches (multi-part crawl fetches); per-url
+    state accumulates them and each update emits the current assembled,
+    fold-consistent document. State is partitioned by url (same key as
+    every other per-document operation) so it scales with distinct in-flight
+    urls, not with throughput."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        extracted_stream.select("url", "page_no", "markdown")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _assemble_doc_fn,
+            outputStructType=ASSEMBLED_SCHEMA,
+            stateStructType=_ASSEMBLE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_metrics(
     pages_stream: DataFrame,
     window: str = "1 minute",
