@@ -121,3 +121,24 @@ def test_fold_node_mode_breaks_on_error():
         mode="node",
     )
     assert len(out) == 2  # node-zerox/src/index.ts:362-364
+
+
+def test_plain_text_document_paragraphs():
+    txt = b"First paragraph here.\n\nSecond  paragraph\nwith a wrapped line.\n\n\nThird."
+    out = extract_document(txt, None)
+    assert out[0].markdown == (
+        "First paragraph here.\n\nSecond paragraph with a wrapped line.\n\nThird."
+    )
+    assert [s[0] for s in out[0].spans] == ["para", "para", "para"]
+
+
+def test_zip_container_contained_error():
+    out = extract_document(b"PK\x03\x04office-doc-bytes", None)
+    assert out[0].status == "ERROR"
+    assert "converter not available" in out[0].error
+
+
+def test_cfb_contained_error():
+    out = extract_document(bytes([0xD0, 0xCF, 0x11, 0xE0]) + b"\x00" * 16, None)
+    assert out[0].status == "ERROR"
+    assert "CFB" in out[0].error

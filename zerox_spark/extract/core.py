@@ -24,6 +24,7 @@ whitespace-collapse rule in the emitter, no environment lookups.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from dataclasses import dataclass, field
 
@@ -195,7 +196,34 @@ def _extract_raw(
         if not pages:
             raise ValueError("PDF payload with no pages")
         return [(no, _finalize(md), spans) for no, md, spans in pages]
+    if html[:2] == b"PK":
+        # zip container (OOXML docx/xlsx, odt): needs an office/zip reader
+        # the env doesn't ship (convertFileToPdf analog, file.ts:129-150)
+        raise ValueError("zip-container (OOXML/ODF) payload: converter not available")
     src = html.decode("utf-8", errors="replace")
     src = src.replace("\r\n", "\n").replace("\r", "\n")
+    if not src.lstrip().startswith("<"):
+        # plain-text document (.txt is a first-class reference input type,
+        # README.md:488-513): paragraphs on blank lines, no DOM pass
+        return [_plain_text_page(src)]
     markdown, spans = html_to_markdown(src)
     return [(1, _finalize(markdown), spans)]
+
+
+_PARA_SPLIT = re.compile(r"\n\s*\n")
+_WS_RUN = re.compile(r"\s+")
+
+
+def _plain_text_page(src: str) -> tuple[int, str, list]:
+    paras = [
+        _WS_RUN.sub(" ", p).strip() for p in _PARA_SPLIT.split(src)
+    ]
+    paras = [p for p in paras if p]
+    markdown = "\n\n".join(paras)
+    spans, pos = [], 0
+    for i, p in enumerate(paras):
+        if i:
+            pos += 2
+        spans.append(("para", pos, pos + len(p), 1.0))
+        pos += len(p)
+    return (1, _finalize(markdown), spans)

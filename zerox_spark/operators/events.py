@@ -1,0 +1,63 @@
+"""Window-function / analytic operators over the events table.
+
+The reference has no window machinery (SURVEY.md §2.9 — only implicit page
+ordering); these cover the relational checklist a production pipeline around
+the extractor needs — sessionization of crawl/user activity, per-key top-k,
+and rollup aggregates — all as pure Catalyst plans (window, row_number,
+rollup) with DuckDB-oracle-expressible semantics.
+
+Scale notes: every window partitions by user_id (hash shuffle once, both
+window functions reuse the same partitioning); rollup is a single pass with
+partial aggregation. Timestamps never appear in outputs (cross-engine
+timezone semantics differ; outputs are ids/counts only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+SESSION_GAP_SECONDS = 30 * 60
+
+
+def sessionize(events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """(event_id, user_id, session_no): a new session starts when the gap
+    to the user's previous event exceeds gap_seconds. lag + running sum —
+    one shuffle on user_id."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(by_user)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("_new", is_new)
+        .withColumn("session_no", F.sum("_new").over(by_user).cast("int"))
+        .select("event_id", "user_id", "session_no")
+    )
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-user top-k events by value (row_number window; deterministic
+    tie-break on event_id)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "rank", "event_id")
+    )
+
+
+def event_type_rollup(events: DataFrame) -> DataFrame:
+    """Rollup counts over (event_type, high_value) incl. subtotals and the
+    grand total — the grouping-sets shape. high_value buckets on value≥50."""
+    bucketed = events.withColumn(
+        "high_value", (F.col("value") >= 50).cast("int")
+    )
+    return (
+        bucketed.rollup("event_type", "high_value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "high_value", "n")
+    )

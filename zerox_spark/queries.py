@@ -251,6 +251,28 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zerox_spark.operators.events import sessionize
+
+    return sessionize(_events(spark, sf_dir))
+
+
+def q_events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zerox_spark.operators.events import top_events_per_user
+
+    return top_events_per_user(_events(spark, sf_dir))
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zerox_spark.operators.events import event_type_rollup
+
+    return event_type_rollup(_events(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -292,6 +314,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "events_sessionize": q_events_sessionize,
+    "events_topk": q_events_topk,
+    "events_rollup": q_events_rollup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
@@ -592,6 +617,34 @@ ranked AS (
   FROM scored)
 SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
 FROM ranked WHERE rank <= {ANN_K}
+""",
+    "events_sessionize": """
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_no
+FROM g
+""",
+    "events_topk": """
+SELECT user_id, CAST(rank AS INTEGER) AS rank, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events)
+WHERE rank <= 3
+""",
+    "events_rollup": """
+SELECT event_type, CAST(high_value AS INTEGER) AS high_value, count(*) AS n
+FROM (SELECT event_type, CASE WHEN value >= 50 THEN 1 ELSE 0 END AS high_value
+      FROM events)
+GROUP BY ROLLUP (event_type, high_value)
 """,
     "lang_id": f"""
 WITH counts AS ({_LANG_COUNTS})
