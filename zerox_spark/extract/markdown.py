@@ -197,8 +197,9 @@ def emit_blocks(
 
 def _finish_inline(raw: str) -> str:
     collapsed = _WS.sub(" ", raw)
-    collapsed = collapsed.replace(" " + _BR, _BR).replace(_BR + " ", _BR)
-    collapsed = collapsed.replace(_BR, "\n")
+    if _BR in collapsed:  # <br> is rare; skip 3 string passes otherwise
+        collapsed = collapsed.replace(" " + _BR, _BR).replace(_BR + " ", _BR)
+        collapsed = collapsed.replace(_BR, "\n")
     return collapsed.strip()
 
 

@@ -74,18 +74,21 @@ def parse(src: str) -> list[Node]:
     def open_tags() -> list[str]:
         return [nodes[i].tag or "" for i in stack[1:]]
 
-    for tok in tokenize(src):
-        if tok.kind == "text":
-            raw = tok.text
+    # positional unpacking + bound methods: this loop runs once per token of
+    # every document on the cluster
+    implied = _IMPLIED_CLOSERS.get
+    append = nodes.append
+    for kind, tag, attrs, text, self_closing in tokenize(src):
+        if kind == "text":
             parent = stack[-1]
             ptag = nodes[parent].tag
-            decoded = raw if ptag in ("script", "style") else unescape(raw)
+            decoded = text if ptag in ("script", "style") else unescape(text)
             if decoded:
                 node = Node(len(nodes), None, parent, text=decoded)
-                nodes.append(node)
+                append(node)
                 nodes[parent].children.append(node.idx)
-        elif tok.kind == "start":
-            closers = _IMPLIED_CLOSERS.get(tok.tag)
+        elif kind == "start":
+            closers = implied(tag)
             if closers:
                 # close innermost open element that this tag implies closed,
                 # but never cross a table/list/cell boundary looking for it
@@ -97,15 +100,15 @@ def parse(src: str) -> list[Node]:
                     if t in ("table", "ul", "ol", "td", "th", "body", "article"):
                         break
             parent = stack[-1]
-            node = Node(len(nodes), tok.tag, parent, attrs=tok.attrs)
-            nodes.append(node)
+            node = Node(len(nodes), tag, parent, attrs=attrs)
+            append(node)
             nodes[parent].children.append(node.idx)
-            if not tok.self_closing and tok.tag not in VOID_ELEMENTS:
+            if not self_closing and tag not in VOID_ELEMENTS:
                 stack.append(node.idx)
-        elif tok.kind == "end":
+        elif kind == "end":
             # pop to the matching open tag if present; else ignore
             for depth in range(len(stack) - 1, 0, -1):
-                if nodes[stack[depth]].tag == tok.tag:
+                if nodes[stack[depth]].tag == tag:
                     del stack[depth:]
                     break
         # comments/doctype dropped

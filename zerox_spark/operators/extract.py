@@ -61,7 +61,16 @@ def _extract_iter(
 
     for pdf in batches:
         t0 = time.monotonic()
-        rows: list[tuple] = []
+        # columnar accumulation: pd.DataFrame(dict-of-lists) skips the
+        # row-tuple transpose pandas does for a list-of-tuples input
+        c_url: list = []
+        c_no: list = []
+        c_md: list = []
+        c_len: list = []
+        c_status: list = []
+        c_error: list = []
+        c_spans: list = []
+        c_pid: list = []
         for url, html, text, pid in zip(
             pdf["url"], pdf["html"], pdf["text"], pdf["_bucket"]
         ):
@@ -78,34 +87,45 @@ def _extract_iter(
                 for p in pages:
                     p.markdown, p.status = by_no[p.page_no]
                     p.content_length = len(p.markdown)
+            pid = int(pid)
             for page in pages:
-                rows.append(
-                    (
-                        url,
-                        page.page_no,
-                        page.markdown,
-                        page.content_length,
-                        page.status,
-                        page.error,
-                        [
-                            {"kind": k, "start": s, "end": e, "score": sc}
-                            for k, s, e, sc in page.spans
-                        ],
-                        int(pid),
-                        0,
-                    )
+                c_url.append(url)
+                c_no.append(page.page_no)
+                c_md.append(page.markdown)
+                c_len.append(page.content_length)
+                c_status.append(page.status)
+                c_error.append(page.error)
+                c_spans.append(
+                    [
+                        {"kind": k, "start": s, "end": e, "score": sc}
+                        for k, s, e, sc in page.spans
+                    ]
                 )
+                c_pid.append(pid)
+        n_rows = len(c_url)
         elapsed_us = int((time.monotonic() - t0) * 1_000_000)
-        out = pd.DataFrame(rows, columns=_COLS)
-        if len(out):
-            # amortize the batch's wall time across its rows (µs resolution,
-            # remainder on row 0) so lineage sums are correct under ANY
-            # grouping of rows into logical buckets (lineage.py)
-            per_row = elapsed_us // len(out) // 1000
-            loc = out.columns.get_loc("elapsed_ms")
-            out.iloc[:, loc] = per_row
-            out.iloc[0, loc] = elapsed_us // 1000 - per_row * (len(out) - 1)
-        yield out
+        # amortize the batch's wall time across its rows (µs resolution,
+        # remainder on row 0) so lineage sums are correct under ANY
+        # grouping of rows into logical buckets (lineage.py)
+        c_elapsed = [0] * n_rows
+        if n_rows:
+            per_row = elapsed_us // n_rows // 1000
+            c_elapsed = [per_row] * n_rows
+            c_elapsed[0] = elapsed_us // 1000 - per_row * (n_rows - 1)
+        yield pd.DataFrame(
+            {
+                "url": c_url,
+                "page_no": c_no,
+                "markdown": c_md,
+                "content_length": c_len,
+                "status": c_status,
+                "error": c_error,
+                "spans": c_spans,
+                "partition_id": c_pid,
+                "elapsed_ms": c_elapsed,
+            },
+            columns=_COLS,
+        )
 
 
 def extract_pages(
