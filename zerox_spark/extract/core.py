@@ -99,6 +99,12 @@ class ExtractConfig:
     # built-in extractor; must be deterministic and picklable (it ships to
     # executors inside the UDF closure)
     extractor: object | None = None
+    # hybrid extraction analog (HybridInput {imagePaths, text},
+    # node-zerox/src/types.ts:197-200): the reference feeds OCR images AND
+    # caller-provided text jointly to the model; deterministically, the text
+    # channel serves as the fallback — a document whose payload fails to
+    # extract yields the trusted text instead of an ERROR page
+    hybrid: bool = False
     # payload bound — the compressImage analog (15 MB cap + quality ladder,
     # node-zerox/src/index.ts:68, image.ts:78-114): an oversized payload is
     # deterministically truncated at the last tag boundary before the cap
@@ -147,6 +153,17 @@ def extract_document(
     except Exception as exc:  # noqa: BLE001 — containment is the contract
         if config.error_mode == "THROW":
             raise
+        if config.hybrid and text:
+            md = _finalize(text)
+            return [
+                PageResult(
+                    page_no=1,
+                    markdown=md,
+                    content_length=len(md),
+                    status=STATUS_SUCCESS,
+                    spans=[("para", 0, len(md), 1.0)],
+                )
+            ]
         return [
             PageResult(
                 page_no=1,

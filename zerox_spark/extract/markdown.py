@@ -29,6 +29,7 @@ from zerox_spark.html.score import NodeStats, compute_stats, is_boilerplate, sel
 
 _WS = re.compile(r"\s+")
 _BR = "\x00"
+_MD_LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
 
 CHECKED = "☑"  # ☑
 UNCHECKED = "☐"  # ☐
@@ -89,7 +90,7 @@ def emit_blocks(
                         if line.startswith((CHECKED, UNCHECKED))
                         else "para"
                     )
-                    blocks.append(Block(kind, line))
+                    blocks.append(Block(kind, line, _content_score(line)))
 
     def walk(idx: int) -> None:
         node = nodes[idx]
@@ -194,6 +195,21 @@ def emit_blocks(
 
 # ---------------------------------------------------------------------------
 # inline helpers
+
+def _content_score(block_text: str) -> float:
+    """Per-block confidence — the engine's LogprobPage analog (SURVEY.md
+    §1.1: "we emit per-block score spans instead",
+    node-zerox/src/types.ts:234-237): 1 − fraction of the block's characters
+    that are link text. A paragraph that is mostly links is low-confidence
+    content (the same signal score.py uses to DROP whole containers —
+    surviving borderline blocks carry the residual risk in their span)."""
+    if "](" not in block_text:
+        return 1.0
+    linked = sum(len(m.group(1)) for m in _MD_LINK.finditer(block_text))
+    if not linked:
+        return 1.0
+    return round(1.0 - linked / len(block_text), 4)
+
 
 def _finish_inline(raw: str) -> str:
     collapsed = _WS.sub(" ", raw)

@@ -38,6 +38,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--error-mode", choices=["IGNORE", "THROW"], default="IGNORE")
     ap.add_argument("--select-pages", default=None, help="comma-separated 1-indexed page list")
     ap.add_argument("--export-md", default=None, help="also write one .md artifact per document to this dir (the reference's primary sink)")
+    ap.add_argument("--extractor", default=None, help="named extractor strategy (auto|readability|layout|sheets) instead of magic-byte auto-routing")
     ap.add_argument("--master", default=None)
     return ap.parse_args(argv)
 
@@ -47,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
     from zerox_spark.pipeline import ExtractionPipeline, PipelineConfig
     from zerox_spark.session import get_spark
     from zerox_spark.sinks import IcebergSink, ParquetSnapshotSink
+
+    # config validation BEFORE any I/O (validate-at-init,
+    # py_zerox/pyzerox/models/modellitellm.py:33-38)
+    named_extractor = None
+    if args.extractor and args.extractor != "auto":
+        from zerox_spark.extract.core import get_extractor
+
+        named_extractor = get_extractor(args.extractor)
 
     spark = get_spark(args.master, app_name="zerox-spark-job")
 
@@ -64,15 +73,16 @@ def main(argv: list[str] | None = None) -> int:
     select_pages = (
         [int(p) for p in args.select_pages.split(",")] if args.select_pages else None
     )
-    pipe = ExtractionPipeline(
-        PipelineConfig(
-            num_partitions=args.partitions,
-            num_buckets=args.buckets,
-            maintain_format=args.maintain_format,
-            error_mode=args.error_mode,
-            select_pages=select_pages,
-        )
+    config = PipelineConfig(
+        num_partitions=args.partitions,
+        num_buckets=args.buckets,
+        maintain_format=args.maintain_format,
+        error_mode=args.error_mode,
+        select_pages=select_pages,
     )
+    if named_extractor is not None:
+        config.extract.extractor = named_extractor
+    pipe = ExtractionPipeline(config)
     sink = (
         IcebergSink(args.output + ".extracted", args.output + ".lineage")
         if args.iceberg
