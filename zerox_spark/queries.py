@@ -273,6 +273,14 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_rollup(_events(spark, sf_dir))
 
 
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship training-data pipeline: quality gate → exact dedup →
+    near-dup removal → token accounting, one lazy plan."""
+    from zerox_spark.operators.curation import curate
+
+    return curate(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -314,6 +322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "curation": q_curation,
     "events_sessionize": q_events_sessionize,
     "events_topk": q_events_topk,
     "events_rollup": q_events_rollup,
@@ -617,6 +626,48 @@ ranked AS (
   FROM scored)
 SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
 FROM ranked WHERE rank <= {ANN_K}
+""",
+    "curation": _CORPUS_CTE
+    + """
+, cq AS (
+  SELECT doc_id, text,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+      AS bpe_tokens,
+    round(least(1.0, len(string_split(text, ' ')) / 100.0) * 0.4
+          + round(len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('the','a','and','of','to','in')))
+                  / len(string_split(text, ' ')), 6) * 0.4
+          + (1.0 - round((length(text)
+                - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                / length(text), 6)) * 0.2, 6) AS quality
+  FROM corpus
+),
+gated AS (SELECT * FROM cq WHERE quality >= 0.5),
+exact_kept AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+g AS (SELECT gated.* FROM gated JOIN exact_kept USING (doc_id)),
+gw AS (SELECT doc_id, string_split(text, ' ') AS w FROM g),
+gsh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                 i -> w[i] || ' ' || w[i + 1])) AS sh
+    FROM gw)
+),
+gcounts AS (SELECT doc_id, count(*) AS n_sh FROM gsh GROUP BY doc_id),
+ginter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT id_b AS doc_id FROM ginter
+  JOIN gcounts ca ON id_a = ca.doc_id
+  JOIN gcounts cb ON id_b = cb.doc_id
+  WHERE n_inter / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+)
+SELECT doc_id, ws_tokens, bpe_tokens, quality
+FROM g WHERE doc_id NOT IN (SELECT doc_id FROM losers)
 """,
     "events_sessionize": """
 WITH g AS (
