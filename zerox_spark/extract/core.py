@@ -105,6 +105,10 @@ class ExtractConfig:
     # channel serves as the fallback — a document whose payload fails to
     # extract yields the trusted text instead of an ERROR page
     hybrid: bool = False
+    # giant-doc page chunking (full splitTallImage analog, extract/
+    # chunking.py): single-page results longer than this split into multiple
+    # pages at block boundaries. None = off (the default page model)
+    chunk_chars: int | None = None
     # payload bound — the compressImage analog (15 MB cap + quality ladder,
     # node-zerox/src/index.ts:68, image.ts:78-114): an oversized payload is
     # deterministically truncated at the last tag boundary before the cap
@@ -137,6 +141,21 @@ def extract_document(
     config = config or ExtractConfig()
     try:
         raw_pages = _extract_raw(html, text, config)
+        if (
+            config.chunk_chars
+            and len(raw_pages) == 1
+            and len(raw_pages[0][1]) > config.chunk_chars
+        ):
+            from zerox_spark.extract.chunking import chunk_blocks
+
+            raw_pages = [
+                (i + 1, md, spans)
+                for i, (md, spans) in enumerate(
+                    chunk_blocks(
+                        raw_pages[0][1], raw_pages[0][2], config.chunk_chars
+                    )
+                )
+            ]
         selected = select_and_renumber(raw_pages, config.select_pages)
         out = []
         for page_no, markdown, spans in selected:
