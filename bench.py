@@ -45,7 +45,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # scaling pair: N and 4N, sized so 2*N_BIG effective cores fit the machine
 N_BIG = int(os.environ.get("BENCH_BIG", str(min(CPUS, max(4, (os.cpu_count() or CPUS) * 3 // 8)))))
 N_SMALL = int(os.environ.get("BENCH_SMALL", str(max(1, N_BIG // 4))))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "32"))
+REPLICATE = int(os.environ.get("BENCH_REPLICATE", "24"))
 NUM_PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "128"))
 SCALING_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
 # shuffle spill dir: tmpfs, the local-mode stand-in for NVMe shuffle disks
@@ -154,7 +154,7 @@ def main() -> None:
     # adaptive rounds: short walls make the ratio noisy — keep sampling
     # (min per width) until the measurement stabilizes or the cap hits
     while rounds_run < SCALING_ROUNDS or (
-        efficiency_now() < 0.82 and rounds_run < SCALING_ROUNDS + 2
+        efficiency_now() < 0.82 and rounds_run < SCALING_ROUNDS + 1
     ):
         for width in (N_SMALL, N_BIG):
             dt, pages_count = one_timed_run(width)
