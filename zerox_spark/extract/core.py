@@ -236,7 +236,7 @@ def _extract_raw(
         # zip container (OOXML docx/xlsx, odt): needs an office/zip reader
         # the env doesn't ship (convertFileToPdf analog, file.ts:129-150)
         raise ValueError("zip-container (OOXML/ODF) payload: converter not available")
-    src = html.decode("utf-8", errors="replace")
+    src = _decode_payload(html)
     src = src.replace("\r\n", "\n").replace("\r", "\n")
     if not src.lstrip().startswith("<"):
         # plain-text document (.txt is a first-class reference input type,
@@ -244,6 +244,43 @@ def _extract_raw(
         return [_plain_text_page(src)]
     markdown, spans = html_to_markdown(src)
     return [(1, _finalize(markdown), spans)]
+
+
+# charset resolution — the mime/extension fallback-chain analog
+# (node-zerox/src/utils/file.ts:64-85) for crawl payloads: BOM → declared
+# <meta charset>/xml-decl in the first 1 KiB → UTF-8 → permissive fallback.
+# Deterministic: fixed probe order, stdlib codecs only.
+_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([a-zA-Z0-9_-]{2,20})""",
+)
+_CHARSET_ALIASES = {
+    "utf8": "utf-8", "utf-8": "utf-8",
+    "latin1": "latin-1", "latin-1": "latin-1", "iso-8859-1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+
+def _decode_payload(html: bytes) -> str:
+    if html[:3] == b"\xef\xbb\xbf":
+        return html[3:].decode("utf-8", errors="replace")
+    if html[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return html.decode("utf-16", errors="replace")
+    m = _CHARSET_RE.search(html[:1024])
+    if m:
+        enc = _CHARSET_ALIASES.get(m.group(1).decode("ascii", "replace").lower())
+        if enc and enc not in ("utf-16", "utf-16-le", "utf-16-be"):
+            try:
+                return html.decode(enc)
+            except UnicodeDecodeError:
+                pass  # lying charset declaration → fall through
+    try:
+        return html.decode("utf-8")
+    except UnicodeDecodeError:
+        # undeclared 8-bit content: latin-1 is total (never fails) and is
+        # the HTML5 fallback family for unlabeled legacy bytes
+        return html.decode("latin-1")
 
 
 _PARA_SPLIT = re.compile(r"\n\s*\n")

@@ -168,6 +168,28 @@ def emit_blocks(
             if inner:
                 pending_inline.append(f"`{inner}`")
             return
+        if tag in ("s", "del", "strike"):
+            inner = _inline_text(nodes, node)
+            if inner:
+                pending_inline.append(f"~~{inner}~~")
+            return
+        if tag in ("sub", "sup"):
+            inner = _inline_text(nodes, node)
+            if inner:
+                pending_inline.append(f"<{tag}>{inner}</{tag}>")
+            return
+        if tag == "figcaption":
+            flush_inline()
+            inner = _inline_text(nodes, node)
+            if inner:
+                blocks.append(Block("caption", f"*{inner}*"))
+            return
+        if tag == "summary":
+            flush_inline()
+            inner = _inline_text(nodes, node)
+            if inner:
+                blocks.append(Block("para", f"**{inner}**"))
+            return
         if tag == "input":
             if node.attrs.get("type", "").lower() == "checkbox":
                 glyph = CHECKED if "checked" in node.attrs else UNCHECKED
@@ -246,6 +268,14 @@ def _collect_inline(nodes: list[Node], node: Node, parts: list[str]) -> None:
             inner = _inline_text(nodes, child)
             if inner:
                 parts.append(f"`{inner}`")
+        elif child.tag in ("s", "del", "strike"):
+            inner = _inline_text(nodes, child)
+            if inner:
+                parts.append(f"~~{inner}~~")
+        elif child.tag in ("sub", "sup"):
+            inner = _inline_text(nodes, child)
+            if inner:
+                parts.append(f"<{child.tag}>{inner}</{child.tag}>")
         elif child.tag == "input":
             if child.attrs.get("type", "").lower() == "checkbox":
                 glyph = CHECKED if "checked" in child.attrs else UNCHECKED

@@ -78,8 +78,17 @@ class ExtractionPipeline:
         pages: DataFrame,
         sink: ParquetSnapshotSink,
         job_id: str | None = None,
+        incremental: bool = False,
     ) -> dict:
+        """``incremental=True`` processes only rows newer than the last
+        committed high watermark (max warc_ts) — the delta-extraction mode
+        for recurring crawls. The warc_ts predicate is pushed to the scan
+        (row-group stats prune old files), so a daily delta over a 100 TB
+        table reads ~one day of data."""
         job_id = job_id or uuid.uuid4().hex[:12]
+        watermark = sink.last_watermark() if incremental else None
+        if watermark is not None:
+            pages = pages.filter(F.col("warc_ts") > F.lit(watermark).cast("timestamp"))
         lineage_prev = sink.read_lineage(spark)
         committed = committed_buckets(lineage_prev, job_id)
         todo = filter_uncommitted(pages, committed, self.config.num_buckets)
@@ -87,9 +96,21 @@ class ExtractionPipeline:
         # elapsed_ms is persisted with the rows so lineage can be computed
         # from the *written* files (one extraction pass; no cache of a
         # 100 TB intermediate, no recompute) — see operators/lineage.py.
-        sink.write_extracted(raw)
-        lineage = lineage_rows(sink.read_extracted(spark), job_id)
+        # Incremental deltas append versioned rows (a delta covers only part
+        # of a bucket; overwrite would drop its siblings — sinks.py).
+        sink.write_extracted(
+            raw, snap_id=sink.next_snapshot_id(), append=incremental
+        )
+        lineage = lineage_rows(sink.read_extracted_latest(spark), job_id)
         sink.write_lineage(lineage)
-        stats = summary(sink.read_extracted(spark)).collect()[0].asDict()
-        sink.commit_snapshot(job_id, {"summary": stats})
+        stats = summary(sink.read_extracted_latest(spark)).collect()[0].asDict()
+        new_wm = pages.agg(F.max("warc_ts").alias("wm")).collect()[0].wm
+        meta: dict = {"summary": stats}
+        if new_wm is not None:
+            meta["watermark"] = max(
+                str(new_wm), watermark or ""
+            )
+        elif watermark is not None:
+            meta["watermark"] = watermark
+        sink.commit_snapshot(job_id, meta)
         return {"job_id": job_id, **stats}

@@ -54,14 +54,27 @@ class ParquetSnapshotSink:
         self.lineage_path = os.path.join(root, "lineage")
         self.snap_dir = os.path.join(root, "_snapshots")
 
-    def write_extracted(self, extracted: DataFrame) -> None:
-        (
-            extracted.sparkSession.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    def write_extracted(
+        self, extracted: DataFrame, snap_id: int = 0, append: bool = False
+    ) -> None:
+        """Full/resume runs overwrite whole buckets (dynamic partition
+        overwrite — idempotent because those runs re-emit complete buckets).
+        Incremental (delta) runs APPEND with a snapshot-id version column:
+        a delta touches only part of a bucket, so overwrite would destroy
+        sibling rows — re-crawled urls instead coexist as versions and
+        ``read_extracted_latest`` resolves to the newest (the parquet-mode
+        analog of Iceberg MERGE INTO upserts)."""
+        versioned = extracted.withColumn("_snap", F.lit(int(snap_id)))
+        if append:
+            versioned.write.mode("append").partitionBy("partition_id").parquet(
+                self.extracted_path
             )
+            return
+        versioned.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
         (
-            extracted.write.mode("overwrite")
+            versioned.write.mode("overwrite")
             .partitionBy("partition_id")
             .parquet(self.extracted_path)
         )
@@ -78,7 +91,26 @@ class ParquetSnapshotSink:
             return spark.createDataFrame([], LINEAGE_SCHEMA)
 
     def read_extracted(self, spark: SparkSession) -> DataFrame:
+        """All row versions (plus the _snap version column)."""
         return spark.read.parquet(self.extracted_path)
+
+    def read_extracted_latest(self, spark: SparkSession) -> DataFrame:
+        """Latest version per (url, page_no) — the logical table a consumer
+        reads after incremental upserts."""
+        from pyspark.sql import Window
+
+        df = self.read_extracted(spark)
+        w = Window.partitionBy("url", "page_no").orderBy(F.col("_snap").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def next_snapshot_id(self) -> int:
+        if not os.path.isdir(self.snap_dir):
+            return 0
+        return len(os.listdir(self.snap_dir))
 
     def commit_snapshot(self, job_id: str, meta: dict) -> str:
         os.makedirs(self.snap_dir, exist_ok=True)
@@ -90,6 +122,19 @@ class ParquetSnapshotSink:
         with open(path, "w", encoding="utf-8") as fh:
             json.dump(payload, fh, sort_keys=True)
         return path
+
+    def last_watermark(self) -> str | None:
+        """High watermark (max warc_ts, isoformat) committed by the latest
+        snapshot that recorded one — the incremental-scan cursor (the
+        parquet-mode analog of reading Iceberg's snapshot summary)."""
+        if not os.path.isdir(self.snap_dir):
+            return None
+        for name in sorted(os.listdir(self.snap_dir), reverse=True):
+            with open(os.path.join(self.snap_dir, name), encoding="utf-8") as fh:
+                meta = json.load(fh)
+            if meta.get("watermark"):
+                return meta["watermark"]
+        return None
 
 
 def export_markdown_files(extracted: DataFrame, out_dir: str) -> int:
@@ -137,9 +182,20 @@ class IcebergSink:
         self.extracted_table = extracted_table
         self.lineage_table = lineage_table
 
-    def write_extracted(self, extracted: DataFrame) -> None:
+    def write_extracted(
+        self, extracted: DataFrame, snap_id: int = 0, append: bool = False
+    ) -> None:
+        if append:
+            # delta upsert: production path is MERGE INTO on (url, page_no);
+            # append+read-latest is the portable equivalent
+            extracted.withColumn(
+                "_snap", F.lit(int(snap_id))
+            ).writeTo(self.extracted_table).append()
+            return
         # per-bucket idempotent replace; Iceberg commits a new snapshot
-        extracted.writeTo(self.extracted_table).overwritePartitions()
+        extracted.withColumn("_snap", F.lit(int(snap_id))).writeTo(
+            self.extracted_table
+        ).overwritePartitions()
 
     def write_lineage(self, lineage: DataFrame) -> None:
         lineage.writeTo(self.lineage_table).append()
@@ -149,6 +205,20 @@ class IcebergSink:
 
     def read_extracted(self, spark: SparkSession) -> DataFrame:
         return spark.read.table(self.extracted_table)
+
+    def read_extracted_latest(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import Window
+
+        df = self.read_extracted(spark)
+        w = Window.partitionBy("url", "page_no").orderBy(F.col("_snap").desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def next_snapshot_id(self) -> int:
+        return 0  # Iceberg's snapshot log owns ids; _snap is per-commit
 
     def commit_snapshot(self, job_id: str, meta: dict) -> str:
         # Iceberg's own snapshot log is the commit record
