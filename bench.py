@@ -113,6 +113,7 @@ def timed(fn, *args) -> tuple[float, int]:
 def main() -> None:
     from zerox_spark.queries import (
         q_ann_topk,
+        q_curation,
         q_dedup_minhash,
         q_extract_doc_agg,
         q_extract_markdown,
@@ -173,6 +174,7 @@ def main() -> None:
         ("extract_markdown", q_extract_markdown),
         ("extract_doc_agg", q_extract_doc_agg),
         ("dedup_minhash", q_dedup_minhash),
+        ("curation", q_curation),
         ("ann_topk", q_ann_topk),
         ("quality_score", q_quality_score),
         ("token_counts", q_token_counts),

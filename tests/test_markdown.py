@@ -140,3 +140,13 @@ def test_spans_offsets():
     assert spans[1][:3] == ("para", 5, 14)
     for kind, start, end, _ in spans:
         assert out[start:end]  # span addresses real content
+
+
+def test_svg_accessibility_text_not_content():
+    out = md(
+        "<article><p>real content of the page here</p>"
+        "<svg viewBox='0 0 1 1'><title>chart icon</title><text>42%</text></svg>"
+        "<canvas>fallback text</canvas></article>"
+    )
+    assert "chart icon" not in out and "fallback" not in out
+    assert "real content" in out

@@ -101,3 +101,10 @@ def test_table_cell_implied_closes():
 def test_script_inside_text_excluded_from_node_text():
     nodes = parse("<div>keep<script>drop()</script></div>")
     assert node_text(nodes, 0) == "keep"
+
+
+def test_cdata_becomes_text():
+    t = toks("<p><![CDATA[a < b & c]]></p>")
+    assert t[1].kind == "text" and t[1].text == "a < b & c"
+    t2 = toks("<![CDATA[unterminated")
+    assert t2[0].text == "unterminated"

@@ -30,7 +30,10 @@ MIN_CANDIDATE_TEXT = 25  # chars of normalized text to be a content candidate
 # dropped unconditionally, wherever they appear
 DROP_TAGS = frozenset(
     {"script", "style", "noscript", "template", "iframe", "form", "button",
-     "select", "nav", "aside"}
+     "select", "nav", "aside",
+     # vector/embedded media: their text children (<svg><title>, fallback
+     # content) are accessibility strings, not document content
+     "svg", "canvas", "object", "embed", "map"}
 )
 # dropped only when they are site chrome (direct child of body/root), since
 # in-content <header>/<footer> must be kept (the reference's prompt demands

@@ -75,6 +75,14 @@ def tokenize(src: str) -> Iterator[Token]:
                 yield Token("comment", "", None, src[i + 4 : end], False)
                 i = end + 3
                 continue
+            if src.startswith("<![CDATA[", i):
+                end = find("]]>", i + 9)
+                if end == -1:
+                    yield Token("text", "", None, src[i + 9 :], False)
+                    return
+                yield Token("text", "", None, src[i + 9 : end], False)
+                i = end + 3
+                continue
             end = find(">", i)
             if end == -1:
                 return

@@ -33,6 +33,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--job-id", default=None, help="stable id enables resume")
+    ap.add_argument("--incremental", action="store_true", help="process only rows newer than the last committed warc_ts watermark (delta mode)")
     ap.add_argument("--maintain-format", dest="maintain_format", action="store_true", default=True)
     ap.add_argument("--no-maintain-format", dest="maintain_format", action="store_false")
     ap.add_argument("--error-mode", choices=["IGNORE", "THROW"], default="IGNORE")
@@ -88,7 +89,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.iceberg
         else ParquetSnapshotSink(args.output)
     )
-    stats = pipe.run(spark, pages, sink, job_id=args.job_id)
+    stats = pipe.run(
+        spark, pages, sink, job_id=args.job_id, incremental=args.incremental
+    )
     if args.export_md:
         from zerox_spark.sinks import export_markdown_files
 
