@@ -41,3 +41,30 @@ def test_curation_removes_injected_duplicates(spark):
     assert not any(DUP_NEAR_OFFSET <= i < DUP_EXACT_OFFSET for i in ids)
     # but non-duplicated originals do
     assert any(i < DUP_NEAR_OFFSET for i in ids)
+
+
+def test_redact_pii_behavior(spark):
+    from zerox_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "contact bob@example.com or 10.0.0.1 please"),
+         (2, "clean text with no identifiers at all")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].redacted == "contact [EMAIL] or [IP] please"
+    assert (out[1].n_emails, out[1].n_ips) == (1, 1)
+    assert out[2].redacted == out[2].redacted and out[2].n_emails == 0
+
+
+def test_repetition_flags_repeated_docs(spark):
+    from zerox_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam ham"),
+         (2, "all words here are fully distinct tokens")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].top_word_share > 0.8
+    assert out[2].distinct_word_ratio == 1.0

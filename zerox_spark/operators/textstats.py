@@ -103,6 +103,59 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII redaction — regexes kept RE2-compatible (no lookaround/backrefs) so
+# Spark (Java regex) and DuckDB (RE2) produce identical replacements.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, redacted, n_emails, n_ips): emails → [EMAIL], IPv4 → [IP],
+    with per-doc match counts — the standard pretraining scrub pass, pure
+    regexp_replace/regexp_extract_all (JVM-side)."""
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_PATTERN, "[EMAIL]"),
+            IPV4_PATTERN,
+            "[IP]",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), 0))
+        .cast("int")
+        .alias("n_ips"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, distinct_word_ratio, top_word_share): intra-document
+    repetition signals — the filter that catches boilerplate loops and the
+    pathological repeated-paragraph rows (FIXTURES.md e04)."""
+    words = _words(F.col("text"))
+    n = F.size(words)
+    distinct_ratio = F.round(F.size(F.array_distinct(words)) / n, 6)
+    # share of the most frequent word: sort grouped counts descending
+    top_share = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda w: F.size(F.filter(words, lambda x: x == w)),
+            )
+        )
+        / n,
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        distinct_ratio.alias("distinct_word_ratio"),
+        top_share.alias("top_word_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # winnowing fingerprint (rolling-hash document signature)
 

@@ -293,6 +293,18 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zerox_spark.operators.textstats import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from zerox_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (rows-only; property-tested in pytest)."""
     return fingerprints(_docs(spark, sf_dir)).select("doc_id", "fp_hash")
@@ -329,6 +341,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "token_counts": q_token_counts,
+    "redact_pii": q_redact_pii,
+    "repetition": q_repetition,
     "fingerprints": q_fingerprints,
     "media_meta": q_media_meta,
 }
@@ -720,6 +734,28 @@ SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
     AS bpe_tokens
+FROM documents
+""",
+    "redact_pii": r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'),
+    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g')
+    AS redacted,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INTEGER) AS n_ips
+FROM documents
+""",
+    "repetition": """
+SELECT doc_id,
+  round(len(list_distinct(string_split(text, ' ')))
+        / len(string_split(text, ' ')), 6) AS distinct_word_ratio,
+  round(list_max(list_transform(list_distinct(string_split(text, ' ')),
+        w -> len(list_filter(string_split(text, ' '), x -> x = w))))
+        / len(string_split(text, ' ')), 6) AS top_word_share
 FROM documents
 """,
 }
