@@ -108,3 +108,59 @@ def test_cdata_becomes_text():
     assert t[1].kind == "text" and t[1].text == "a < b & c"
     t2 = toks("<![CDATA[unterminated")
     assert t2[0].text == "unterminated"
+
+
+# ---------------------------------------------------------------------------
+# Scanner hardening (round-2 ADVICE): no catastrophic backtracking, explicit
+# quoted-attribute contract, truncated-fragment drop semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_multiquote_tag_no_backtracking_blowup():
+    """A truncated tag stuffed with quoted attrs must tokenize in linear
+    time (the round-1 scanner hung >10s on 87 chars; this must stay <1s on
+    10k chars) and be dropped as a trailing fragment."""
+    import time
+
+    src = "<a " + '"x"' * 2000 + " dangling"
+    t0 = time.monotonic()
+    out = toks(src)
+    assert time.monotonic() - t0 < 1.0
+    assert out == []
+
+
+def test_gt_inside_quoted_attr_stays_in_tag():
+    """Contract: '>' inside a quoted attribute value does NOT end the tag
+    (HTML5-correct; deliberate, documented change vs the pre-scanner
+    tokenizer which ended every tag at the first raw '>')."""
+    t = toks('<a title="1 > 2">x</a>')
+    assert [x.kind for x in t] == ["start", "text", "end"]
+    assert t[0].attrs == {"title": "1 > 2"}
+    assert t[1].text == "x"
+    # single-quoted variant
+    t2 = toks("<a title='1 > 2'>y</a>")
+    assert t2[0].attrs == {"title": "1 > 2"}
+
+
+def test_unterminated_quote_drops_truncated_fragment():
+    """Contract: a quote always opens a value; EOF inside the value makes the
+    whole trailing fragment a truncated tag → dropped (HTML5 EOF-in-tag)."""
+    assert toks('ok<a x="never closed') == [
+        Token("text", "", None, "ok", False)
+    ]
+    # the unmatched quote swallows the raw '>' too — tail is gone by contract
+    assert toks('ok<a x=1" y=2>tail') == [Token("text", "", None, "ok", False)]
+
+
+def test_unterminated_declaration_at_eof_dropped():
+    """Contract: '<!'/'<?' with no '>' before EOF is a truncated fragment and
+    is dropped, not emitted as literal text."""
+    assert toks("hello <!DOCTYPE html") == [
+        Token("text", "", None, "hello ", False)
+    ]
+    assert toks("hello <?php echo") == [
+        Token("text", "", None, "hello ", False)
+    ]
+    # terminated declarations still come through as doctype tokens
+    t = toks("hello <!DOCTYPE html>x")
+    assert [x.kind for x in t] == ["text", "doctype", "text"]

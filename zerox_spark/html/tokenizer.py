@@ -53,13 +53,29 @@ def unescape(text: str) -> str:
 # C-level match per token (≈2x faster than hand-rolled find/peek chains).
 # Group map: 1 text run · 2 comment body · 3 CDATA body · 4 end-tag name ·
 # 5 start-tag name · 6 attr source. Decls/doctypes carry no group.
+#
+# Start-tag attribute-area contract (documented, locked by tests):
+#   * a quote character ALWAYS opens a quoted value, which ends at the next
+#     matching quote (or end of input if none follows);
+#   * '>' inside such a quoted value does NOT end the tag ('<a title="1 > 2">'
+#     is one tag — HTML5-correct, and a deliberate change from the pre-scanner
+#     tokenizer which ended every tag at the first raw '>');
+#   * end of input before the terminating '>' (including inside an
+#     unterminated quote) makes the whole trailing fragment a truncated tag,
+#     which is dropped (mirrors HTML5 "EOF in tag" — no token emitted).
+# The alternation below is UNAMBIGUOUS: the catch-all excludes quote chars,
+# and each quote branch accepts exactly one parse (run to matching quote or
+# \Z). Failure therefore backtracks linearly — no exponential blowup on
+# truncated tags with many quoted attributes (a single malformed crawl page
+# must never pin an executor core).
 _SCANNER = re.compile(
     r"([^<]+)"
     r"|<!--(.*?)(?:-->|\Z)"
     r"|<!\[CDATA\[(.*?)(?:\]\]>|\Z)"
     r"|<[!?][^>]*>"
     r"|</([a-zA-Z][a-zA-Z0-9:_-]*)[^>]*>"
-    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)((?:\"[^\"]*\"|'[^']*'|[^>])*)>"
+    r"|<([a-zA-Z][a-zA-Z0-9:_-]*)"
+    r"((?:\"[^\"]*(?:\"|\Z)|'[^']*(?:'|\Z)|[^>\"'])*)>"
     r"|<",
     re.S,
 )
@@ -116,9 +132,15 @@ def tokenize(src: str) -> Iterator[Token]:
             continue
         token_text = m.group(0)
         if token_text == "<":
-            # bare '<': literal text UNLESS it opens an unclosed tag at EOF
-            # (legacy semantics: a truncated trailing tag fragment is
-            # dropped, '</'+non-name advances two chars as text)
+            # bare '<': literal text UNLESS it begins a truncated trailing
+            # fragment, which is dropped:
+            #   * '</name' with no '>' before EOF (legacy semantics);
+            #   * '<name...' whose start-tag alternative failed — under the
+            #     unambiguous scanner that happens exactly when EOF arrives
+            #     before the terminating '>' (possibly inside an unterminated
+            #     quoted value), i.e. a truncated tag;
+            #   * '<!'/'<?' declaration with no '>' before EOF.
+            # '</'+non-name advances two chars as literal text.
             if src.startswith("/", pos):
                 nm = _TAG_NAME_RE.match(src, pos + 1)
                 if nm is not None and find(">", nm.end()) == -1:
@@ -126,14 +148,15 @@ def tokenize(src: str) -> Iterator[Token]:
                 yield Token("text", "", None, "</", False)
                 pos += 1
                 continue
-            nm = _TAG_NAME_RE.match(src, pos)
-            if nm is not None and find(">", nm.end()) == -1:
+            if _TAG_NAME_RE.match(src, pos) is not None:
+                return
+            if src[pos : pos + 1] in ("!", "?") and find(">", pos) == -1:
                 return
             yield Token("text", "", None, "<", False)
             continue
         # '<!'/'<?' declaration with '>' present → doctype (no body group);
         # an unterminated declaration never matches this alternative and is
-        # handled by the bare-'<' branch above
+        # dropped by the bare-'<' branch above
         yield Token("doctype", "", None, token_text[:-1], False)
 
 

@@ -590,7 +590,7 @@ SELECT count(DISTINCT url) AS total_docs,
        count(*) AS total_pages,
        count(*) AS successful,
        CAST(0 AS BIGINT) AS failed,
-       sum(length(markdown)) AS total_content_length
+       CAST(sum(length(markdown)) AS BIGINT) AS total_content_length
 FROM expected
 """,
     "keyword_hits": _MD_CTE
