@@ -69,3 +69,32 @@ def test_minhash_plan_has_partial_aggregation(spark):
     # two HashAggregates (partial + final) around one Exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_curation_plan_uses_lsh_not_raw_shingle_join(spark):
+    """curate()'s near-dup stage must be the banded MinHash+LSH bucket join
+    (sub-quadratic at scale), not the raw bigram-shingle self-join — common
+    shingles make the raw join quadratic in posting-list size at 100 TB.
+    LSH leaves a fingerprint the raw path never produces: the banded
+    (band, sig_hash) bucket columns and the pmod permutation hashes."""
+    from zerox_spark.operators.curation import curate
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(curate(docs))
+    assert "sig_hash" in plan, "curation near-dup stage is not the LSH path"
+    assert plan.count("pmod") >= 128, "minhash permutation hashes missing"
+
+
+def test_repetition_plan_is_linear_not_quadratic(spark):
+    """repetition_stats must be the explode → groupBy(doc_id, word) →
+    per-doc agg plan (linear, map-side combined), not the within-row
+    transform(array_distinct, filter(...)) O(words²) expression."""
+    from zerox_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(repetition_stats(docs))
+    assert "Generate" in plan  # the explode
+    # the quadratic formulation's signature: a lambda filter over the full
+    # words array inside a projection — must be gone
+    assert "array_distinct" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final × two aggs

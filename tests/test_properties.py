@@ -11,7 +11,7 @@ from zerox_spark.extract.fences import format_markdown_py
 from zerox_spark.extract.markdown import html_to_markdown
 from zerox_spark.html.dom import parse
 from zerox_spark.operators.fold import apply_maintain_format
-from zerox_spark.operators.textstats import _winnow_one
+from zerox_spark.operators.textstats import _winnow_np, _winnow_one
 
 # text that may contain markup-ish fragments
 _markupish = st.text(
@@ -61,6 +61,14 @@ def test_winnow_deterministic_and_bounded(text: str):
     fp = _winnow_one(text)
     assert fp == _winnow_one(text)
     assert all(0 <= h < (1 << 31) for h in fp)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), min_size=0, max_size=300))
+def test_winnow_vectorized_matches_scalar_reference(text: str):
+    """The numpy hot path must be output-identical to the scalar reference
+    (rolling hash, rightmost-tie window min, consecutive-position dedup)."""
+    assert _winnow_np(text) == _winnow_one(text)
 
 
 @settings(max_examples=100, deadline=None)

@@ -48,6 +48,10 @@ RAW_EXTRACTED_SCHEMA = T.StructType(
         T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("elapsed_ms", T.LongType(), False),
+        # crawl-provenance carrier: lets lineage compute the incremental
+        # watermark (max warc_ts per bucket) from the WRITTEN files, so
+        # pipeline.run never re-scans the 100 TB input for it
+        T.StructField("warc_ts", T.TimestampType(), True),
     ]
 )
 
@@ -71,8 +75,10 @@ def _extract_iter(
         c_error: list = []
         c_spans: list = []
         c_pid: list = []
-        for url, html, text, pid in zip(
-            pdf["url"], pdf["html"], pdf["text"], pdf["_bucket"]
+        c_ts: list = []
+        for url, html, text, pid, ts in zip(
+            pdf["url"], pdf["html"], pdf["text"], pdf["_bucket"],
+            pdf["warc_ts"],
         ):
             payload = bytes(html) if html is not None else None
             pages = extract_document(payload, text, config)
@@ -102,6 +108,7 @@ def _extract_iter(
                     ]
                 )
                 c_pid.append(pid)
+                c_ts.append(ts)
         n_rows = len(c_url)
         elapsed_us = int((time.monotonic() - t0) * 1_000_000)
         # amortize the batch's wall time across its rows (µs resolution,
@@ -123,6 +130,7 @@ def _extract_iter(
                 "spans": c_spans,
                 "partition_id": c_pid,
                 "elapsed_ms": c_elapsed,
+                "warc_ts": c_ts,
             },
             columns=_COLS,
         )
@@ -139,15 +147,20 @@ def extract_pages(
     overwrite granularity) — on a real cluster set it ≥ executor count so a
     resume can skip work at sub-executor granularity.
 
-    Catalyst prunes unreferenced input columns (``lang``/``warc_ts`` never
-    reach Python unless a prior operator used them) — check with
-    ``.explain``: the parquet ReadSchema excludes them.
+    Catalyst prunes unreferenced input columns (``lang`` never reaches
+    Python unless a prior operator used it) — check with ``.explain``: the
+    parquet ReadSchema excludes it. ``warc_ts`` IS carried through as the
+    provenance/watermark carrier column (see RAW_EXTRACTED_SCHEMA).
     """
     from zerox_spark.operators.repartition import partition_bucket
 
     config = config or ExtractConfig()
     needed = pages.select(
-        "url", "html", "text", partition_bucket(num_buckets).alias("_bucket")
+        "url",
+        "html",
+        "text",
+        "warc_ts",
+        partition_bucket(num_buckets).alias("_bucket"),
     )
     return needed.mapInPandas(
         lambda it: _extract_iter(it, config), schema=RAW_EXTRACTED_SCHEMA

@@ -35,6 +35,7 @@ def lineage_rows(raw_extracted: DataFrame, job_id: str) -> DataFrame:
             F.sum(
                 F.when(F.col("status") == STATUS_ERROR, 1).otherwise(0)
             ).alias("_errors"),
+            F.max("warc_ts").alias("max_warc_ts"),
         )
         .select(
             F.lit(job_id).alias("job_id"),
@@ -47,6 +48,10 @@ def lineage_rows(raw_extracted: DataFrame, job_id: str) -> DataFrame:
             F.when(F.col("_errors") > 0, F.lit("PARTIAL"))
             .otherwise(F.lit("SUCCESS"))
             .alias("status"),
+            # per-bucket crawl high-watermark: max over the lineage table is
+            # the sink's incremental watermark — computed from written rows,
+            # never by re-scanning the input (pipeline.run)
+            F.col("max_warc_ts"),
         )
     )
 

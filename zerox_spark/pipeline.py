@@ -104,7 +104,18 @@ class ExtractionPipeline:
         lineage = lineage_rows(sink.read_extracted_latest(spark), job_id)
         sink.write_lineage(lineage)
         stats = summary(sink.read_extracted_latest(spark)).collect()[0].asDict()
-        new_wm = pages.agg(F.max("warc_ts").alias("wm")).collect()[0].wm
+        # incremental watermark: max over the (tiny) lineage table — a
+        # per-bucket max(warc_ts) carried through the extract's output rows
+        # (operators/extract.py RAW_EXTRACTED_SCHEMA) — NOT a second scan of
+        # the 100 TB input. Note select_pages can drop a doc's rows, so this
+        # can trail the input max; the monotone max() with the previous
+        # watermark below keeps resume idempotent either way.
+        new_wm = (
+            sink.read_lineage(spark)
+            .agg(F.max("max_warc_ts").alias("wm"))
+            .collect()[0]
+            .wm
+        )
         meta: dict = {"summary": stats}
         if new_wm is not None:
             meta["watermark"] = max(

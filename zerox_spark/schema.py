@@ -67,5 +67,8 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("checksum", T.StringType(), False),
         T.StructField("elapsed_ms", T.LongType(), False),
         T.StructField("status", T.StringType(), False),
+        # per-bucket crawl high-watermark (max warc_ts of written rows);
+        # max over the whole lineage table = the sink's incremental watermark
+        T.StructField("max_warc_ts", T.TimestampType(), True),
     ]
 )
