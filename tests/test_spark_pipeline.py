@@ -203,3 +203,33 @@ def test_fingerprint_properties(spark):
     assert len(shared) >= len(set(_winnow_one(a))) * 0.5
     # short text → empty fingerprint, no crash
     assert _winnow_one("ab") == []
+
+
+def test_payload_cte_matches_renderer_byte_for_byte():
+    """The media_meta oracle's SQL payload reconstruction (_PAYLOAD_CTE)
+    must equal synth.render_payload for every doc — guards the two
+    implementations against drift."""
+    import duckdb
+
+    from zerox_spark.queries import _PAYLOAD_CTE
+    from zerox_spark.synth import render_payload
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    rows = con.execute(
+        _PAYLOAD_CTE + "SELECT doc_id, payload FROM payloads"
+    ).fetchall()
+    docs = {
+        r[0]: r
+        for r in con.execute(
+            "SELECT doc_id, text, lang, source FROM documents"
+        ).fetchall()
+    }
+    assert len(rows) == len(docs)
+    for doc_id, payload in rows:
+        _, text, lang, source = docs[doc_id]
+        assert payload == render_payload(doc_id, text, lang, source).decode(
+            "utf-8"
+        ), f"payload drift for doc {doc_id}"

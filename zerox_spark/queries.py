@@ -243,11 +243,48 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate path (recall vs exact verified in pytest; rows-only)."""
+    """Approximate path (recall vs exact verified in pytest AND by the
+    driver-checked q_ann_recall floor; the raw rows stay rows-only because
+    per-query LSH output is probabilistic w.r.t. any SQL restatement)."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return ann_topk_lsh(emb, queries, EMBED_DIM, k=ANN_K).select(
         "query_id", "rank", "neighbor_id"
+    )
+
+
+# LSH recall floor the driver asserts via oracle hash: measured recall@5 is
+# 0.85 at sf0.001 AND sf0.01 (deterministic planes + data); 70 leaves margin
+# for sf drift while still failing loudly on a real recall regression.
+ANN_RECALL_FLOOR = 70
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the LSH path vs the exact path, floor-clamped so the
+    oracle can assert it in closed form: emits (n_queries,
+    recall_floor_pct) where recall_floor_pct = min(floor(100*recall),
+    ANN_RECALL_FLOOR). Above the floor the value is the constant
+    ANN_RECALL_FLOOR (hash-stable); a recall regression below the floor
+    changes the value and fails the driver's hash check."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    exact = ann_topk_exact(emb, queries, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = ann_topk_lsh(emb, queries, EMBED_DIM, k=ANN_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(lsh, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.least(
+            F.floor(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                * 100
+                / F.count(F.lit(1))
+            ),
+            F.lit(ANN_RECALL_FLOOR).cast("long"),
+        ).alias("recall_floor_pct"),
     )
 
 
@@ -311,8 +348,9 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only: payload bytes are synthesized inside
-    Spark, not visible to DuckDB)."""
+    """Multimodal plumbing, value-checked: the oracle reconstructs each
+    synthesized payload byte-for-byte in SQL (_PAYLOAD_CTE) and compares
+    octet_length + sniffed kind."""
     return media_metadata(synth_pages(spark, sf_dir)).select(
         "url", "n_bytes", "media_kind"
     )
@@ -334,6 +372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_recall": q_ann_recall,
     "curation": q_curation,
     "events_sessionize": q_events_sessionize,
     "events_topk": q_events_topk,
@@ -528,6 +567,112 @@ SELECT url, kind, CAST(n AS BIGINT) AS n FROM (
 """
 )
 
+# the synthesized page *payload* re-stated in SQL (synth.render_payload) —
+# byte-for-byte: a pytest (tests/test_spark_pipeline.py) compares this CTE's
+# payload string against synth.render_payload for every doc at sf0.001, and
+# the media_meta oracle takes strlen (VARCHAR byte length) of it. Note the CSS braces and
+# the em-dash/interpunct/copyright literals: strlen counts UTF-8 bytes
+# exactly like len(payload_bytes) on the Spark side.
+_PAYLOAD_CTE = f"""
+WITH docs AS (
+  SELECT doc_id, text, lang, source, {_URL} AS url FROM documents
+),
+html_payload AS (
+  SELECT doc_id, url, 'html' AS media_kind,
+'<!DOCTYPE html>
+<html lang="' || lang || '"><head><title>Document ' || doc_id || ' — ' || source || '</title>
+<meta charset="utf-8"><script>var docId=' || doc_id || ';</script>
+<style>body{{margin:0;font:14px serif}}</style></head>
+<body>
+<nav class="topnav"><ul><li><a href="/">Home</a></li><li><a href="/about">About</a></li><li><a href="/contact">Contact</a></li><li><a href="/login">Login</a></li></ul></nav>
+<header><div class="banner"><a href="/promo">Limited offer — click here now!</a></div></header>
+<aside class="ads"><div><a href="https://ads.example/1">Buy now</a> <a href="https://ads.example/2">Subscribe</a> <a href="https://ads.example/3">Hot deal</a></div></aside>
+<article>
+' ||
+    '<h1>Document ' || doc_id || '</h1>' || chr(10) ||
+    CASE WHEN doc_id % 23 = 11 THEN repeat('<p>' || text || '</p>', 40)
+         ELSE '<p>' || text || '</p>' END ||
+    CASE WHEN doc_id % 7 = 3 THEN chr(10) ||
+      '<table class="stats"><tr><th>metric</th><th>value</th></tr><tr><td>views</td><td>'
+      || ((doc_id * 37) % 1000) || '</td></tr><tr><td>score</td><td>'
+      || ((doc_id * 53) % 100) || '</td></tr></table>' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 2 THEN chr(10) ||
+      '<ul><li>item ' || ((doc_id * 7) % 100) || '</li><li>item '
+      || ((doc_id * 11) % 100) || '</li><li>item ' || ((doc_id * 13) % 100)
+      || '</li></ul>' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 5 THEN chr(10) ||
+      '<pre><code class="python">print(' || doc_id || ')</code></pre>'
+      ELSE '' END ||
+    CASE WHEN doc_id % 13 = 6 THEN chr(10) ||
+      '<p><input type="checkbox" checked> done ' || doc_id
+      || '</p><p><input type="checkbox"> todo ' || doc_id || '</p>'
+      ELSE '' END ||
+    CASE WHEN doc_id % 17 = 9 THEN chr(10) ||
+      '<h2>Section ' || doc_id || '</h2><p>'
+      || array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+      || '</p>' ELSE '' END ||
+'
+</article>
+<footer><p><a href="/terms">Terms</a> · <a href="/privacy">Privacy</a> · © 2024 site' || (doc_id % 97) || '.example</p></footer>
+</body></html>' AS payload
+  FROM docs WHERE doc_id % 10 <> 1 AND doc_id % 5 <> 0
+),
+sheet_payload AS (
+  SELECT doc_id, url, 'sheet' AS media_kind,
+    '%SHEET csv 1.0' || chr(10) ||
+    '%%sheet name=data' || chr(10) ||
+    'name,q1,q2' || chr(10) ||
+    'r0,' || ((doc_id * 7) % 100) || ',' || ((doc_id * 11) % 100) || chr(10) ||
+    'r1,' || ((doc_id * 7 + 13) % 100) || ',' || ((doc_id * 11 + 17) % 100) || chr(10) ||
+    '%%sheet name=summary' || chr(10) ||
+    'name,total' || chr(10) ||
+    'all,' || ((doc_id * 19) % 1000) || chr(10) AS payload
+  FROM docs WHERE doc_id % 10 = 1
+),
+pdf_pd AS (
+  SELECT doc_id, url, string_split(text, ' ') AS w, 2 + (doc_id % 3) AS np
+  FROM docs WHERE doc_id % 5 = 0
+),
+pdf_pageblocks AS (
+  SELECT doc_id, url, p.page_no,
+    '%%page no=' || p.page_no || ' w=612.0 h=792.0' || chr(10) ||
+    '%%line y=750.0 x=72.0 size=18.0 text=Document ' || doc_id
+      || ' — page ' || p.page_no ||
+    CASE WHEN chunk_lines <> '' THEN chr(10) || chunk_lines ELSE '' END ||
+    chr(10) || '%%line y=40.0 x=306.0 size=8.0 text=' || p.page_no AS block
+  FROM (
+    SELECT doc_id, url, p.page_no,
+      array_to_string(
+        list_transform(
+          range(((len(chunk) + 7) // 8)::INT),
+          i -> '%%line y=' || printf('%.1f', 700.0 - 20.0 * i)
+               || ' x=72.0 size=10.0 text='
+               || array_to_string(list_slice(chunk, i * 8 + 1, i * 8 + 8), ' ')
+        ), chr(10)) AS chunk_lines,
+      p.page_no AS pno
+    FROM (
+      SELECT doc_id, url, p.page_no,
+        list_slice(w, (p.page_no - 1) * len(w) // np + 1,
+                   p.page_no * len(w) // np) AS chunk
+      FROM pdf_pd CROSS JOIN (VALUES (1),(2),(3),(4)) AS p(page_no)
+      WHERE p.page_no <= np
+    ) AS p
+  ) AS p
+),
+pdf_payload AS (
+  SELECT doc_id, url, 'pdf' AS media_kind,
+    '%PDF-SYNTH 1.0' || chr(10)
+      || string_agg(block, chr(10) ORDER BY page_no) || chr(10) AS payload
+  FROM pdf_pageblocks GROUP BY doc_id, url
+),
+payloads AS (
+  SELECT * FROM html_payload
+  UNION ALL SELECT * FROM sheet_payload
+  UNION ALL SELECT * FROM pdf_payload
+)
+"""
+
+
 ORACLE_SQL: dict[str, str] = {
     "extract_markdown": _MD_CTE
     + """
@@ -604,6 +749,16 @@ FROM expected GROUP BY url
     "dedup_exact": _CORPUS_CTE
     + """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM corpus GROUP BY text
+""",
+    "media_meta": _PAYLOAD_CTE
+    + """
+SELECT url, CAST(strlen(payload) AS BIGINT) AS n_bytes, media_kind
+FROM payloads
+""",
+    "ann_recall": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({ANN_RECALL_FLOOR} AS BIGINT) AS recall_floor_pct
+FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
 """,
     "dedup_ngram": _JACCARD_SQL,
     "dedup_minhash": _JACCARD_SQL,
