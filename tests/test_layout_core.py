@@ -133,9 +133,11 @@ def test_plain_text_document_paragraphs():
 
 
 def test_zip_container_contained_error():
+    # a PK payload that is not parseable OOXML stays a contained ERROR
+    # (real xlsx/docx now extract via extract/ooxml.py — tests/test_ooxml.py)
     out = extract_document(b"PK\x03\x04office-doc-bytes", None)
     assert out[0].status == "ERROR"
-    assert "converter not available" in out[0].error
+    assert "zip" in out[0].error.lower()
 
 
 def test_cfb_contained_error():

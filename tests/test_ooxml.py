@@ -1,0 +1,185 @@
+"""Unit tests: stdlib OOXML (xlsx/docx) extraction — edge cases the
+synthesized driver corpus doesn't exercise (gaps, rich text, booleans,
+inline strings, heading styles, page breaks, containment)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from zerox_spark.extract.core import ExtractConfig, extract_document
+from zerox_spark.extract.ooxml import (
+    docx_to_pages,
+    ooxml_to_pages,
+    xlsx_to_grids,
+    xlsx_to_pages,
+)
+from zerox_spark.synth import (
+    _PKG_RELS,
+    _XLSX_CT,
+    _DOCX_CT,
+    _W_XMLNS,
+    _zip_bytes,
+    render_docx,
+    render_xlsx,
+    sheet_cells,
+)
+
+_S_XMLNS = (
+    'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+)
+
+
+def _xlsx(sheet_xml: str, sst: str | None = None, name: str = "data") -> bytes:
+    workbook = (
+        f'<workbook {_S_XMLNS} '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f'<sheets><sheet name="{name}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>'
+        + (
+            '<Relationship Id="rId2" Type="s" Target="sharedStrings.xml"/>'
+            if sst
+            else ""
+        )
+        + "</Relationships>"
+    )
+    members = [
+        ("[Content_Types].xml", _XLSX_CT),
+        ("_rels/.rels", _PKG_RELS.format(target="xl/workbook.xml")),
+        ("xl/workbook.xml", workbook),
+        ("xl/_rels/workbook.xml.rels", rels),
+        ("xl/worksheets/sheet1.xml", sheet_xml),
+    ]
+    if sst:
+        members.append(("xl/sharedStrings.xml", sst))
+    return _zip_bytes(members)
+
+
+def test_xlsx_renderer_grids_roundtrip():
+    """render_xlsx carries exactly the sheet_cells grids (the %SHEET
+    container's values) through the real zip+XML container."""
+    grids = xlsx_to_grids(render_xlsx(6))
+    data, summary = sheet_cells(6)
+    assert grids == [("data", data), ("summary", summary)]
+
+
+def test_xlsx_column_gap_skipped_like_sparse_foreach():
+    """A skipped column (A1 then C1) emits only the present cells in order
+    — the reference's sparse row.forEach drops holes (file.ts:250-257)."""
+    sheet = (
+        f'<worksheet {_S_XMLNS}><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>a</v></c>'
+        '<c r="C1" t="str"><v>c</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    assert xlsx_to_grids(_xlsx(sheet)) == [("data", [["a", "c"]])]
+
+
+def test_xlsx_shared_rich_text_and_inline_and_bool():
+    sst = (
+        f'<sst {_S_XMLNS}><si><t>plain</t></si>'
+        "<si><r><t>ri</t></r><r><t>ch</t></r></si></sst>"
+    )
+    sheet = (
+        f'<worksheet {_S_XMLNS}><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="s"><v>0</v></c>'
+        '<c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>inl</t></is></c>'
+        '<c r="D1" t="b"><v>1</v></c>'
+        '<c r="E1" t="b"><v>0</v></c>'
+        '<c r="F1"><v>3.5</v></c>'
+        "</row></sheetData></worksheet>"
+    )
+    assert xlsx_to_grids(_xlsx(sheet, sst)) == [
+        ("data", [["plain", "rich", "inl", "true", "false", "3.5"]])
+    ]
+
+
+def test_xlsx_empty_rows_dropped_and_cells_without_ref():
+    sheet = (
+        f'<worksheet {_S_XMLNS}><sheetData>'
+        '<row r="1"><c t="str"><v>x</v></c><c t="str"><v>y</v></c></row>'
+        '<row r="2"><c r="A2" t="str"><v></v></c></row>'
+        '<row r="3"><c r="A3" t="str"><v>z</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    assert xlsx_to_grids(_xlsx(sheet)) == [("data", [["x", "y"], ["z"]])]
+
+
+def test_xlsx_first_row_is_th():
+    md = xlsx_to_pages(render_xlsx(4))[0][1]
+    assert "<th>name</th><th>q1</th><th>q2</th>" in md
+    assert md.startswith("## Sheet: data")
+
+
+def test_docx_renderer_pages_and_styles():
+    pages = docx_to_pages(render_docx(7, "a b c d e f g h i j k l"))
+    assert len(pages) == 2
+    p1, p2 = pages[0][1], pages[1][1]
+    assert p1.startswith("# Document 7")  # Title style
+    assert "- item 49\n- item 77" in p1  # merged list run
+    assert "<table><tr><th>metric</th><th>value</th></tr>" in p1
+    assert p2.startswith("## Section 7")  # Heading2 style
+    assert p2.endswith("a b c d e f g h i j")
+
+
+def test_docx_page_break_before_property():
+    doc = (
+        f"<w:document {_W_XMLNS}><w:body>"
+        "<w:p><w:r><w:t>one</w:t></w:r></w:p>"
+        "<w:p><w:pPr><w:pageBreakBefore/></w:pPr>"
+        "<w:r><w:t>two</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    payload = _zip_bytes(
+        [
+            ("[Content_Types].xml", _DOCX_CT),
+            ("_rels/.rels", _PKG_RELS.format(target="word/document.xml")),
+            ("word/document.xml", doc),
+        ]
+    )
+    pages = docx_to_pages(payload)
+    assert [(n, md) for n, md, _ in pages] == [(1, "one"), (2, "two")]
+
+
+def test_docx_xml_entities_unescaped():
+    pages = docx_to_pages(render_docx(1, "a < b & c"))
+    assert "a < b & c" in pages[0][1]
+
+
+def test_non_ooxml_zip_contained_as_error():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("foo.txt", "hi")
+    pages = extract_document(buf.getvalue(), None, ExtractConfig(trust_text=False))
+    assert pages[0].status == "ERROR"
+    assert "not OOXML" in (pages[0].error or "")
+
+
+def test_corrupt_pk_payload_contained():
+    pages = extract_document(
+        b"PK\x03\x04garbage", None, ExtractConfig(trust_text=False)
+    )
+    assert pages[0].status == "ERROR"
+
+
+def test_ooxml_router_dispatches_by_parts():
+    assert ooxml_to_pages(render_xlsx(2))[0][1].startswith("## Sheet:")
+    assert ooxml_to_pages(render_docx(3, "w1 w2"))[0][1].startswith(
+        "# Document 3"
+    )
+
+
+def test_throw_mode_propagates_ooxml_errors():
+    with pytest.raises(Exception):
+        extract_document(
+            b"PK\x03\x04garbage",
+            None,
+            ExtractConfig(trust_text=False, error_mode="THROW"),
+        )

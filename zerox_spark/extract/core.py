@@ -10,8 +10,11 @@ Routing (logical-plan branch per document):
 2. ``%SHEET`` magic → structured-sheet fast path, sheet = page (the Excel
    branch: extractPagesFromStructuredDataFile, file.ts:311-329);
 3. ``%PDF`` magic bytes → layout pass (layout.py);
-4. anything else → HTML pipeline (tokenize → DOM → score → markdown);
-5. empty/undecodable payload → ERROR page with content "" and
+4. ``PK`` magic → OOXML zip+XML extraction (ooxml.py): xlsx sheet-per-page
+   (convertExcelToHtml analog, file.ts:210-276), docx heading/list/table
+   pages (the convertFileToPdf route, file.ts:129-150, without libreoffice);
+5. anything else → HTML pipeline (tokenize → DOM → score → markdown);
+6. empty/undecodable payload → ERROR page with content "" and
    content_length 0, job continues (the IGNORE containment).
 
 A user-supplied ``ExtractConfig.extractor`` callable replaces steps 2-4
@@ -55,11 +58,18 @@ def _builtin_sheets(html: bytes, text: str | None):
 # strategy registry — the createModel factory analog (SURVEY.md §2.5 M1,
 # node-zerox/src/models/index.ts:48-80): named extractor strategies a
 # pipeline can select explicitly instead of the magic-byte auto-routing.
+def _builtin_ooxml(html: bytes, text: str | None):
+    from zerox_spark.extract.ooxml import ooxml_to_pages
+
+    return ooxml_to_pages(html)
+
+
 EXTRACTORS: dict[str, object] = {
     "auto": None,  # full dispatch below (the default)
     "readability": _builtin_html,
     "layout": _builtin_layout,
     "sheets": _builtin_sheets,
+    "ooxml": _builtin_ooxml,
 }
 
 
@@ -233,9 +243,16 @@ def _extract_raw(
             raise ValueError("PDF payload with no pages")
         return [(no, _finalize(md), spans) for no, md, spans in pages]
     if html[:2] == b"PK":
-        # zip container (OOXML docx/xlsx, odt): needs an office/zip reader
-        # the env doesn't ship (convertFileToPdf analog, file.ts:129-150)
-        raise ValueError("zip-container (OOXML/ODF) payload: converter not available")
+        # OOXML zip container: stdlib zip+XML extraction (extract/ooxml.py —
+        # the convertExcelToHtml / convertFileToPdf analog, file.ts:129-150,
+        # 210-276). A PK payload that is not xlsx/docx (odt, plain zip)
+        # raises → contained ERROR in IGNORE mode.
+        from zerox_spark.extract.ooxml import ooxml_to_pages
+
+        pages = ooxml_to_pages(html)
+        if not pages:
+            raise ValueError("OOXML payload with no pages")
+        return [(no, _finalize(md), spans) for no, md, spans in pages]
     src = _decode_payload(html)
     src = src.replace("\r\n", "\n").replace("\r", "\n")
     if not src.lstrip().startswith("<"):

@@ -1,0 +1,344 @@
+"""OOXML (xlsx/docx) extraction — stdlib only (zipfile + xml.etree).
+
+The reference converts every Office document through a real office runtime:
+xlsx sheet-by-sheet via the ``xlsx`` JS lib (convertExcelToHtml,
+node-zerox/src/utils/file.ts:210-276; sheet k → page k,
+extractPagesFromStructuredDataFile, file.ts:311-329) and docx via libreoffice
+→ PDF → OCR (convertFileToPdf, file.ts:129-150). This container ships no
+office binaries, but OOXML is just zip+XML — fully parseable with the
+stdlib, so these payloads extract for real instead of becoming contained
+ERROR rows.
+
+Semantics mirrored from the reference:
+
+- xlsx: one page per sheet, in workbook order; page content is a
+  ``## Sheet: <name>`` heading (the reference emits ``<h2>Sheet: name</h2>``,
+  file.ts:239-241; our dialect renders h2 as ``##``) plus one HTML
+  ``<table>`` whose FIRST row is ``<th>`` cells (file.ts:246-249). Cells
+  appear in column order; gaps are skipped, matching the reference's sparse
+  ``row.forEach`` serialization (file.ts:250-257). Fully-empty rows are
+  dropped.
+- docx: the reference rasterizes, so pagination is renderer-defined; the
+  deterministic analog honors EXPLICIT page breaks (``w:br w:type="page"``
+  and ``w:pageBreakBefore``) and otherwise emits one page. Paragraph styles
+  Heading1-6/Title map to markdown headings, ``numPr`` paragraphs to list
+  items, ``w:tbl`` to the same first-row-``<th>`` HTML table form.
+
+Error tolerance: any structural problem (bad zip, missing parts, mangled
+XML) raises ValueError — extract/core.py contains it as an ERROR page in
+IGNORE mode, never a task failure.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from zerox_spark.extract.markdown import Block, join_blocks
+
+_S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+
+_CELL_REF = re.compile(r"([A-Z]+)[0-9]*$")
+
+
+def is_ooxml(payload: bytes) -> bool:
+    """Cheap magic sniff (zip local-file header). Routing only — a PK
+    payload that is not a parseable OOXML doc still fails into the
+    contained-error path."""
+    return payload[:2] == b"PK"
+
+
+def _zip(payload: bytes) -> zipfile.ZipFile:
+    try:
+        return zipfile.ZipFile(io.BytesIO(payload))
+    except Exception as exc:  # noqa: BLE001 — normalized for containment
+        raise ValueError(f"unreadable zip container: {exc}") from exc
+
+
+def _read_xml(zf: zipfile.ZipFile, name: str) -> ET.Element:
+    try:
+        return ET.fromstring(zf.read(name))
+    except KeyError as exc:
+        raise ValueError(f"OOXML part missing: {name}") from exc
+    except ET.ParseError as exc:
+        raise ValueError(f"OOXML part unparseable: {name}: {exc}") from exc
+
+
+# ---------------------------------------------------------------------------
+# xlsx
+
+
+def _col_index(ref: str | None) -> int | None:
+    """'B7' → 1; None/invalid → None (caller appends sequentially)."""
+    if not ref:
+        return None
+    m = _CELL_REF.match(ref)
+    if not m:
+        return None
+    n = 0
+    for ch in m.group(1):
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []
+    root = _read_xml(zf, "xl/sharedStrings.xml")
+    # plain <t> or rich-text runs <r><t>; phonetic hints excluded
+    return ["".join(_si_text(si)) for si in root.findall(f"{_S}si")]
+
+
+def _si_text(si: ET.Element):
+    for child in si:
+        tag = child.tag
+        if tag == f"{_S}t":
+            yield child.text or ""
+        elif tag == f"{_S}r":
+            t = child.find(f"{_S}t")
+            if t is not None:
+                yield t.text or ""
+        # rPh/phoneticPr skipped
+
+
+def _cell_value(c: ET.Element, shared: list[str]) -> str:
+    ctype = c.get("t", "n")
+    if ctype == "inlineStr":
+        is_el = c.find(f"{_S}is")
+        return "".join(_si_text(is_el)) if is_el is not None else ""
+    v = c.find(f"{_S}v")
+    raw = v.text or "" if v is not None else ""
+    if ctype == "s":
+        try:
+            return shared[int(raw)]
+        except (ValueError, IndexError):
+            return ""
+    if ctype == "b":
+        # the reference's sheet_to_json yields JS booleans → toString()
+        # (file.ts:251-253): 'true'/'false'
+        return "true" if raw.strip() == "1" else "false"
+    return raw
+
+
+def _sheet_targets(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
+    """[(sheet_name, zip_member)] in workbook order via the rels part."""
+    wb = _read_xml(zf, "xl/workbook.xml")
+    rels = _read_xml(zf, "xl/_rels/workbook.xml.rels")
+    target_by_id = {
+        rel.get("Id"): rel.get("Target", "")
+        for rel in rels.findall(f"{_PR}Relationship")
+    }
+    out = []
+    sheets = wb.find(f"{_S}sheets")
+    if sheets is None:
+        raise ValueError("workbook has no <sheets>")
+    for sh in sheets.findall(f"{_S}sheet"):
+        rid = sh.get(f"{_R}id")
+        target = target_by_id.get(rid, "")
+        if not target:
+            continue
+        member = (
+            target.lstrip("/")
+            if target.startswith("/")
+            else "xl/" + target
+        )
+        out.append((sh.get("name", ""), member))
+    if not out:
+        raise ValueError("workbook resolves no worksheets")
+    return out
+
+
+def xlsx_to_grids(payload: bytes) -> list[tuple[str, list[list[str]]]]:
+    """xlsx bytes → [(sheet_name, rows)] in workbook order. Row cells are in
+    column order with gaps skipped (reference's sparse forEach); fully-empty
+    rows dropped."""
+    with _zip(payload) as zf:
+        shared = _shared_strings(zf)
+        grids = []
+        for name, member in _sheet_targets(zf):
+            root = _read_xml(zf, member)
+            rows: list[list[str]] = []
+            for row in root.iter(f"{_S}row"):
+                cells: list[tuple[int, str]] = []
+                next_col = 0
+                for c in row.findall(f"{_S}c"):
+                    col = _col_index(c.get("r"))
+                    if col is None:
+                        col = next_col
+                    next_col = col + 1
+                    cells.append((col, _cell_value(c, shared)))
+                vals = [v for _, v in sorted(cells, key=lambda cv: cv[0])]
+                if any(v != "" for v in vals):
+                    rows.append(vals)
+            grids.append((name, rows))
+        return grids
+
+
+def _grid_table(rows: list[list[str]]) -> str:
+    """First row <th> (file.ts:246-249), attr-free single-line form (the
+    engine's canonical table serialization, markdown.py)."""
+    parts = ["<table>"]
+    for i, row in enumerate(rows):
+        tag = "th" if i == 0 else "td"
+        parts.append("<tr>")
+        for cell in row:
+            parts.append(f"<{tag}>{cell}</{tag}>")
+        parts.append("</tr>")
+    parts.append("</table>")
+    return "".join(parts)
+
+
+def xlsx_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """Sheet k → page k (extractPagesFromStructuredDataFile,
+    file.ts:311-329)."""
+    out = []
+    for i, (name, rows) in enumerate(xlsx_to_grids(payload), start=1):
+        blocks = [Block("heading", f"## Sheet: {name}")]
+        blocks.append(Block("table", _grid_table(rows)))
+        markdown, spans = join_blocks(blocks)
+        out.append((i, markdown, spans))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# docx
+
+_HEADING_STYLE = re.compile(r"^(?:Heading|heading)([1-6])$")
+
+
+def _para_text(p: ET.Element) -> str:
+    parts: list[str] = []
+    for node in p.iter():
+        tag = node.tag
+        if tag == f"{_W}t":
+            parts.append(node.text or "")
+        elif tag == f"{_W}tab":
+            parts.append(" ")
+    return "".join(parts)
+
+
+def _para_style(p: ET.Element) -> str | None:
+    ppr = p.find(f"{_W}pPr")
+    if ppr is None:
+        return None
+    st = ppr.find(f"{_W}pStyle")
+    return st.get(f"{_W}val") if st is not None else None
+
+
+def _para_breaks_page(p: ET.Element) -> tuple[bool, bool]:
+    """(break_before, break_after_content): pageBreakBefore property, and
+    an explicit <w:br w:type="page"/> run break."""
+    before = False
+    ppr = p.find(f"{_W}pPr")
+    if ppr is not None and ppr.find(f"{_W}pageBreakBefore") is not None:
+        before = True
+    explicit = any(
+        br.get(f"{_W}type") == "page" for br in p.iter(f"{_W}br")
+    )
+    return before, explicit
+
+
+def _docx_para_block(p: ET.Element) -> Block | None:
+    text = _para_text(p).strip()
+    if not text:
+        return None
+    style = _para_style(p)
+    if style:
+        if style == "Title":
+            return Block("heading", f"# {text}")
+        m = _HEADING_STYLE.match(style)
+        if m:
+            return Block("heading", f"{'#' * int(m.group(1))} {text}")
+    ppr = p.find(f"{_W}pPr")
+    if ppr is not None and ppr.find(f"{_W}numPr") is not None:
+        return Block("list", f"- {text}")
+    return Block("para", text)
+
+
+def _docx_table_block(tbl: ET.Element) -> Block | None:
+    rows = []
+    for tr in tbl.findall(f"{_W}tr"):
+        cells = []
+        for tc in tr.findall(f"{_W}tc"):
+            paras = [
+                _para_text(p).strip() for p in tc.findall(f"{_W}p")
+            ]
+            cells.append(" ".join(x for x in paras if x))
+        rows.append(cells)
+    if not rows:
+        return None
+    return Block("table", _grid_table(rows))
+
+
+def docx_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """word/document.xml body → pages split on explicit page breaks."""
+    with _zip(payload) as zf:
+        root = _read_xml(zf, "word/document.xml")
+    body = root.find(f"{_W}body")
+    if body is None:
+        raise ValueError("docx has no <w:body>")
+    pages: list[list[Block]] = [[]]
+    for el in body:
+        if el.tag == f"{_W}p":
+            before, after = _para_breaks_page(el)
+            if before and pages[-1]:
+                pages.append([])
+            blk = _docx_para_block(el)
+            if blk is not None:
+                pages[-1].append(blk)
+            if after and pages[-1]:
+                pages.append([])
+        elif el.tag == f"{_W}tbl":
+            blk = _docx_table_block(el)
+            if blk is not None:
+                pages[-1].append(blk)
+    out = []
+    for blocks in pages:
+        if not blocks:
+            continue
+        markdown, spans = join_blocks(_merge_list_runs(blocks))
+        out.append((len(out) + 1, markdown, spans))
+    if not out:
+        raise ValueError("docx body produced no content")
+    return out
+
+
+def _merge_list_runs(blocks: list[Block]) -> list[Block]:
+    """Adjacent list paragraphs form ONE list block (items joined with a
+    single newline) — the same block shape the DOM emitter produces for
+    <ul>, so list markdown is consistent across source formats."""
+    merged: list[Block] = []
+    for blk in blocks:
+        if blk.kind == "list" and merged and merged[-1].kind == "list":
+            merged[-1] = Block("list", merged[-1].text + "\n" + blk.text)
+        else:
+            merged.append(blk)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# router
+
+
+def ooxml_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """Dispatch a PK payload by its content parts (the magic-byte routing
+    analog of isExcelFile, file.ts:363-371, which the reference does by
+    file extension)."""
+    with _zip(payload) as zf:
+        names = set(zf.namelist())
+    if "xl/workbook.xml" in names:
+        return xlsx_to_pages(payload)
+    if "word/document.xml" in names:
+        return docx_to_pages(payload)
+    raise ValueError("zip container is not OOXML xlsx/docx")

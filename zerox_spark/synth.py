@@ -296,3 +296,213 @@ def synth_pages(
     )
     docs = docs.repartition(num_partitions, "doc_id")
     return docs.mapInPandas(_synth_batch, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# OOXML renderers (real zip+XML payloads for the ooxml extraction path —
+# extract/ooxml.py). Deterministic byte output: ZIP_STORED, fixed timestamps.
+
+import io as _io
+import zipfile as _zipfile
+from xml.sax.saxutils import escape as _xesc
+
+
+def _zip_bytes(members: list[tuple[str, str]]) -> bytes:
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w", _zipfile.ZIP_STORED) as zf:
+        for name, data in members:
+            zi = _zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data)
+    return buf.getvalue()
+
+
+_XLSX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet2.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+    '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+    "</Types>"
+)
+
+_PKG_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="{target}"/>'
+    "</Relationships>"
+)
+
+
+def _xlsx_sheet_xml(rows: list[list[tuple[str, str]]]) -> str:
+    """rows of (cell_type, value): type 's' shared-string index, 'n' number,
+    'str' literal string."""
+    out = [
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+    ]
+    for rno, row in enumerate(rows, start=1):
+        out.append(f'<row r="{rno}">')
+        for cno, (ctype, val) in enumerate(row):
+            ref = chr(65 + cno) + str(rno)
+            if ctype == "n":
+                out.append(f'<c r="{ref}"><v>{val}</v></c>')
+            else:
+                out.append(f'<c r="{ref}" t="{ctype}"><v>{val}</v></c>')
+        out.append("</row>")
+    out.append("</sheetData></worksheet>")
+    return "".join(out)
+
+
+def render_xlsx(doc_id: int) -> bytes:
+    """Real xlsx payload whose grids equal sheet_cells(doc_id) — the same
+    cell values as the %SHEET container, through the zip+XML container."""
+    data, summary = sheet_cells(doc_id)
+    shared = ["name", "q1", "q2", "r0", "r1", "total", "all"]
+    idx = {s: i for i, s in enumerate(shared)}
+
+    def enc_row(row: list[str]) -> list[tuple[str, str]]:
+        return [
+            ("s", str(idx[c])) if c in idx else ("n", c) for c in row
+        ]
+
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="data" sheetId="1" r:id="rId1"/>'
+        '<sheet name="summary" sheetId="2" r:id="rId2"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
+        "</Relationships>"
+    )
+    return _zip_bytes(
+        [
+            ("[Content_Types].xml", _XLSX_CT),
+            ("_rels/.rels", _PKG_RELS.format(target="xl/workbook.xml")),
+            ("xl/workbook.xml", workbook),
+            ("xl/_rels/workbook.xml.rels", wb_rels),
+            ("xl/sharedStrings.xml", sst),
+            ("xl/worksheets/sheet1.xml", _xlsx_sheet_xml([enc_row(r) for r in data])),
+            ("xl/worksheets/sheet2.xml", _xlsx_sheet_xml([enc_row(r) for r in summary])),
+        ]
+    )
+
+
+_DOCX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>'
+    "</Types>"
+)
+
+_W_XMLNS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def _w_p(text: str, style: str | None = None, num: bool = False) -> str:
+    ppr = ""
+    if style or num:
+        inner = f'<w:pStyle w:val="{style}"/>' if style else ""
+        if num:
+            inner += '<w:numPr><w:ilvl w:val="0"/><w:numId w:val="1"/></w:numPr>'
+        ppr = f"<w:pPr>{inner}</w:pPr>"
+    return f"<w:p>{ppr}<w:r><w:t>{_xesc(text)}</w:t></w:r></w:p>"
+
+
+def render_docx(doc_id: int, text: str) -> bytes:
+    """Real docx payload: Title, body paragraph, 2 list items, a stats
+    table, an explicit page break, then a Heading2 section — deterministic
+    closed form of (doc_id, text) so the oracle can state the expected
+    markdown in SQL."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+
+    def tc(t: str) -> str:
+        return f"<w:tc><w:p><w:r><w:t>{_xesc(t)}</w:t></w:r></w:p></w:tc>"
+
+    tbl = (
+        "<w:tbl>"
+        "<w:tr>" + tc("metric") + tc("value") + "</w:tr>"
+        "<w:tr>" + tc("views") + tc(str((doc_id * 37) % 1000)) + "</w:tr>"
+        "</w:tbl>"
+    )
+    body = (
+        _w_p(f"Document {doc_id}", style="Title")
+        + _w_p(text)
+        + _w_p(f"item {(doc_id * 7) % 100}", num=True)
+        + _w_p(f"item {(doc_id * 11) % 100}", num=True)
+        + tbl
+        + '<w:p><w:r><w:br w:type="page"/></w:r></w:p>'
+        + _w_p(f"Section {doc_id}", style="Heading2")
+        + _w_p(first10)
+    )
+    document = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<w:document {_W_XMLNS}><w:body>{body}</w:body></w:document>"
+    )
+    return _zip_bytes(
+        [
+            ("[Content_Types].xml", _DOCX_CT),
+            ("_rels/.rels", _PKG_RELS.format(target="word/document.xml")),
+            ("word/document.xml", document),
+        ]
+    )
+
+
+def _synth_ooxml_batch(batches):
+    for pdf in batches:
+        rows = []
+        for doc_id, text, lang, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+        ):
+            doc_id = int(doc_id)
+            payload = (
+                render_xlsx(doc_id)
+                if doc_id % 2 == 0
+                else render_docx(doc_id, text)
+            )
+            rows.append(
+                {
+                    "url": doc_url(doc_id, source),
+                    "warc_ts": doc_ts(doc_id).replace(tzinfo=None),
+                    "html": payload,
+                    "text": "",
+                    "lang": lang,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+
+
+def synth_ooxml_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are REAL OOXML containers
+    (xlsx for even doc_ids, docx for odd) — exercises the zip+XML extraction
+    path (extract/ooxml.py) end to end."""
+    from zerox_spark.schema import PAGES_SCHEMA
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs = docs.repartition(num_partitions, "doc_id")
+    return docs.mapInPandas(_synth_ooxml_batch, schema=PAGES_SCHEMA)
