@@ -168,8 +168,15 @@ def main() -> None:
     efficiency = (pps_big / pps_small) / (N_BIG / N_SMALL)
 
     # ---- phase 2: headline queries at full width ----
+    # Per-query timings are STEADY-STATE: the first mapInPandas on a fresh
+    # local[32] session pays ~5s of one-time Python-worker spawn, which
+    # belongs to session startup, not the query (on a real cluster workers
+    # are long-lived). One warm-up UDF pass absorbs it; the cold/warm delta
+    # is visible in the headline job's warm-up run above.
     spark = fresh_spark(CPUS)
     spark.range(1).count()
+    q_quality_score(spark, SF_DIR).count()  # warm Python workers (UDF path)
+    q_extract_markdown(spark, SF_DIR).count()  # warm the extract path
     for name, fn in [
         ("extract_markdown", q_extract_markdown),
         ("extract_doc_agg", q_extract_doc_agg),

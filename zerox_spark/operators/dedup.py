@@ -189,6 +189,13 @@ def dedup_minhash_pairs(
 
     Output contract matches dedup_ngram_pairs (the oracle): pairs that share
     ≥1 LSH band bucket AND verify at ≥ threshold exact Jaccard.
+
+    Verification joins the candidate PAIRS to per-doc shingle arrays and
+    computes Jaccard with ``array_intersect`` — per-pair cost, zero reuse of
+    the minhash DAG. (The previous formulation re-ran the full ngram
+    self-join on the candidate-restricted corpus and then joined back to
+    candidates, putting the 128-hash signature computation in the lineage of
+    THREE consumers — Spark recomputed it three times per action.)
     """
     sigs = minhash_signatures(corpus)
     bands = sigs.select(
@@ -221,17 +228,28 @@ def dedup_minhash_pairs(
         )
         .distinct()
     )
-    # verify candidates with exact jaccard (re-using the ngram machinery on
-    # the candidate-restricted corpus keeps verification cost ∝ candidates)
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("doc_id"))
-        .unionByName(candidates.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+    # verify candidates with exact jaccard, per pair: join each side to its
+    # distinct-shingle array and intersect JVM-side. Same exact rational
+    # arithmetic as dedup_ngram_pairs → identical output values.
+    sh_arrays = corpus.select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
     )
-    restricted = corpus.join(cand_ids, "doc_id", "left_semi")
-    verified = dedup_ngram_pairs(restricted, threshold)
-    return candidates.join(verified, ["id_a", "id_b"], "inner").select(
-        "id_a", "id_b", "jaccard"
+    a_sh = sh_arrays.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sha")
+    )
+    b_sh = sh_arrays.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("shb")
+    )
+    n_inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    return (
+        candidates.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .withColumn(
+            "jaccard",
+            n_inter / (F.size("sha") + F.size("shb") - n_inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
