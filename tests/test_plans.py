@@ -98,3 +98,19 @@ def test_repetition_plan_is_linear_not_quadratic(spark):
     # words array inside a projection — must be gone
     assert "array_distinct" not in plan
     assert plan.count("HashAggregate") >= 4  # partial+final × two aggs
+
+
+def test_minhash_signature_computed_once_per_plan(spark):
+    """The LSH verify stage must NOT put the 128-hash signature subtree in
+    multiple consumers' lineage (the r01 shape recomputed it 3× per action:
+    formatted-plan pmod count ~14,800; the per-pair array_intersect verify
+    keeps it ~800). Locked with a generous upper bound."""
+    from zerox_spark.operators.dedup import (
+        dedup_minhash_pairs,
+        with_injected_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = plan_of(dedup_minhash_pairs(with_injected_duplicates(docs)))
+    assert "array_intersect" in plan  # the per-pair verify
+    assert plan.count("pmod") < 3000, "signature subtree duplicated in plan"

@@ -233,3 +233,28 @@ def test_payload_cte_matches_renderer_byte_for_byte():
         assert payload == render_payload(doc_id, text, lang, source).decode(
             "utf-8"
         ), f"payload drift for doc {doc_id}"
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    """IVF-flat (sampled-centroid cells + nprobe probing) must hold the
+    documented recall floor against brute force on the hardest regime
+    (unclustered random vectors), deterministically."""
+    from pyspark.sql import functions as F
+
+    from zerox_spark.operators.similarity import ann_topk_exact, ann_topk_ivf
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = set(
+        map(
+            tuple,
+            ann_topk_exact(emb, q, 5)
+            .select("query_id", "neighbor_id")
+            .collect(),
+        )
+    )
+    ivf1 = ann_topk_ivf(emb, q, 64, 5).select("query_id", "neighbor_id")
+    got = set(map(tuple, ivf1.collect()))
+    assert len(exact & got) / len(exact) >= 0.7
+    # deterministic: same plan, same rows on rerun
+    assert set(map(tuple, ivf1.collect())) == got

@@ -298,6 +298,34 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF-flat path vs exact, floor-clamped like
+    q_ann_recall (measured 0.92-0.98; floor 70 fails loudly on regression
+    while absorbing sf drift)."""
+    from zerox_spark.operators.similarity import ann_topk_ivf
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    exact = ann_topk_exact(emb, queries, k=ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ann_topk_ivf(emb, queries, EMBED_DIM, k=ANN_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(ivf, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.least(
+            F.floor(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                * 100
+                / F.count(F.lit(1))
+            ),
+            F.lit(ANN_RECALL_FLOOR).cast("long"),
+        ).alias("recall_floor_pct"),
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -384,6 +412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_recall": q_ann_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "curation": q_curation,
     "events_sessionize": q_events_sessionize,
     "events_topk": q_events_topk,
@@ -807,6 +836,11 @@ SELECT url, CAST(strlen(payload) AS BIGINT) AS n_bytes, media_kind
 FROM payloads
 """,
     "ann_recall": f"""
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST({ANN_RECALL_FLOOR} AS BIGINT) AS recall_floor_pct
+FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
+""",
+    "ann_ivf_recall": f"""
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST({ANN_RECALL_FLOOR} AS BIGINT) AS recall_floor_pct
 FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
