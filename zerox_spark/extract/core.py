@@ -13,8 +13,10 @@ Routing (logical-plan branch per document):
 4. ``PK`` magic → OOXML zip+XML extraction (ooxml.py): xlsx sheet-per-page
    (convertExcelToHtml analog, file.ts:210-276), docx heading/list/table
    pages (the convertFileToPdf route, file.ts:129-150, without libreoffice);
-5. anything else → HTML pipeline (tokenize → DOM → score → markdown);
-6. empty/undecodable payload → ERROR page with content "" and
+5. CFB magic → legacy Office extraction (cfb.py + legacy_office.py):
+   .xls BIFF8 sheet-per-page, .doc Word97 piece-table text;
+6. anything else → HTML pipeline (tokenize → DOM → score → markdown);
+7. empty/undecodable payload → ERROR page with content "" and
    content_length 0, job continues (the IGNORE containment).
 
 A user-supplied ``ExtractConfig.extractor`` callable replaces steps 2-4
@@ -64,12 +66,19 @@ def _builtin_ooxml(html: bytes, text: str | None):
     return ooxml_to_pages(html)
 
 
+def _builtin_cfb(html: bytes, text: str | None):
+    from zerox_spark.extract.legacy_office import cfb_to_pages
+
+    return cfb_to_pages(html)
+
+
 EXTRACTORS: dict[str, object] = {
     "auto": None,  # full dispatch below (the default)
     "readability": _builtin_html,
     "layout": _builtin_layout,
     "sheets": _builtin_sheets,
     "ooxml": _builtin_ooxml,
+    "legacy_office": _builtin_cfb,
 }
 
 
@@ -228,10 +237,17 @@ def _extract_raw(
         pages = config.extractor(html, text)  # type: ignore[operator]
         return [(no, _finalize(md), spans) for no, md, spans in pages]
     if html[:4] == b"\xd0\xcf\x11\xe0":
-        # legacy-Office CFB (checkIsCFBFile, file.ts:89-92): the reference
-        # shells out to libreoffice (convertFileToPdf, file.ts:129-150);
-        # no office runtime in this env → contained ERROR, never a crash
-        raise ValueError("legacy Office (CFB) payload: converter not available")
+        # legacy-Office CFB (checkIsCFBFile, file.ts:89-92): stdlib
+        # container+payload extraction (extract/cfb.py + legacy_office.py —
+        # the convertFileToPdf route, file.ts:129-150, without libreoffice).
+        # A CFB that is not xls/doc, or a corrupt one, raises → contained
+        # ERROR in IGNORE mode.
+        from zerox_spark.extract.legacy_office import cfb_to_pages
+
+        pages = cfb_to_pages(html)
+        if not pages:
+            raise ValueError("CFB payload with no pages")
+        return [(no, _finalize(md), spans) for no, md, spans in pages]
     if is_sheet(html):
         pages = sheets_to_pages(html)
         if not pages:

@@ -1,0 +1,375 @@
+"""Legacy Office payloads (.xls BIFF8, .doc Word97) — stdlib extraction.
+
+The reference converts these through libreoffice (convertFileToPdf,
+node-zerox/src/utils/file.ts:129-150) and, for spreadsheets, routes sheets
+to pages (extractPagesFromStructuredDataFile, file.ts:311-329). Both binary
+formats are public ([MS-XLS], [MS-DOC]); this module implements the subset
+that carries the text:
+
+- .xls: the ``Workbook`` stream's BIFF8 record list — BOUNDSHEET sheet
+  names/offsets, SST shared strings (with CONTINUE-spanning strings and the
+  per-continuation compression flag), LABELSST/LABEL/NUMBER/RK/MULRK/
+  BOOLERR cells. Sheet k → page k with the same ``## Sheet: name`` +
+  first-row-``<th>`` table form as the OOXML path (ooxml.py), so xlsx and
+  xls of the same workbook extract identically.
+- .doc: FIB (wIdent/flags/ccpText at their [MS-DOC] offsets, fcClx/lcbClx
+  at FIB bytes 0x01A2/0x01A6) → piece table (Pcdt/PlcPcd in the
+  ``0Table``/``1Table`` stream selected by fWhichTblStm) → text pieces
+  (cp1252-compressed or UTF-16). Paragraph marks (\\r) split paragraphs,
+  \\x0c splits pages, \\x07 (cell/row marks) ends a paragraph, field/other
+  control chars are dropped. Styles live in a separate FKP/stylesheet layer
+  the rasterizing reference never surfaces either — every paragraph emits
+  as a ``para`` block.
+
+Number formatting matches the xlsx path: integral floats render without the
+trailing ``.0`` (the xlsx JS lib's number.toString() semantics).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from zerox_spark.extract.cfb import CfbReader
+from zerox_spark.extract.markdown import Block, join_blocks
+from zerox_spark.extract.ooxml import _grid_table
+
+# --- BIFF8 record opcodes ---------------------------------------------------
+XLS_BOF = 0x0809
+XLS_EOF = 0x000A
+XLS_BOUNDSHEET = 0x0085
+XLS_SST = 0x00FC
+XLS_CONTINUE = 0x003C
+XLS_LABELSST = 0x00FD
+XLS_LABEL = 0x0204
+XLS_NUMBER = 0x0203
+XLS_RK = 0x027E
+XLS_MULRK = 0x00BD
+XLS_BOOLERR = 0x0205
+
+
+def _fmt_num(v: float) -> str:
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return repr(v)
+
+
+def _rk_value(rk: int) -> str:
+    mul100 = rk & 0x01
+    if rk & 0x02:  # 30-bit signed integer
+        v = rk >> 2
+        if v & 0x20000000:
+            v -= 0x40000000
+        num = float(v)
+    else:  # top 30 bits of an IEEE double
+        num = struct.unpack("<d", struct.pack("<Q", (rk & ~0x3) << 32))[0]
+    if mul100:
+        num /= 100.0
+    return _fmt_num(num)
+
+
+class _Records:
+    """BIFF record walker over a stream, with CONTINUE-aware payload
+    access for the SST."""
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos
+
+    def __iter__(self):
+        data, n = self.data, len(self.data)
+        pos = self.pos
+        while pos + 4 <= n:
+            op, ln = struct.unpack_from("<HH", data, pos)
+            body_at = pos + 4
+            if body_at + ln > n:
+                break  # truncated record → stop, keep what we have
+            yield op, body_at, ln
+            pos = body_at + ln
+
+
+def _parse_sst(data: bytes, body_at: int, ln: int) -> list[str]:
+    """SST record + its CONTINUE records. Strings spanning a CONTINUE
+    boundary re-read the compression flag byte at the boundary
+    ([MS-XLS] 2.5.293)."""
+    segments: list[tuple[int, int]] = [(body_at, ln)]
+    pos = body_at + ln
+    while pos + 4 <= len(data):
+        op, cln = struct.unpack_from("<HH", data, pos)
+        if op != XLS_CONTINUE:
+            break
+        segments.append((pos + 4, cln))
+        pos = pos + 4 + cln
+
+    seg_i = 0
+    off = segments[0][0]
+
+    def remaining() -> int:
+        start, ln_ = segments[seg_i]
+        return start + ln_ - off
+
+    def advance_segment() -> None:
+        nonlocal seg_i, off
+        seg_i += 1
+        if seg_i >= len(segments):
+            raise ValueError("SST truncated (ran out of CONTINUE records)")
+        off = segments[seg_i][0]
+
+    def read(n: int) -> bytes:
+        nonlocal off
+        out = b""
+        while n:
+            if remaining() == 0:
+                advance_segment()
+            take = min(n, remaining())
+            out += data[off : off + take]
+            off += take
+            n -= take
+        return out
+
+    def read_chars(n_chars: int, high: bool) -> str:
+        """Characters may span segments; each continuation restarts with
+        its own grbit flag byte."""
+        nonlocal off
+        out = []
+        while n_chars:
+            if remaining() == 0:
+                advance_segment()
+                high = bool(read(1)[0] & 0x01)
+            width = 2 if high else 1
+            avail = remaining() // width
+            take = min(n_chars, avail)
+            if take == 0:
+                # a lone byte of a utf-16 char never happens in valid files
+                raise ValueError("SST char split across segment")
+            raw = read(take * width)
+            out.append(
+                raw.decode("utf-16-le" if high else "cp1252", "replace")
+            )
+            n_chars -= take
+        return "".join(out)
+
+    total = struct.unpack("<II", read(8))[1]
+    strings: list[str] = []
+    for _ in range(total):
+        cch = struct.unpack("<H", read(2))[0]
+        grbit = read(1)[0]
+        high = bool(grbit & 0x01)
+        ext = bool(grbit & 0x04)
+        rich = bool(grbit & 0x08)
+        c_run = struct.unpack("<H", read(2))[0] if rich else 0
+        cb_ext = struct.unpack("<I", read(4))[0] if ext else 0
+        strings.append(read_chars(cch, high))
+        if c_run:
+            read(4 * c_run)
+        if cb_ext:
+            read(cb_ext)
+    return strings
+
+
+def _short_unicode(data: bytes, pos: int) -> tuple[str, int]:
+    """BIFF8 ShortXLUnicodeString (u8 length): (text, bytes_consumed)."""
+    cch = data[pos]
+    high = bool(data[pos + 1] & 0x01)
+    width = 2 if high else 1
+    raw = data[pos + 2 : pos + 2 + cch * width]
+    return (
+        raw.decode("utf-16-le" if high else "cp1252", "replace"),
+        2 + cch * width,
+    )
+
+
+def _long_unicode(data: bytes, pos: int) -> str:
+    """BIFF8 XLUnicodeString (u16 length) — used by LABEL cells."""
+    cch = struct.unpack_from("<H", data, pos)[0]
+    high = bool(data[pos + 2] & 0x01)
+    width = 2 if high else 1
+    raw = data[pos + 3 : pos + 3 + cch * width]
+    return raw.decode("utf-16-le" if high else "cp1252", "replace")
+
+
+def xls_to_grids(payload: bytes) -> list[tuple[str, list[list[str]]]]:
+    """.xls bytes → [(sheet_name, rows)] in workbook order (same output
+    contract as ooxml.xlsx_to_grids)."""
+    cfb = CfbReader(payload)
+    names = cfb.stream_names()
+    stream_name = "Workbook" if "Workbook" in names else (
+        "Book" if "Book" in names else None
+    )
+    if stream_name is None:
+        raise ValueError("CFB has no Workbook/Book stream")
+    wb = cfb.read_stream(stream_name)
+
+    sst: list[str] = []
+    sheets: list[tuple[str, int]] = []  # (name, BOF offset)
+    for op, at, ln in _Records(wb):
+        if op == XLS_SST:
+            sst = _parse_sst(wb, at, ln)
+        elif op == XLS_BOUNDSHEET:
+            bof = struct.unpack_from("<I", wb, at)[0]
+            name, _ = _short_unicode(wb, at + 6)
+            sheets.append((name, bof))
+        elif op == XLS_EOF and sheets:
+            break  # end of workbook globals substream
+    if not sheets:
+        raise ValueError("xls has no BOUNDSHEET records")
+
+    grids = []
+    for name, bof in sheets:
+        cells: dict[int, dict[int, str]] = {}
+        for op, at, ln in _Records(wb, bof):
+            if op == XLS_EOF:
+                break
+            if op == XLS_LABELSST:
+                rw, col, _ixfe, isst = struct.unpack_from("<HHHI", wb, at)
+                if isst < len(sst):
+                    cells.setdefault(rw, {})[col] = sst[isst]
+            elif op == XLS_NUMBER:
+                rw, col, _ixfe = struct.unpack_from("<HHH", wb, at)
+                num = struct.unpack_from("<d", wb, at + 6)[0]
+                cells.setdefault(rw, {})[col] = _fmt_num(num)
+            elif op == XLS_RK:
+                rw, col, _ixfe, rk = struct.unpack_from("<HHHI", wb, at)
+                cells.setdefault(rw, {})[col] = _rk_value(rk)
+            elif op == XLS_MULRK:
+                rw, col_first = struct.unpack_from("<HH", wb, at)
+                n_rk = (ln - 6) // 6
+                for i in range(n_rk):
+                    rk = struct.unpack_from("<I", wb, at + 4 + i * 6 + 2)[0]
+                    cells.setdefault(rw, {})[col_first + i] = _rk_value(rk)
+            elif op == XLS_LABEL:
+                rw, col, _ixfe = struct.unpack_from("<HHH", wb, at)
+                cells.setdefault(rw, {})[col] = _long_unicode(wb, at + 6)
+            elif op == XLS_BOOLERR:
+                rw, col, _ixfe, val, is_err = struct.unpack_from(
+                    "<HHHBB", wb, at
+                )
+                if not is_err:
+                    cells.setdefault(rw, {})[col] = (
+                        "true" if val else "false"
+                    )
+        rows = []
+        for rw in sorted(cells):
+            vals = [cells[rw][c] for c in sorted(cells[rw])]
+            if any(v != "" for v in vals):
+                rows.append(vals)
+        grids.append((name, rows))
+    return grids
+
+
+def xls_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """Sheet k → page k, identical page form to the xlsx path."""
+    out = []
+    for i, (name, rows) in enumerate(xls_to_grids(payload), start=1):
+        blocks = [Block("heading", f"## Sheet: {name}")]
+        blocks.append(Block("table", _grid_table(rows)))
+        markdown, spans = join_blocks(blocks)
+        out.append((i, markdown, spans))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# .doc (Word 97 binary)
+
+_FIB_WIDENT = 0xA5EC
+_FIB_FLAGS_OFF = 0x0A
+_FIB_CCPTEXT_OFF = 0x4C
+_FIB_FCCLX_OFF = 0x01A2
+_F_WHICH_TBL_STM = 0x0200
+
+
+def doc_to_text(payload: bytes) -> str:
+    """Main-document text of a Word97 .doc via the piece table."""
+    cfb = CfbReader(payload)
+    word = cfb.read_stream("WordDocument")
+    if len(word) < 0x01AA:
+        raise ValueError("WordDocument stream too short for a FIB")
+    if struct.unpack_from("<H", word, 0)[0] != _FIB_WIDENT:
+        raise ValueError("not a Word97 FIB")
+    flags = struct.unpack_from("<H", word, _FIB_FLAGS_OFF)[0]
+    table_name = "1Table" if flags & _F_WHICH_TBL_STM else "0Table"
+    ccp_text = struct.unpack_from("<I", word, _FIB_CCPTEXT_OFF)[0]
+    fc_clx, lcb_clx = struct.unpack_from("<II", word, _FIB_FCCLX_OFF)
+    if lcb_clx == 0:
+        raise ValueError("doc has no Clx (piece table)")
+    table = cfb.read_stream(table_name)
+    clx = table[fc_clx : fc_clx + lcb_clx]
+
+    # Clx = Prc* then Pcdt(0x02 lcb PlcPcd)
+    pos = 0
+    while pos < len(clx) and clx[pos] == 0x01:  # Prc: 0x01, cbGrpprl, data
+        cb = struct.unpack_from("<h", clx, pos + 1)[0]
+        pos += 3 + cb
+    if pos >= len(clx) or clx[pos] != 0x02:
+        raise ValueError("Clx has no Pcdt")
+    lcb = struct.unpack_from("<I", clx, pos + 1)[0]
+    plc = clx[pos + 5 : pos + 5 + lcb]
+    n = (len(plc) - 4) // 12
+    if n <= 0:
+        raise ValueError("empty piece table")
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    out: list[str] = []
+    taken = 0
+    for i in range(n):
+        if taken >= ccp_text:
+            break
+        pcd_off = (n + 1) * 4 + i * 8
+        fc_raw = struct.unpack_from("<I", plc, pcd_off + 2)[0]
+        n_chars = min(cps[i + 1], ccp_text) - cps[i]
+        if n_chars <= 0:
+            continue
+        if fc_raw & 0x40000000:  # compressed: cp1252, fc is doubled
+            fc = (fc_raw & 0x3FFFFFFF) // 2
+            raw = word[fc : fc + n_chars]
+            out.append(raw.decode("cp1252", "replace"))
+        else:
+            fc = fc_raw & 0x3FFFFFFF
+            raw = word[fc : fc + n_chars * 2]
+            out.append(raw.decode("utf-16-le", "replace"))
+        taken += n_chars
+    return "".join(out)
+
+
+def doc_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """Paragraph blocks, pages split on explicit page breaks (\\x0c)."""
+    text = doc_to_text(payload)
+    # normalize Word control chars: \x07 cell/row mark and \x0b soft break
+    # end a line; field and object markers are dropped
+    text = text.replace("\x07", "\r").replace("\x0b", "\r")
+    for ch in ("\x13", "\x14", "\x15", "\x01", "\x08", "\x02"):
+        text = text.replace(ch, "")
+    pages_src = text.split("\x0c")
+    out = []
+    for chunk in pages_src:
+        paras = [p.strip() for p in chunk.split("\r")]
+        blocks = [Block("para", p) for p in paras if p]
+        if not blocks:
+            continue
+        markdown, spans = join_blocks(blocks)
+        out.append((len(out) + 1, markdown, spans))
+    if not out:
+        raise ValueError("doc produced no content")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# router
+
+
+def cfb_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """Dispatch a CFB payload by its stream names."""
+    names = set(CfbReader(payload).stream_names())
+    if "Workbook" in names or "Book" in names:
+        return xls_to_pages(payload)
+    if "WordDocument" in names:
+        return doc_to_pages(payload)
+    raise ValueError(
+        "CFB container is not xls/doc (streams: "
+        + ",".join(sorted(names)[:5])
+        + ")"
+    )

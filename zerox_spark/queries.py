@@ -130,6 +130,17 @@ def q_extract_ooxml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("url", "page_no", "markdown")
 
 
+def q_extract_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real legacy-Office CFB containers (stdlib struct): .xls BIFF8
+    sheet-per-page + .doc Word97 piece-table pages (extract/cfb.py,
+    extract/legacy_office.py)."""
+    from zerox_spark.synth import synth_legacy_pages
+
+    pages = synth_legacy_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    return ex.select("url", "page_no", "markdown")
+
+
 def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: the ZeroxOutput.summary analog over the whole corpus."""
     return summary(_extracted(spark, sf_dir, maintain_format=True))
@@ -401,6 +412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_structured": q_extract_structured,
     "page_select": q_page_select,
     "extract_ooxml": q_extract_ooxml,
+    "extract_legacy": q_extract_legacy,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
     "lineage_metrics": q_lineage_metrics,
@@ -808,6 +820,40 @@ docx_md AS (
 )
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
 FROM (SELECT * FROM xlsx_md UNION ALL SELECT * FROM docx_md)
+""",
+    "extract_legacy": f"""
+WITH docs AS (
+  SELECT doc_id, text, source, {_URL} AS url FROM documents
+),
+xls_md AS (
+  SELECT url, p.page_no,
+    CASE p.page_no
+      WHEN 1 THEN
+        '## Sheet: data' || {_NL2} ||
+        '<table><tr><th>name</th><th>q1</th><th>q2</th></tr><tr><td>r0</td><td>'
+        || ((doc_id * 7) % 100) || '</td><td>' || ((doc_id * 11) % 100)
+        || '</td></tr><tr><td>r1</td><td>' || ((doc_id * 7 + 13) % 100)
+        || '</td><td>' || ((doc_id * 11 + 17) % 100) || '</td></tr></table>'
+      ELSE
+        '## Sheet: summary' || {_NL2} ||
+        '<table><tr><th>name</th><th>total</th></tr><tr><td>all</td><td>'
+        || ((doc_id * 19) % 1000) || '</td></tr></table>'
+    END AS markdown
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 2 = 0
+),
+doc_md AS (
+  SELECT url, p.page_no,
+    CASE p.page_no
+      WHEN 1 THEN 'Document ' || doc_id || {_NL2} || text
+      ELSE 'Section ' || doc_id || {_NL2} ||
+        array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+    END AS markdown
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 2 = 1
+)
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
+FROM (SELECT * FROM xls_md UNION ALL SELECT * FROM doc_md)
 """,
     "extract_summary": _MD_CTE
     + """

@@ -506,3 +506,156 @@ def synth_ooxml_pages(
     )
     docs = docs.repartition(num_partitions, "doc_id")
     return docs.mapInPandas(_synth_ooxml_batch, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# legacy-Office renderers (.xls BIFF8 / .doc Word97 inside real CFB
+# containers — extract/cfb.py, extract/legacy_office.py)
+
+import struct as _struct
+
+
+def _biff_rec(op: int, body: bytes) -> bytes:
+    return _struct.pack("<HH", op, len(body)) + body
+
+
+def _biff_short_str(s: str) -> bytes:
+    raw = s.encode("cp1252")
+    return _struct.pack("<BB", len(s), 0) + raw
+
+
+def render_xls(doc_id: int) -> bytes:
+    """Real .xls (BIFF8-in-CFB) with the sheet_cells(doc_id) grids — the
+    same cell values as render_xlsx, through the legacy container."""
+    data, summary = sheet_cells(doc_id)
+    shared = ["name", "q1", "q2", "r0", "r1", "total", "all"]
+    idx = {s: i for i, s in enumerate(shared)}
+
+    def bof(dt: int) -> bytes:
+        return _biff_rec(
+            0x0809, _struct.pack("<HHHHII", 0x0600, dt, 0x0DBB, 0x07CC, 0, 0)
+        )
+
+    eof = _biff_rec(0x000A, b"")
+
+    sst_body = _struct.pack("<II", len(shared), len(shared))
+    for s in shared:
+        sst_body += _struct.pack("<HB", len(s), 0) + s.encode("cp1252")
+    sst = _biff_rec(0x00FC, sst_body)
+
+    def sheet_substream(rows: list[list[str]]) -> bytes:
+        recs = [bof(0x0010)]
+        for rw, row in enumerate(rows):
+            for col, cell in enumerate(row):
+                if cell in idx:
+                    recs.append(
+                        _biff_rec(
+                            0x00FD,
+                            _struct.pack("<HHHI", rw, col, 0, idx[cell]),
+                        )
+                    )
+                else:
+                    recs.append(
+                        _biff_rec(
+                            0x0203,
+                            _struct.pack("<HHH", rw, col, 0)
+                            + _struct.pack("<d", float(cell)),
+                        )
+                    )
+        recs.append(eof)
+        return b"".join(recs)
+
+    sheets = [("data", sheet_substream(data)), ("summary", sheet_substream(summary))]
+    # globals length is independent of the BOF offsets inside BOUNDSHEET
+    # records (fixed-width u32), so one placeholder pass sizes it
+    def globals_block(offsets: list[int]) -> bytes:
+        recs = [bof(0x0005), sst]
+        for (name, _), off in zip(sheets, offsets):
+            recs.append(
+                _biff_rec(
+                    0x0085,
+                    _struct.pack("<IH", off, 0) + _biff_short_str(name),
+                )
+            )
+        recs.append(eof)
+        return b"".join(recs)
+
+    glen = len(globals_block([0] * len(sheets)))
+    offsets, pos = [], glen
+    for _, sub in sheets:
+        offsets.append(pos)
+        pos += len(sub)
+    workbook = globals_block(offsets) + b"".join(sub for _, sub in sheets)
+
+    from zerox_spark.extract.cfb import write_cfb
+
+    return write_cfb([("Workbook", workbook)])
+
+
+def render_doc(doc_id: int, text: str) -> bytes:
+    """Real .doc (Word97-in-CFB): FIB + single uncompressed text piece +
+    piece table in 1Table. Two pages split by an explicit page break."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+    body = (
+        f"Document {doc_id}\r{text}\r\x0c"
+        f"Section {doc_id}\r{first10}\r"
+    )
+    text_off = 1024
+    raw_text = body.encode("utf-16-le")
+    word = bytearray(text_off) + raw_text
+    _struct.pack_into("<H", word, 0, 0xA5EC)  # wIdent
+    _struct.pack_into("<H", word, 2, 0x00C1)  # nFib (Word97)
+    _struct.pack_into("<H", word, 0x0A, 0x0200)  # fWhichTblStm → 1Table
+    _struct.pack_into("<I", word, 0x4C, len(body))  # ccpText
+    # Clx: Pcdt with a single uncompressed piece at fc=text_off
+    plc = _struct.pack("<II", 0, len(body)) + _struct.pack(
+        "<HIH", 0, text_off, 0
+    )
+    clx = b"\x02" + _struct.pack("<I", len(plc)) + plc
+    _struct.pack_into("<II", word, 0x01A2, 0, len(clx))  # fcClx, lcbClx
+    from zerox_spark.extract.cfb import write_cfb
+
+    return write_cfb([("WordDocument", bytes(word)), ("1Table", clx)])
+
+
+def _synth_legacy_batch(batches):
+    for pdf in batches:
+        rows = []
+        for doc_id, text, lang, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+        ):
+            doc_id = int(doc_id)
+            payload = (
+                render_xls(doc_id)
+                if doc_id % 2 == 0
+                else render_doc(doc_id, text)
+            )
+            rows.append(
+                {
+                    "url": doc_url(doc_id, source),
+                    "warc_ts": doc_ts(doc_id).replace(tzinfo=None),
+                    "html": payload,
+                    "text": "",
+                    "lang": lang,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+
+
+def synth_legacy_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are REAL legacy-Office CFB
+    containers (.xls for even doc_ids, .doc for odd) — exercises the
+    CFB/BIFF8/Word97 extraction path end to end."""
+    from zerox_spark.schema import PAGES_SCHEMA
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs = docs.repartition(num_partitions, "doc_id")
+    return docs.mapInPandas(_synth_legacy_batch, schema=PAGES_SCHEMA)
