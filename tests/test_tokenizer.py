@@ -8,7 +8,9 @@ from zerox_spark.html.tokenizer import Token, tokenize
 
 
 def toks(src: str) -> list[Token]:
-    return list(tokenize(src))
+    # tokenize yields plain tuples (hot-loop optimization); wrap for
+    # attribute access in assertions — equality still holds both ways
+    return [Token(*t) for t in tokenize(src)]
 
 
 def test_basic_tags_and_text():

@@ -234,11 +234,14 @@ def _content_score(block_text: str) -> float:
 
 
 def _finish_inline(raw: str) -> str:
-    collapsed = _WS.sub(" ", raw)
+    # " ".join(split()) = \s+ collapse + edge strip in one C pass (~2-3x
+    # the regex sub); edge whitespace is either BR-adjacent (removed by the
+    # replaces below, same as before) or was stripped at the end anyway
+    collapsed = " ".join(raw.split())
     if _BR in collapsed:  # <br> is rare; skip 3 string passes otherwise
         collapsed = collapsed.replace(" " + _BR, _BR).replace(_BR + " ", _BR)
-        collapsed = collapsed.replace(_BR, "\n")
-    return collapsed.strip()
+        collapsed = collapsed.replace(_BR, "\n").strip()
+    return collapsed
 
 
 def _inline_text(nodes: list[Node], node: Node) -> str:

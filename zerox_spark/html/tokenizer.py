@@ -18,6 +18,12 @@ from typing import Iterator, NamedTuple
 
 
 class Token(NamedTuple):
+    """Field layout of the tuples ``tokenize`` yields. The hot loop yields
+    PLAIN tuples (NamedTuple construction is a measurable share of the
+    per-page cost); ``Token`` exists for tests/consumers that want attribute
+    access — ``Token(*t)`` wraps, and ``==`` compares across the two (both
+    are tuples)."""
+
     kind: str  # 'start' | 'end' | 'text' | 'comment' | 'doctype'
     tag: str  # lowercase tag name ('' for text/comment/doctype)
     attrs: dict[str, str] | None
@@ -81,8 +87,9 @@ _SCANNER = re.compile(
 )
 
 
-def tokenize(src: str) -> Iterator[Token]:
-    """Yield tokens; never raises on malformed input."""
+def tokenize(src: str) -> Iterator[tuple]:
+    """Yield (kind, tag, attrs, text, self_closing) tuples (see Token);
+    never raises on malformed input."""
     pos, n = 0, len(src)
     match = _SCANNER.match
     find = src.find
@@ -91,7 +98,7 @@ def tokenize(src: str) -> Iterator[Token]:
         pos = m.end()
         g = m.lastindex
         if g == 1:
-            yield Token("text", "", None, m.group(1), False)
+            yield ("text", "", None, m.group(1), False)
             continue
         if g == 6 or g == 5:
             tag = m.group(5).lower()
@@ -104,31 +111,31 @@ def tokenize(src: str) -> Iterator[Token]:
                 if self_closing:
                     attr_src = attr_src.rstrip()[:-1]
                 attrs = _parse_attrs(attr_src) if attr_src.strip() else None
-            yield Token(
+            yield (
                 "start", tag, attrs, "", self_closing or tag in VOID_ELEMENTS
             )
             if tag in RAWTEXT_ELEMENTS and not self_closing:
                 close = _find_close(src, pos, tag)
                 if close == -1:
-                    yield Token("text", "", None, src[pos:], False)
-                    yield Token("end", tag, None, "", False)
+                    yield ("text", "", None, src[pos:], False)
+                    yield ("end", tag, None, "", False)
                     return
-                yield Token("text", "", None, src[pos:close], False)
+                yield ("text", "", None, src[pos:close], False)
                 gt = find(">", close)
-                yield Token("end", tag, None, "", False)
+                yield ("end", tag, None, "", False)
                 pos = n if gt == -1 else gt + 1
             continue
         if g == 4:
-            yield Token("end", m.group(4).lower(), None, "", False)
+            yield ("end", m.group(4).lower(), None, "", False)
             continue
         if g == 2:
             body = m.group(2)
-            yield Token("comment", "", None, body, False)
+            yield ("comment", "", None, body, False)
             if not src.endswith("-->", 0, pos) and pos >= n:
                 return
             continue
         if g == 3:
-            yield Token("text", "", None, m.group(3), False)
+            yield ("text", "", None, m.group(3), False)
             continue
         token_text = m.group(0)
         if token_text == "<":
@@ -145,19 +152,19 @@ def tokenize(src: str) -> Iterator[Token]:
                 nm = _TAG_NAME_RE.match(src, pos + 1)
                 if nm is not None and find(">", nm.end()) == -1:
                     return
-                yield Token("text", "", None, "</", False)
+                yield ("text", "", None, "</", False)
                 pos += 1
                 continue
             if _TAG_NAME_RE.match(src, pos) is not None:
                 return
             if src[pos : pos + 1] in ("!", "?") and find(">", pos) == -1:
                 return
-            yield Token("text", "", None, "<", False)
+            yield ("text", "", None, "<", False)
             continue
         # '<!'/'<?' declaration with '>' present → doctype (no body group);
         # an unterminated declaration never matches this alternative and is
         # dropped by the bare-'<' branch above
-        yield Token("doctype", "", None, token_text[:-1], False)
+        yield ("doctype", "", None, token_text[:-1], False)
 
 
 def _find_close(src: str, start: int, tag: str) -> int:
