@@ -83,3 +83,39 @@ def test_fold_preserves_page_order_and_count_invariants(pages):
     out = apply_maintain_format(rows)
     assert [p[0] for p in out] == [p[0] for p in rows[: len(out)]]
     assert len(out) == len(rows)  # py mode never drops pages
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=600))
+def test_pk_payloads_never_raise_in_ignore_mode(tail: bytes):
+    """Arbitrary bytes behind the PK magic must extract or contain — never
+    crash a task (the OOXML/zip route, extract/ooxml.py)."""
+    pages = extract_document(
+        b"PK\x03\x04" + tail, None, ExtractConfig(trust_text=False)
+    )
+    assert pages and all(p.status in ("SUCCESS", "ERROR") for p in pages)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=1200))
+def test_cfb_payloads_never_raise_in_ignore_mode(tail: bytes):
+    """Arbitrary bytes behind the CFB magic must extract or contain (the
+    legacy-Office route, extract/cfb.py + legacy_office.py)."""
+    pages = extract_document(
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + tail,
+        None,
+        ExtractConfig(trust_text=False),
+    )
+    assert pages and all(p.status in ("SUCCESS", "ERROR") for p in pages)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 2**16 - 1))
+def test_truncated_real_cfb_contained(cut: bytes, at: int):
+    """Truncating/garbling a REAL .xls/.doc at any point stays contained."""
+    from zerox_spark.synth import render_doc, render_xls
+
+    base = render_xls(4) + render_doc(5, "w1 w2 w3")[:0]  # one real payload
+    mangled = base[: at % (len(base) + 1)] + cut
+    pages = extract_document(mangled, None, ExtractConfig(trust_text=False))
+    assert pages and all(p.status in ("SUCCESS", "ERROR") for p in pages)

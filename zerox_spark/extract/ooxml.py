@@ -332,7 +332,8 @@ def _merge_list_runs(blocks: list[Block]) -> list[Block]:
 def ooxml_to_pages(
     payload: bytes,
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
-    """Dispatch a PK payload by its content parts (the magic-byte routing
+    """Dispatch a PK payload by its content parts — xlsx, docx, or ODF odt
+    (the magic-byte routing
     analog of isExcelFile, file.ts:363-371, which the reference does by
     file extension)."""
     with _zip(payload) as zf:
@@ -341,4 +342,96 @@ def ooxml_to_pages(
         return xlsx_to_pages(payload)
     if "word/document.xml" in names:
         return docx_to_pages(payload)
-    raise ValueError("zip container is not OOXML xlsx/docx")
+    if "content.xml" in names:
+        return odt_to_pages(payload)
+    raise ValueError("zip container is not OOXML/ODF (xlsx/docx/odt)")
+
+
+# ---------------------------------------------------------------------------
+# ODT (OpenDocument text — the other zip+XML office family libreoffice
+# feeds the reference's convertFileToPdf with)
+
+_T = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_TBL = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+
+
+def _odt_text(el: ET.Element) -> str:
+    """Flatten an ODT paragraph: <text:s> is a run of spaces, <text:tab>
+    a tab-as-space, <text:line-break> a space; nested spans recurse."""
+    parts: list[str] = []
+
+    def walk(node: ET.Element) -> None:
+        if node.text:
+            parts.append(node.text)
+        for child in node:
+            tag = child.tag
+            if tag == f"{_T}s":
+                parts.append(" " * int(child.get(f"{_T}c", "1") or "1"))
+            elif tag in (f"{_T}tab", f"{_T}line-break"):
+                parts.append(" ")
+            else:
+                walk(child)
+            if child.tail:
+                parts.append(child.tail)
+
+    walk(el)
+    return "".join(parts)
+
+
+def _odt_block(el: ET.Element) -> Block | None:
+    tag = el.tag
+    if tag == f"{_T}h":
+        text = _odt_text(el).strip()
+        if not text:
+            return None
+        level = min(6, max(1, int(el.get(f"{_T}outline-level", "1") or "1")))
+        return Block("heading", f"{'#' * level} {text}")
+    if tag == f"{_T}p":
+        text = _odt_text(el).strip()
+        return Block("para", text) if text else None
+    if tag == f"{_T}list":
+        items = [
+            _odt_text(p).strip()
+            for li in el.findall(f"{_T}list-item")
+            for p in li.findall(f"{_T}p")
+        ]
+        items = [i for i in items if i]
+        if not items:
+            return None
+        return Block("list", "\n".join(f"- {i}" for i in items))
+    if tag == f"{_TBL}table":
+        rows = []
+        for tr in el.findall(f"{_TBL}table-row"):
+            cells = [
+                " ".join(
+                    x
+                    for x in (
+                        _odt_text(p).strip() for p in tc.findall(f"{_T}p")
+                    )
+                    if x
+                )
+                for tc in tr.findall(f"{_TBL}table-cell")
+            ]
+            rows.append(cells)
+        return Block("table", _grid_table(rows)) if rows else None
+    return None
+
+
+def odt_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """content.xml office:body/office:text children → one page of blocks
+    (ODT pagination is renderer-defined, like docx without explicit
+    breaks)."""
+    with _zip(payload) as zf:
+        root = _read_xml(zf, "content.xml")
+    _O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+    body = root.find(f"{_O}body")
+    text_el = body.find(f"{_O}text") if body is not None else None
+    if text_el is None:
+        raise ValueError("odt has no office:text body")
+    blocks = [b for b in (_odt_block(el) for el in text_el) if b is not None]
+    if not blocks:
+        raise ValueError("odt body produced no content")
+    markdown, spans = join_blocks(_merge_list_runs(blocks))
+    return [(1, markdown, spans)]
