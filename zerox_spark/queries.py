@@ -141,6 +141,18 @@ def q_extract_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("url", "page_no", "markdown")
 
 
+def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-containment contract, driver-checked: every third doc is a
+    deterministically-corrupt CFB payload → exactly one ERROR row with
+    empty markdown and content_length 0; valid docs extract normally. The
+    oracle states the ERROR set and per-status counts in closed form."""
+    from zerox_spark.synth import synth_poison_pages
+
+    pages = synth_poison_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(), NUM_BUCKETS)
+    return ex.select("url", "page_no", "status", "content_length")
+
+
 def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: the ZeroxOutput.summary analog over the whole corpus."""
     return summary(_extracted(spark, sf_dir, maintain_format=True))
@@ -392,8 +404,18 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (rows-only; property-tested in pytest)."""
-    return fingerprints(_docs(spark, sf_dir)).select("doc_id", "fp_hash")
+    """Winnowing fingerprints, value-checked: the oracle restates the FULL
+    winnowing algorithm (k-gram rolling hashes, rightmost-tie window min,
+    consecutive-position dedup) in DuckDB list SQL; fingerprints compare as
+    canonical comma-joined strings (engine-neutral, unlike raw arrays)."""
+    fp = fingerprints(_docs(spark, sf_dir))
+    return fp.select(
+        "doc_id",
+        F.size("fp").alias("n_fp"),
+        F.array_join(
+            F.transform("fp", lambda x: x.cast("string")), ","
+        ).alias("fp_str"),
+    )
 
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,6 +435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_select": q_page_select,
     "extract_ooxml": q_extract_ooxml,
     "extract_legacy": q_extract_legacy,
+    "extract_errors": q_extract_errors,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
     "lineage_metrics": q_lineage_metrics,
@@ -725,6 +748,49 @@ payloads AS (
 """
 
 
+# winnowing (Schleimer et al. 2003) restated in DuckDB list SQL — the
+# second, independent implementation of textstats._winnow_one: k=5-gram
+# rolling hashes (base 257 mod 2^31-1), W=4 windows with rightmost-tie
+# minima, consecutive-position dedup. Verified char-exact against the
+# Python reference for every sandbox doc.
+_WINNOW_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    CASE WHEN len(text) >= 5 THEN
+      list_transform(range(1, len(text) - 3), i ->
+        (unicode(text[i])::BIGINT * 67503107 + unicode(text[i+1])::BIGINT * 16974593
+         + unicode(text[i+2])::BIGINT * 66049 + unicode(text[i+3])::BIGINT * 257
+         + unicode(text[i+4])::BIGINT) % 2147483647)
+    ELSE []::BIGINT[] END AS hs
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, len(hs) AS nh,
+    CASE
+      WHEN len(hs) = 0 THEN []
+      WHEN len(hs) <= 4 THEN [{'m': list_aggregate(hs, 'min'), 'pos': 1::BIGINT}]
+      ELSE list_transform(range(1, len(hs) - 2), w ->
+        {'m': list_aggregate(list_slice(hs, w, w + 3), 'min'),
+          'pos': w + 4 - list_position(
+             list_reverse(list_slice(hs, w, w + 3)),
+             list_aggregate(list_slice(hs, w, w + 3), 'min'))})
+    END AS raw
+  FROM h
+),
+fp AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(range(1, len(raw) + 1), i ->
+        CASE WHEN i = 1 OR raw[i].pos <> raw[i-1].pos
+             THEN raw[i].m END),
+      x -> x IS NOT NULL) AS fps
+  FROM wins
+)
+SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+       array_to_string(list_transform(fps, x -> x::VARCHAR), ',') AS fp_str
+FROM fp
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "extract_markdown": _MD_CTE
     + """
@@ -855,6 +921,20 @@ doc_md AS (
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
 FROM (SELECT * FROM xls_md UNION ALL SELECT * FROM doc_md)
 """,
+    # poison corpus: the MD CTE restricted to the valid docs, plus one
+    # closed-form ERROR row per corrupt doc (doc_id % 3 == 0)
+    "extract_errors": _MD_CTE.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 3 <> 0"
+    )
+    + f"""
+SELECT url, CAST(page_no AS INTEGER) AS page_no,
+       'SUCCESS' AS status, CAST(length(markdown) AS INTEGER) AS content_length
+FROM expected
+UNION ALL
+SELECT {_URL} AS url, CAST(1 AS INTEGER) AS page_no,
+       'ERROR' AS status, CAST(0 AS INTEGER) AS content_length
+FROM documents WHERE doc_id % 3 = 0
+""",
     "extract_summary": _MD_CTE
     + """
 SELECT count(DISTINCT url) AS total_docs,
@@ -891,6 +971,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST({ANN_RECALL_FLOOR} AS BIGINT) AS recall_floor_pct
 FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
 """,
+    "fingerprints": _WINNOW_SQL,
     "dedup_ngram": _JACCARD_SQL,
     "dedup_minhash": _JACCARD_SQL,
     "dedup_embedding": f"""

@@ -659,3 +659,47 @@ def synth_legacy_pages(
     )
     docs = docs.repartition(num_partitions, "doc_id")
     return docs.mapInPandas(_synth_legacy_batch, schema=PAGES_SCHEMA)
+
+
+def _synth_poison_batch(batches):
+    """The standard taxonomy corpus (_synth_batch) except every third doc's
+    payload is replaced by a deterministically-corrupt CFB header (and its
+    trusted-text channel emptied) — the containment-contract corpus."""
+    for pdf in batches:
+        rows = []
+        for doc_id, text, lang, source in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+        ):
+            doc_id = int(doc_id)
+            if doc_id % 3 == 0:
+                payload = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64
+                trusted = ""
+            else:
+                payload = render_payload(doc_id, text, lang, source)
+                trusted = text if is_fast(doc_id) else ""
+            rows.append(
+                {
+                    "url": doc_url(doc_id, source),
+                    "warc_ts": doc_ts(doc_id).replace(tzinfo=None),
+                    "html": payload,
+                    "text": trusted,
+                    "lang": lang,
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["url", "warc_ts", "html", "text", "lang"]
+        )
+
+
+def synth_poison_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    from zerox_spark.schema import PAGES_SCHEMA
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    docs = docs.repartition(num_partitions, "doc_id")
+    return docs.mapInPandas(_synth_poison_batch, schema=PAGES_SCHEMA)
