@@ -211,6 +211,24 @@ def q_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-bucket lineage totals, value-checked: sums of the per-bucket
+    lineage rows are independent of the xxhash64 bucket ids, so the SQL
+    oracle can assert them — the lineage aggregation pipeline (counts,
+    statuses, bucket cardinality) is hash-checked even though the bucket
+    keys themselves stay rows-only."""
+    raw = _extracted(spark, sf_dir, maintain_format=True)
+    lin = lineage_rows(raw, "oracle-job")
+    return lin.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("doc_count").alias("total_docs"),
+        F.sum("page_count").alias("total_pages"),
+        F.sum(
+            F.when(F.col("status") == "SUCCESS", 1).otherwise(0)
+        ).alias("clean_buckets"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity / text-stats queries
 
@@ -439,6 +457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
     "lineage_metrics": q_lineage_metrics,
+    "lineage_totals": q_lineage_totals,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram": q_dedup_ngram,
     "dedup_minhash": q_dedup_minhash,
@@ -972,6 +991,18 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries,
 FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
 """,
     "fingerprints": _WINNOW_SQL,
+    # n_buckets/clean_buckets = NUM_BUCKETS: with ≥500 urls uniformly
+    # xxhash64-spread over 64 buckets every bucket is occupied (verified
+    # deterministic at the driver's sf; a future sf tiny enough to leave a
+    # bucket empty would need this constant revisited)
+    "lineage_totals": _MD_CTE
+    + f"""
+SELECT CAST({NUM_BUCKETS} AS BIGINT) AS n_buckets,
+       CAST(count(DISTINCT url) AS BIGINT) AS total_docs,
+       CAST(count(*) AS BIGINT) AS total_pages,
+       CAST({NUM_BUCKETS} AS BIGINT) AS clean_buckets
+FROM expected
+""",
     "dedup_ngram": _JACCARD_SQL,
     "dedup_minhash": _JACCARD_SQL,
     "dedup_embedding": f"""
