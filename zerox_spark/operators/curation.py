@@ -6,28 +6,40 @@ the engine's operators:
                 verified; keep min of each pair)
               → token accounting
 
-One pass of each family (filter, hash-dedup, similarity-join dedup,
-accounting) in a single lazy plan: the quality gate prunes before the
-expensive near-dup stage; dedup survivors are computed with anti-joins so
-the corpus side streams. This is the query a 100 TB pretraining-data run
-actually executes; every stage is the oracle-checked operator from its own
-module.
+One lazy plan, shaped for 100 TB:
 
-Near-dup stage choice: ``dedup_minhash_pairs`` (banded LSH bucket join →
-candidates-only exact verification), NOT the raw bigram-shingle self-join —
-common shingles ("of the") give the raw join posting lists that explode
-quadratically at 100 TB, while the LSH path's cost stays ∝ candidates. The
-two operators have the same verified-pair output contract (both hash-match
-the same Jaccard SQL oracle), so swapping them changes the plan, not the
-result; ``dedup_ngram_pairs`` remains the test-scale ground truth.
+- the quality gate is a pure-column FILTER (textstats.quality_col), not a
+  join — the expensive shingle/minhash stages see only survivors and the
+  text column flows through the plan once;
+- exact dedup is a single window (row_number over text, min doc_id first)
+  — one shuffle, replacing the groupBy+min + semi-join-back shape (two
+  full-text shuffles);
+- near-dup pairs come from ``dedup_minhash_pairs`` (banded LSH bucket join
+  → candidates-only exact verification), NOT the raw bigram-shingle
+  self-join — common shingles ("of the") give the raw join posting lists
+  that explode quadratically at 100 TB, while the LSH path's cost stays
+  ∝ candidates. The two operators share the verified-pair output contract
+  (both hash-match the same Jaccard SQL oracle), so the swap changes the
+  plan, not the result; ``dedup_ngram_pairs`` remains the test-scale
+  ground truth;
+- token accounting is two inline column expressions, not a join.
+
+The deduped corpus is consumed by both the pair generator and the final
+anti-join; Spark's ReuseExchange covers the identical shuffle subtrees, and
+a production run of this query materializes the post-dedup corpus as a
+staged table anyway (the usual multi-stage curation layout).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from zerox_spark.operators.dedup import dedup_minhash_pairs
-from zerox_spark.operators.textstats import quality_score, token_counts
+from zerox_spark.operators.textstats import (
+    bpe_tokens_col,
+    quality_col,
+    ws_tokens_col,
+)
 
 QUALITY_MIN = 0.5
 JACCARD_MAX = 0.5
@@ -40,25 +52,28 @@ def curate(
 ) -> DataFrame:
     """(doc_id, ws_tokens, bpe_tokens, quality) for documents that survive
     the quality gate, exact dedup, and near-dup removal."""
-    quality = quality_score(docs).filter(F.col("quality") >= quality_min)
-    gated = docs.join(quality.select("doc_id", "quality"), "doc_id", "inner")
+    gated = docs.select(
+        "doc_id", "text", quality_col().alias("quality")
+    ).filter(F.col("quality") >= quality_min)
 
-    # exact dedup: survivors = min doc_id per text
-    survivors = (
-        gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # exact dedup: keep min doc_id per text — one window, one shuffle
+    w = Window.partitionBy("text").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    gated = gated.join(survivors.select("doc_id"), "doc_id", "left_semi")
 
     # near-dup removal: for each pair at jaccard ≥ threshold, the larger
     # doc_id is removed (anti-join against the loser set); pairs come from
     # the sub-quadratic LSH path (see module docstring)
-    pairs = dedup_minhash_pairs(gated.select("doc_id", "text"), jaccard_max)
+    pairs = dedup_minhash_pairs(deduped.select("doc_id", "text"), jaccard_max)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = gated.join(losers, "doc_id", "left_anti")
+    kept = deduped.join(losers, "doc_id", "left_anti")
 
-    toks = token_counts(kept.select("doc_id", "text"))
-    return (
-        kept.select("doc_id", "quality")
-        .join(toks, "doc_id")
-        .select("doc_id", "ws_tokens", "bpe_tokens", "quality")
+    return kept.select(
+        "doc_id",
+        ws_tokens_col().alias("ws_tokens"),
+        bpe_tokens_col().alias("bpe_tokens"),
+        "quality",
     )

@@ -5,8 +5,9 @@ Everything except the winnowing fingerprint is pure JVM-side column algebra
 (split/filter/aggregate/regexp) — whole-stage-codegen friendly, no Python in
 the hot path; each has a DuckDB-oracle-expressible definition so the driver
 can value-check it. The winnowing fingerprint needs a rolling window min —
-implemented as a vectorized pandas UDF (Arrow-batched), checked by property
-tests instead of SQL.
+implemented as a vectorized pandas UDF (Arrow-batched); its oracle restates
+the full algorithm in DuckDB list SQL (queries._WINNOW_SQL), and property
+tests pin the vectorized==scalar equality.
 """
 
 from __future__ import annotations
@@ -60,6 +61,37 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", pred.alias("pred_lang"))
 
 
+def quality_col(text=None):
+    """The composite quality score as a pure Column expression — composable
+    into other plans (curation inlines it as a filter instead of a join)."""
+    text = F.col("text") if text is None else text
+    words = _words(text)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    stop_ratio = F.round(_count_in(words, STOPWORDS) / n_words, 6)
+    alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    punct_ratio = F.round((n_chars - alnum) / n_chars, 6)
+    return F.round(
+        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
+        + stop_ratio * 0.4
+        + (F.lit(1.0) - punct_ratio) * 0.2,
+        6,
+    )
+
+
+def ws_tokens_col(text=None):
+    text = F.col("text") if text is None else text
+    return F.size(_words(text)).cast("int")
+
+
+def bpe_tokens_col(text=None):
+    text = F.col("text") if text is None else text
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+        .cast("int")
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Deterministic quality features + composite score per document.
 
@@ -74,12 +106,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     stop_ratio = F.round(_count_in(words, STOPWORDS) / n_words, 6)
     alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
     punct_ratio = F.round((n_chars - alnum) / n_chars, 6)
-    score = F.round(
-        F.least(F.lit(1.0), n_words / F.lit(100.0)) * 0.4
-        + stop_ratio * 0.4
-        + (F.lit(1.0) - punct_ratio) * 0.2,
-        6,
-    )
+    score = quality_col(text)
     return docs.select(
         "doc_id",
         n_chars.cast("int").alias("n_chars"),
@@ -96,10 +123,8 @@ def token_counts(docs: DataFrame) -> DataFrame:
     tokens — the two standard corpus-size accountants."""
     return docs.select(
         "doc_id",
-        F.size(_words(F.col("text"))).cast("int").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0))
-        .cast("int")
-        .alias("bpe_tokens"),
+        ws_tokens_col().alias("ws_tokens"),
+        bpe_tokens_col().alias("bpe_tokens"),
     )
 
 
