@@ -302,3 +302,36 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             "fp_hash"
         ),
     )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
+    """Top-k corpus n-grams by document frequency THEN total count — the
+    classic LM-corpus accounting sweep (vocabulary/collocation tables).
+
+    Plan: per-doc DISTINCT n-grams explode → groupBy(ngram) count docs +
+    total occurrences (the occurrence count explodes non-distinct grams) —
+    two map-side-combined aggregations, one ordered take. The final top-k
+    is a single-partition sort of the (tiny) aggregated table, not of the
+    corpus. Ties break lexicographically for cross-engine determinism."""
+    words = _words(F.col("text"))
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    exploded = docs.select(F.explode(grams).alias("ngram"))
+    counts = exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    distinct_per_doc = docs.select(
+        F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+    doc_freq = distinct_per_doc.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        counts.join(doc_freq, "ngram")
+        .orderBy(F.desc("n_docs"), F.desc("n_total"), F.asc("ngram"))
+        .limit(k)
+        .select("ngram", "n_docs", "n_total")
+    )

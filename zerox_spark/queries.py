@@ -421,6 +421,13 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus bigrams by (doc-frequency, total count, lexical)."""
+    from zerox_spark.operators.textstats import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), n=2, k=100)
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, value-checked: the oracle restates the FULL
     winnowing algorithm (k-gram rolling hashes, rightmost-tie window min,
@@ -476,6 +483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "redact_pii": q_redact_pii,
     "repetition": q_repetition,
+    "ngram_counts": q_ngram_counts,
     "fingerprints": q_fingerprints,
     "media_meta": q_media_meta,
 }
@@ -989,6 +997,25 @@ FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
        CAST({ANN_RECALL_FLOOR} AS BIGINT) AS recall_floor_pct
 FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
+""",
+    "ngram_counts": """
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+  )) AS ngram
+  FROM documents
+),
+counts AS (
+  SELECT ngram, count(*) AS n_total FROM grams GROUP BY ngram
+),
+doc_freq AS (
+  SELECT ngram, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY ngram
+)
+SELECT c.ngram, d.n_docs, c.n_total
+FROM counts c JOIN doc_freq d ON c.ngram = d.ngram
+ORDER BY n_docs DESC, n_total DESC, c.ngram ASC
+LIMIT 100
 """,
     "fingerprints": _WINNOW_SQL,
     # n_buckets/clean_buckets = NUM_BUCKETS: with ≥500 urls uniformly
