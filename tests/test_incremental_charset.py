@@ -97,3 +97,49 @@ def test_incremental_recrawl_latest_wins(spark, tmp_path):
     assert sink.read_extracted(spark).filter("url='https://r/1'").count() == 2
     latest = sink.read_extracted_latest(spark).filter("url='https://r/1'").collect()
     assert len(latest) == 1 and "version two" in latest[0].markdown
+
+
+def test_streaming_job_cli_drains_and_checkpoint_resumes(spark, tmp_path):
+    """job.py --streaming: file-source stream drained with availableNow;
+    the checkpoint makes a rerun over the same dir a no-op (no duplicate
+    rows) and a rerun after new files arrive processes only the delta."""
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [_page("https://s/1", 10, "stream one"), _page("https://s/2", 20, "stream two")],
+        PAGES_SCHEMA,
+    ).write.parquet(pages_dir)
+
+    import os
+
+    from zerox_spark.extract.core import ExtractConfig
+    from zerox_spark.streaming import read_pages_stream, stream_extract
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_extract(
+            read_pages_stream(spark, pages_dir),
+            out,
+            ckpt,
+            config=ExtractConfig(),
+            available_now=True,
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out).count()
+    assert first == 2
+    drain()  # nothing new → no duplicates
+    assert spark.read.parquet(out).count() == 2
+    # new file lands → only the delta is processed
+    spark.createDataFrame(
+        [_page("https://s/3", 30, "stream three")], PAGES_SCHEMA
+    ).write.mode("append").parquet(pages_dir)
+    drain()
+    rows = spark.read.parquet(out)
+    assert rows.count() == 3
+    assert {r.url for r in rows.select("url").collect()} == {
+        "https://s/1", "https://s/2", "https://s/3"
+    }
+    assert os.path.isdir(ckpt)

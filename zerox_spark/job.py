@@ -41,6 +41,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--export-md", default=None, help="also write one .md artifact per document to this dir (the reference's primary sink)")
     ap.add_argument("--extractor", default=None, help="named extractor strategy (auto|readability|layout|sheets) instead of magic-byte auto-routing")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="treat --input as a file-source STREAM dir: drain the current "
+        "backlog with availableNow (exactly-once per epoch via the "
+        "checkpoint under --output) and print the extracted totals",
+    )
     return ap.parse_args(argv)
 
 
@@ -59,6 +66,11 @@ def main(argv: list[str] | None = None) -> int:
         named_extractor = get_extractor(args.extractor)
 
     spark = get_spark(args.master, app_name="zerox-spark-job")
+
+    if args.streaming:
+        if not args.input:
+            raise SystemExit("--streaming requires --input (a stream dir)")
+        return _run_streaming(spark, args)
 
     if args.synth_sf_dir:
         from zerox_spark.synth import synth_pages
@@ -99,6 +111,48 @@ def main(argv: list[str] | None = None) -> int:
             sink.read_extracted(spark), args.export_md
         )
     print(json.dumps(stats))
+    return 0
+
+
+def _run_streaming(spark, args) -> int:
+    """Streaming mode: file-source stream → extract → parquet sink with a
+    checkpoint (resume-on-restart comes from the checkpoint; rerunning
+    after a crash reprocesses only unconsumed files — the streaming analog
+    of the batch bucket resume)."""
+    import os
+
+    from zerox_spark.extract.core import ExtractConfig
+    from zerox_spark.streaming import read_pages_stream, stream_extract
+
+    out_dir = os.path.join(args.output, "extracted")
+    ckpt_dir = os.path.join(args.output, "_checkpoint")
+    stream = read_pages_stream(spark, args.input)
+    q = stream_extract(
+        stream,
+        out_dir,
+        ckpt_dir,
+        config=ExtractConfig(
+            maintain_format=args.maintain_format, error_mode=args.error_mode
+        ),
+        num_buckets=args.buckets,
+        available_now=True,
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    stats = (
+        spark.read.parquet(out_dir)
+        .agg(
+            F.count_distinct("url").alias("total_docs"),
+            F.count(F.lit(1)).alias("total_pages"),
+            F.sum(
+                F.when(F.col("status") == "ERROR", 1).otherwise(0)
+            ).alias("failed"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    print(json.dumps({"mode": "streaming", **stats}))
     return 0
 
 
