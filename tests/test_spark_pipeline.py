@@ -258,3 +258,29 @@ def test_ann_ivf_recall_vs_exact(spark):
     assert len(exact & got) / len(exact) >= 0.7
     # deterministic: same plan, same rows on rerun
     assert set(map(tuple, ivf1.collect())) == got
+
+
+def test_connected_components_transitive_chains(spark):
+    """Min-label propagation must close transitive chains (a~b, b~c → one
+    component) and handle multiple components + diameter > 2."""
+    from pyspark.sql import Row
+
+    from zerox_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),          # chain
+            Row(id_a=10, id_b=11),                              # pair
+            Row(id_a=31, id_b=30), Row(id_a=31, id_b=32),       # star+tail
+            Row(id_a=33, id_b=32),                              # diameter 3
+        ]
+    )
+    out = sorted(tuple(r) for r in connected_components(pairs).collect())
+    assert out == [
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (30, 30), (31, 30), (32, 30), (33, 30),
+    ]
+    # empty pair graph → empty result, no crash
+    empty = pairs.limit(0)
+    assert connected_components(empty).count() == 0

@@ -331,3 +331,65 @@ def dedup_simhash_pairs(corpus: DataFrame, max_hamming: int = 7) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# connected components over the near-dup pair graph
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(doc_id, component) for every node of the pair graph, where
+    ``component`` = the minimum doc_id reachable from it — the transitive
+    closure a FineWeb-style cluster dedup needs (pairwise loser-removal
+    under-deletes chains: a~b, b~c must collapse to ONE survivor).
+
+    Min-label propagation (the classic iterative MapReduce formulation,
+    cf. Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    every node starts labeled with itself; each round takes the min of its
+    own and its neighbors' labels; converges in O(graph diameter) rounds.
+    Each round is one join + one map-side-combined min aggregation over the
+    LABEL table — which holds only the near-dup graph's nodes, a vanishing
+    fraction of the corpus at 100 TB. ``localCheckpoint`` truncates the
+    iterative lineage so the plan doesn't grow with the round count;
+    convergence is detected by the (monotonically decreasing) label sum.
+    """
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
+    if prev_sum is None:  # empty pair graph
+        return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )

@@ -285,6 +285,17 @@ def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(exact).unionByName(near)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the MinHash pair graph — the
+    FineWeb-style cluster dedup (pairwise loser-removal under-deletes
+    chains). Iterative min-label propagation on Spark; the oracle computes
+    the same closure with a DuckDB recursive CTE."""
+    from zerox_spark.operators.dedup import connected_components
+
+    corpus = with_injected_duplicates(_docs(spark, sf_dir))
+    return connected_components(dedup_minhash_pairs(corpus))
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH candidates + exact verify."""
     from zerox_spark.operators.similarity import embedding_dup_pairs
@@ -469,6 +480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -1030,6 +1042,23 @@ SELECT CAST({NUM_BUCKETS} AS BIGINT) AS n_buckets,
        CAST({NUM_BUCKETS} AS BIGINT) AS clean_buckets
 FROM expected
 """,
+    "dedup_components": (
+        _CORPUS_CTE.replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+        + _SHINGLE_CTE
+        + """
+, dup_pairs AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.5),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM dup_pairs
+  UNION ALL SELECT id_b, id_a FROM dup_pairs
+),
+reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
+"""
+    ),
     "dedup_ngram": _JACCARD_SQL,
     "dedup_minhash": _JACCARD_SQL,
     "dedup_embedding": f"""
