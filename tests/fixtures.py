@@ -92,6 +92,20 @@ E05_CROSS_PAGE_TABLE = b"""%PDF-SYNTH 1.0
 %%line y=40.0 x=306.0 size=8.0 text=2
 """
 
+# round-2 tokenizer contract: '>' inside quoted attribute values stays in
+# the tag (HTML5-correct); an unmatched quote swallows to EOF and drops the
+# truncated fragment — this fixture covers the in-document cases so the
+# contract is golden-locked at the byte level, not only unit-tested
+E13_QUOTED_ATTRS = b"""<!DOCTYPE html>
+<html><body><article>
+<h1>Quote contract</h1>
+<p title="1 > 2">gt inside a double-quoted attr</p>
+<p title='3 > 4'>gt inside a single-quoted attr</p>
+<p data-x="a'b" data-y='c"d'>mixed quote nesting</p>
+<p>plain paragraph between</p>
+<table class="stats"><tr><th>k</th><th>v</th></tr><tr><td>a > b</td><td>1</td></tr></table>
+</article></body></html>"""
+
 FIXTURES: dict[str, bytes] = {
     "e02_nav_only": E02_NAV_ONLY,
     "e03_markdown_fence": E03_MARKDOWN_FENCE,
@@ -102,4 +116,5 @@ FIXTURES: dict[str, bytes] = {
     "e11_malformed": E11_MALFORMED,
     "e12_nested_lists": E12_NESTED_LISTS,
     "e05_cross_page_table": E05_CROSS_PAGE_TABLE,
+    "e13_quoted_attrs": E13_QUOTED_ATTRS,
 }

@@ -68,3 +68,22 @@ def test_repetition_flags_repeated_docs(spark):
     out = {r.doc_id: r for r in repetition_stats(df).collect()}
     assert out[1].top_word_share > 0.8
     assert out[2].distinct_word_ratio == 1.0
+
+
+def test_curate_cluster_dedup_matches_pairwise_on_chainless_corpus(spark):
+    """After exact dedup the injected corpus' near-dup graph has no chains,
+    so cluster (connected-component) dedup and pairwise loser-removal keep
+    the same survivors."""
+    from zerox_spark.operators.curation import curate
+    from zerox_spark.operators.dedup import with_injected_duplicates
+    from zerox_spark.queries import _docs
+
+    docs = with_injected_duplicates(
+        _docs(spark, SF_SMOKE).select("doc_id", "text")
+    )
+    pairwise = {r.doc_id for r in curate(docs, quality_min=0.0).collect()}
+    clustered = {
+        r.doc_id
+        for r in curate(docs, quality_min=0.0, cluster_dedup=True).collect()
+    }
+    assert pairwise == clustered

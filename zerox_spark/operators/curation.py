@@ -49,9 +49,16 @@ def curate(
     docs: DataFrame,
     quality_min: float = QUALITY_MIN,
     jaccard_max: float = JACCARD_MAX,
+    cluster_dedup: bool = False,
 ) -> DataFrame:
     """(doc_id, ws_tokens, bpe_tokens, quality) for documents that survive
-    the quality gate, exact dedup, and near-dup removal."""
+    the quality gate, exact dedup, and near-dup removal.
+
+    ``cluster_dedup=True`` removes near-dups by CONNECTED COMPONENT (one
+    survivor per transitive cluster — closes a~b, b~c chains the default
+    pairwise loser-removal can leave partially deduped); default pairwise
+    matches the test corpus exactly (after exact dedup its near-dup graph
+    has no chains) and is the oracle-checked path."""
     gated = docs.select(
         "doc_id", "text", quality_col().alias("quality")
     ).filter(F.col("quality") >= quality_min)
@@ -68,7 +75,15 @@ def curate(
     # doc_id is removed (anti-join against the loser set); pairs come from
     # the sub-quadratic LSH path (see module docstring)
     pairs = dedup_minhash_pairs(deduped.select("doc_id", "text"), jaccard_max)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    if cluster_dedup:
+        from zerox_spark.operators.dedup import connected_components
+
+        comps = connected_components(pairs)
+        losers = comps.filter(
+            F.col("doc_id") != F.col("component")
+        ).select("doc_id")
+    else:
+        losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = deduped.join(losers, "doc_id", "left_anti")
 
     return kept.select(
