@@ -143,3 +143,27 @@ def test_streaming_job_cli_drains_and_checkpoint_resumes(spark, tmp_path):
         "https://s/1", "https://s/2", "https://s/3"
     }
     assert os.path.isdir(ckpt)
+
+
+def test_streaming_job_cli_empty_backlog_prints_zero_totals(tmp_path):
+    """job.py --streaming over an input dir with no files must print zero
+    totals, not crash with PATH_NOT_FOUND."""
+    import json
+    import subprocess
+    import sys
+
+    empty_in = tmp_path / "nofiles"
+    empty_in.mkdir()
+    out = subprocess.run(
+        [
+            sys.executable, "zerox_spark/job.py", "--streaming",
+            "--input", str(empty_in), "--output", str(tmp_path / "out"),
+            "--master", "local[2]",
+        ],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats == {
+        "mode": "streaming", "total_docs": 0, "total_pages": 0, "failed": 0
+    }

@@ -187,10 +187,14 @@ def _long_unicode(data: bytes, pos: int) -> str:
     return raw.decode("utf-16-le" if high else "cp1252", "replace")
 
 
-def xls_to_grids(payload: bytes) -> list[tuple[str, list[list[str]]]]:
+def xls_to_grids(
+    payload: bytes, cfb: CfbReader | None = None
+) -> list[tuple[str, list[list[str]]]]:
     """.xls bytes → [(sheet_name, rows)] in workbook order (same output
-    contract as ooxml.xlsx_to_grids)."""
-    cfb = CfbReader(payload)
+    contract as ooxml.xlsx_to_grids). Pass an already-open ``cfb`` to skip
+    re-parsing the container (the dispatcher does)."""
+    if cfb is None:
+        cfb = CfbReader(payload)
     names = cfb.stream_names()
     stream_name = "Workbook" if "Workbook" in names else (
         "Book" if "Book" in names else None
@@ -257,11 +261,11 @@ def xls_to_grids(payload: bytes) -> list[tuple[str, list[list[str]]]]:
 
 
 def xls_to_pages(
-    payload: bytes,
+    payload: bytes, cfb: CfbReader | None = None
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
     """Sheet k → page k, identical page form to the xlsx path."""
     out = []
-    for i, (name, rows) in enumerate(xls_to_grids(payload), start=1):
+    for i, (name, rows) in enumerate(xls_to_grids(payload, cfb), start=1):
         blocks = [Block("heading", f"## Sheet: {name}")]
         blocks.append(Block("table", _grid_table(rows)))
         markdown, spans = join_blocks(blocks)
@@ -279,9 +283,11 @@ _FIB_FCCLX_OFF = 0x01A2
 _F_WHICH_TBL_STM = 0x0200
 
 
-def doc_to_text(payload: bytes) -> str:
-    """Main-document text of a Word97 .doc via the piece table."""
-    cfb = CfbReader(payload)
+def doc_to_text(payload: bytes, cfb: CfbReader | None = None) -> str:
+    """Main-document text of a Word97 .doc via the piece table. Pass an
+    already-open ``cfb`` to skip re-parsing the container."""
+    if cfb is None:
+        cfb = CfbReader(payload)
     word = cfb.read_stream("WordDocument")
     if len(word) < 0x01AA:
         raise ValueError("WordDocument stream too short for a FIB")
@@ -299,7 +305,14 @@ def doc_to_text(payload: bytes) -> str:
     # Clx = Prc* then Pcdt(0x02 lcb PlcPcd)
     pos = 0
     while pos < len(clx) and clx[pos] == 0x01:  # Prc: 0x01, cbGrpprl, data
-        cb = struct.unpack_from("<h", clx, pos + 1)[0]
+        if pos + 3 > len(clx):
+            raise ValueError("Clx Prc header truncated")
+        # cbGrpprl is UNSIGNED ([MS-DOC] 2.9.210); a signed read lets a
+        # corrupt payload make `pos` stop advancing → infinite loop on an
+        # executor core. Bound it so pos strictly advances or we raise.
+        cb = struct.unpack_from("<H", clx, pos + 1)[0]
+        if cb > len(clx) - pos - 3:
+            raise ValueError(f"Clx Prc cbGrpprl out of range: {cb}")
         pos += 3 + cb
     if pos >= len(clx) or clx[pos] != 0x02:
         raise ValueError("Clx has no Pcdt")
@@ -332,10 +345,10 @@ def doc_to_text(payload: bytes) -> str:
 
 
 def doc_to_pages(
-    payload: bytes,
+    payload: bytes, cfb: CfbReader | None = None
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
     """Paragraph blocks, pages split on explicit page breaks (\\x0c)."""
-    text = doc_to_text(payload)
+    text = doc_to_text(payload, cfb)
     # normalize Word control chars: \x07 cell/row mark and \x0b soft break
     # end a line; field and object markers are dropped
     text = text.replace("\x07", "\r").replace("\x0b", "\r")
@@ -362,12 +375,15 @@ def doc_to_pages(
 def cfb_to_pages(
     payload: bytes,
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
-    """Dispatch a CFB payload by its stream names."""
-    names = set(CfbReader(payload).stream_names())
+    """Dispatch a CFB payload by its stream names. The container (FAT,
+    directory, mini-stream) is parsed ONCE and the open reader is passed
+    down — no double parse on the hot extract path."""
+    cfb = CfbReader(payload)
+    names = set(cfb.stream_names())
     if "Workbook" in names or "Book" in names:
-        return xls_to_pages(payload)
+        return xls_to_pages(payload, cfb)
     if "WordDocument" in names:
-        return doc_to_pages(payload)
+        return doc_to_pages(payload, cfb)
     raise ValueError(
         "CFB container is not xls/doc (streams: "
         + ",".join(sorted(names)[:5])

@@ -158,25 +158,29 @@ def xlsx_to_grids(payload: bytes) -> list[tuple[str, list[list[str]]]]:
     column order with gaps skipped (reference's sparse forEach); fully-empty
     rows dropped."""
     with _zip(payload) as zf:
-        shared = _shared_strings(zf)
-        grids = []
-        for name, member in _sheet_targets(zf):
-            root = _read_xml(zf, member)
-            rows: list[list[str]] = []
-            for row in root.iter(f"{_S}row"):
-                cells: list[tuple[int, str]] = []
-                next_col = 0
-                for c in row.findall(f"{_S}c"):
-                    col = _col_index(c.get("r"))
-                    if col is None:
-                        col = next_col
-                    next_col = col + 1
-                    cells.append((col, _cell_value(c, shared)))
-                vals = [v for _, v in sorted(cells, key=lambda cv: cv[0])]
-                if any(v != "" for v in vals):
-                    rows.append(vals)
-            grids.append((name, rows))
-        return grids
+        return _xlsx_grids(zf)
+
+
+def _xlsx_grids(zf: zipfile.ZipFile) -> list[tuple[str, list[list[str]]]]:
+    shared = _shared_strings(zf)
+    grids = []
+    for name, member in _sheet_targets(zf):
+        root = _read_xml(zf, member)
+        rows: list[list[str]] = []
+        for row in root.iter(f"{_S}row"):
+            cells: list[tuple[int, str]] = []
+            next_col = 0
+            for c in row.findall(f"{_S}c"):
+                col = _col_index(c.get("r"))
+                if col is None:
+                    col = next_col
+                next_col = col + 1
+                cells.append((col, _cell_value(c, shared)))
+            vals = [v for _, v in sorted(cells, key=lambda cv: cv[0])]
+            if any(v != "" for v in vals):
+                rows.append(vals)
+        grids.append((name, rows))
+    return grids
 
 
 def _grid_table(rows: list[list[str]]) -> str:
@@ -198,8 +202,15 @@ def xlsx_to_pages(
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
     """Sheet k → page k (extractPagesFromStructuredDataFile,
     file.ts:311-329)."""
+    with _zip(payload) as zf:
+        return _xlsx_pages(zf)
+
+
+def _xlsx_pages(
+    zf: zipfile.ZipFile,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
     out = []
-    for i, (name, rows) in enumerate(xlsx_to_grids(payload), start=1):
+    for i, (name, rows) in enumerate(_xlsx_grids(zf), start=1):
         blocks = [Block("heading", f"## Sheet: {name}")]
         blocks.append(Block("table", _grid_table(rows)))
         markdown, spans = join_blocks(blocks)
@@ -282,7 +293,13 @@ def docx_to_pages(
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
     """word/document.xml body → pages split on explicit page breaks."""
     with _zip(payload) as zf:
-        root = _read_xml(zf, "word/document.xml")
+        return _docx_pages(zf)
+
+
+def _docx_pages(
+    zf: zipfile.ZipFile,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    root = _read_xml(zf, "word/document.xml")
     body = root.find(f"{_W}body")
     if body is None:
         raise ValueError("docx has no <w:body>")
@@ -335,15 +352,16 @@ def ooxml_to_pages(
     """Dispatch a PK payload by its content parts — xlsx, docx, or ODF odt
     (the magic-byte routing
     analog of isExcelFile, file.ts:363-371, which the reference does by
-    file extension)."""
+    file extension). The container is opened ONCE and the open handle is
+    passed down — no double parse on the hot extract path."""
     with _zip(payload) as zf:
         names = set(zf.namelist())
-    if "xl/workbook.xml" in names:
-        return xlsx_to_pages(payload)
-    if "word/document.xml" in names:
-        return docx_to_pages(payload)
-    if "content.xml" in names:
-        return odt_to_pages(payload)
+        if "xl/workbook.xml" in names:
+            return _xlsx_pages(zf)
+        if "word/document.xml" in names:
+            return _docx_pages(zf)
+        if "content.xml" in names:
+            return _odt_pages(zf)
     raise ValueError("zip container is not OOXML/ODF (xlsx/docx/odt)")
 
 
@@ -424,7 +442,13 @@ def odt_to_pages(
     (ODT pagination is renderer-defined, like docx without explicit
     breaks)."""
     with _zip(payload) as zf:
-        root = _read_xml(zf, "content.xml")
+        return _odt_pages(zf)
+
+
+def _odt_pages(
+    zf: zipfile.ZipFile,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    root = _read_xml(zf, "content.xml")
     _O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
     body = root.find(f"{_O}body")
     text_el = body.find(f"{_O}text") if body is not None else None

@@ -140,13 +140,26 @@ def _run_streaming(spark, args) -> int:
     q.awaitTermination()
     from pyspark.sql import functions as F
 
+    if not os.path.isdir(out_dir):
+        # availableNow found no files → no batch committed, no output dir;
+        # an empty backlog is a legitimate invocation, not an error
+        print(json.dumps(
+            {"mode": "streaming", "total_docs": 0, "total_pages": 0,
+             "failed": 0}
+        ))
+        return 0
+    # explicit schema: the sink may have created the dir with metadata but
+    # no data files yet (empty backlog) — inference would fail there
+    from zerox_spark.operators.extract import RAW_EXTRACTED_SCHEMA
+
     stats = (
-        spark.read.parquet(out_dir)
+        spark.read.schema(RAW_EXTRACTED_SCHEMA).parquet(out_dir)
         .agg(
             F.count_distinct("url").alias("total_docs"),
             F.count(F.lit(1)).alias("total_pages"),
-            F.sum(
-                F.when(F.col("status") == "ERROR", 1).otherwise(0)
+            F.coalesce(
+                F.sum(F.when(F.col("status") == "ERROR", 1).otherwise(0)),
+                F.lit(0),
             ).alias("failed"),
         )
         .collect()[0]

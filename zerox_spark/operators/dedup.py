@@ -95,14 +95,19 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
 
 def _shingles(text_col: Column) -> Column:
     """Distinct word-n-gram shingles of a text column (JVM-side only:
-    split + transform + slice — no Python)."""
+    split + transform + slice — no Python). Documents with fewer than n
+    words yield an EMPTY array — the n_sh >= 1 guard matters because
+    F.sequence(1, 0) is the DESCENDING [1, 0], whose transform would call
+    slice(words, 0, n), a runtime error."""
     words = F.split(text_col, " ")
-    n_sh = F.greatest(F.size(words) - (NGRAM_N - 1), F.lit(0))
+    n_sh = F.size(words) - (NGRAM_N - 1)
     grams = F.transform(
-        F.sequence(F.lit(1), n_sh),
+        F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
         lambda i: F.array_join(F.slice(words, i, NGRAM_N), " "),
     )
-    return F.array_distinct(grams)
+    return F.when(n_sh >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def dedup_ngram_pairs(
@@ -370,6 +375,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     if prev_sum is None:  # empty pair graph
         return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["v"] == labels["node"])
@@ -388,8 +394,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silent wrong components are worse than a loud failure: a chain
+        # longer than max_iter hops would exit here still relabeling
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(pair-graph diameter exceeds max_iter — raise max_iter)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )

@@ -167,10 +167,14 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     formulation, which is O(words²) inside a single row — a 100k-word doc
     would cost 10^10 comparisons that no partitioning can split. Note
     split(text, ' ') yields [''] for empty text, so every doc emits ≥1 word
-    row and the output keeps exactly one row per input doc."""
+    row and the output keeps exactly one row per input doc; NULL text is
+    treated as empty (coalesce) so those docs keep their row too."""
     per_word = (
         docs.select(
-            "doc_id", F.explode(_words(F.col("text"))).alias("word")
+            "doc_id",
+            F.explode(_words(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "word"
+            ),
         )
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -314,11 +318,17 @@ def ngram_counts(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
     is a single-partition sort of the (tiny) aggregated table, not of the
     corpus. Ties break lexicographically for cross-engine determinism."""
     words = _words(F.col("text"))
-    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
+    n_sh = F.size(words) - (n - 1)
+    # n_sh >= 1 guard: F.sequence(1, 0) is the DESCENDING [1, 0] and its
+    # transform would call slice(words, 0, n) — a runtime error on any doc
+    # with fewer than n words (same guard as dedup._shingles)
+    grams = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     exploded = docs.select(F.explode(grams).alias("ngram"))
     counts = exploded.groupBy("ngram").agg(
         F.count(F.lit(1)).alias("n_total")

@@ -321,9 +321,11 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_RECALL_FLOOR = 70
 
 
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of the LSH path vs the exact path, floor-clamped so the
-    oracle can assert it in closed form: emits (n_queries,
+def _recall_floor(
+    spark: SparkSession, sf_dir: str, approx_fn
+) -> DataFrame:
+    """recall@k of an approximate ANN path vs the exact path, floor-clamped
+    so the oracle can assert it in closed form: emits (n_queries,
     recall_floor_pct) where recall_floor_pct = min(floor(100*recall),
     ANN_RECALL_FLOOR). Above the floor the value is the constant
     ANN_RECALL_FLOOR (hash-stable); a recall regression below the floor
@@ -333,10 +335,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ann_topk_exact(emb, queries, k=ANN_K).select(
         "query_id", "neighbor_id"
     )
-    lsh = ann_topk_lsh(emb, queries, EMBED_DIM, k=ANN_K).select(
+    approx = approx_fn(emb, queries, EMBED_DIM, k=ANN_K).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
-    joined = exact.join(lsh, ["query_id", "neighbor_id"], "left")
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
     return joined.agg(
         F.count_distinct("query_id").alias("n_queries"),
         F.least(
@@ -348,34 +350,19 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(ANN_RECALL_FLOOR).cast("long"),
         ).alias("recall_floor_pct"),
     )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the LSH path vs exact (see _recall_floor)."""
+    return _recall_floor(spark, sf_dir, ann_topk_lsh)
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of the IVF-flat path vs exact, floor-clamped like
-    q_ann_recall (measured 0.92-0.98; floor 70 fails loudly on regression
-    while absorbing sf drift)."""
+    """recall@k of the IVF-flat path vs exact (see _recall_floor; measured
+    0.92-0.98; floor 70 fails loudly on regression, absorbs sf drift)."""
     from zerox_spark.operators.similarity import ann_topk_ivf
 
-    emb = _embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
-    exact = ann_topk_exact(emb, queries, k=ANN_K).select(
-        "query_id", "neighbor_id"
-    )
-    ivf = ann_topk_ivf(emb, queries, EMBED_DIM, k=ANN_K).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
-    joined = exact.join(ivf, ["query_id", "neighbor_id"], "left")
-    return joined.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.least(
-            F.floor(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                * 100
-                / F.count(F.lit(1))
-            ),
-            F.lit(ANN_RECALL_FLOOR).cast("long"),
-        ).alias("recall_floor_pct"),
-    )
+    return _recall_floor(spark, sf_dir, ann_topk_ivf)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,11 +1192,11 @@ FROM documents
 """,
     "repetition": """
 SELECT doc_id,
-  round(len(list_distinct(string_split(text, ' ')))
-        / len(string_split(text, ' ')), 6) AS distinct_word_ratio,
-  round(list_max(list_transform(list_distinct(string_split(text, ' ')),
-        w -> len(list_filter(string_split(text, ' '), x -> x = w))))
-        / len(string_split(text, ' ')), 6) AS top_word_share
+  round(len(list_distinct(string_split(coalesce(text, ''), ' ')))
+        / len(string_split(coalesce(text, ''), ' ')), 6) AS distinct_word_ratio,
+  round(list_max(list_transform(list_distinct(string_split(coalesce(text, ''), ' ')),
+        w -> len(list_filter(string_split(coalesce(text, ''), ' '), x -> x = w))))
+        / len(string_split(coalesce(text, ''), ' ')), 6) AS top_word_share
 FROM documents
 """,
 }
