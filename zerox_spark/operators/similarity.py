@@ -239,10 +239,13 @@ def ann_topk_lsh(
 # sample rate sets the cell count (~sqrt(N) cells is the usual rule); probes
 # buy recall exactly like LSH tables do.
 IVF_CENTROID_MOD = 20
-# measured recall@5 vs exact on the unclustered sandbox corpus (the hardest
-# regime): nprobe 4/8/16 → 0.55/0.73/0.92 at sf0.01. Default 16 ≈ 6% of
-# cells probed at sf0.01; on clustered production embeddings the same
-# recall costs far fewer probes.
+# Minimum probe count; the DEFAULT is adaptive — ceil(n_cells / 2), floored
+# here — because on UNCLUSTERED vectors (the sandbox corpus, the hardest
+# regime) recall tracks the probed fraction: measured recall@5 vs exact is
+# 0.92 at 16/25 cells (sf0.01) and 0.88/0.96 at 48/64 of 100 cells (sf0.1),
+# but only 0.61 at a fixed 16/100. Production embeddings are clustered, so
+# a small FIXED nprobe holds recall there — pass nprobe explicitly to
+# override the worst-case default.
 IVF_NPROBE = 16
 
 
@@ -279,13 +282,17 @@ def ann_topk_ivf(
     dim: int,
     k: int = DEFAULT_K,
     centroid_mod: int = IVF_CENTROID_MOD,
-    nprobe: int = IVF_NPROBE,
+    nprobe: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: each database vector lives in its
     nearest-centroid cell; a query probes its ``nprobe`` nearest cells and
     exactly reranks only those cells' members. Same output contract as
-    ann_topk_exact/ann_topk_lsh."""
+    ann_topk_exact/ann_topk_lsh. ``nprobe=None`` → adaptive worst-case
+    default (see IVF_NPROBE note); pass a fixed value for clustered data."""
     cents = _centroids(embeddings, centroid_mod)
+    if nprobe is None:
+        n_cells = cents.count()  # tiny (the sampled centroid set)
+        nprobe = max(IVF_NPROBE, (n_cells + 1) // 2)
     assign = ivf_assignments(embeddings, cents)
     # query-side: nprobe nearest cells (tiny Q×C set; window is fine)
     q = queries.select(
