@@ -65,10 +65,20 @@ class CfbReader:
             num_difat,
         ) = struct.unpack_from("<IIIIIIIII", payload, 40)
         fat_sectors = list(struct.unpack_from("<109I", payload, 76))
-        # DIFAT extension sectors (rare; large files)
+        # DIFAT extension sectors (rare; large files). num_difat is
+        # ATTACKER-CONTROLLED header data: bound the walk by the real
+        # container capacity and reject revisits, or a crafted self-cycle
+        # (sector whose next-pointer is itself) spins for ~4e9 iterations
+        # growing fat_sectors unboundedly — the containment contract
+        # requires ValueError, never a pinned core.
+        difat_cap = min(num_difat, len(payload) // self._sector + 1)
+        visited: set[int] = set()
         seen = 0
         sid = first_difat
-        while sid not in (ENDOFCHAIN, FREESECT) and seen < num_difat:
+        while sid not in (ENDOFCHAIN, FREESECT) and seen < difat_cap:
+            if sid in visited:
+                raise ValueError(f"DIFAT sector cycle at {sid}")
+            visited.add(sid)
             block = self._sector_bytes(sid)
             ints = struct.unpack(f"<{self._sector // 4}I", block)
             fat_sectors.extend(ints[:-1])

@@ -31,7 +31,7 @@ import struct
 
 from zerox_spark.extract.cfb import CfbReader
 from zerox_spark.extract.markdown import Block, join_blocks
-from zerox_spark.extract.ooxml import _grid_table
+from zerox_spark.extract.ooxml import grids_to_pages
 
 # --- BIFF8 record opcodes ---------------------------------------------------
 XLS_BOF = 0x0809
@@ -263,14 +263,10 @@ def xls_to_grids(
 def xls_to_pages(
     payload: bytes, cfb: CfbReader | None = None
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
-    """Sheet k → page k, identical page form to the xlsx path."""
-    out = []
-    for i, (name, rows) in enumerate(xls_to_grids(payload, cfb), start=1):
-        blocks = [Block("heading", f"## Sheet: {name}")]
-        blocks.append(Block("table", _grid_table(rows)))
-        markdown, spans = join_blocks(blocks)
-        out.append((i, markdown, spans))
-    return out
+    """Sheet k → page k — the SAME grids_to_pages contract as the xlsx
+    path (ooxml.py), so xls and xlsx of one workbook extract
+    byte-identically."""
+    return grids_to_pages(xls_to_grids(payload, cfb))
 
 
 # ---------------------------------------------------------------------------

@@ -197,6 +197,22 @@ def _grid_table(rows: list[list[str]]) -> str:
     return "".join(parts)
 
 
+def grids_to_pages(
+    grids: list[tuple[str, list[list[str]]]],
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """Sheet k → page k with the canonical '## Sheet: name' + first-row-th
+    table form — THE cross-format page contract shared by xlsx (here) and
+    legacy .xls (legacy_office.py), so both containers of one workbook
+    extract byte-identically (tested)."""
+    out = []
+    for i, (name, rows) in enumerate(grids, start=1):
+        blocks = [Block("heading", f"## Sheet: {name}")]
+        blocks.append(Block("table", _grid_table(rows)))
+        markdown, spans = join_blocks(blocks)
+        out.append((i, markdown, spans))
+    return out
+
+
 def xlsx_to_pages(
     payload: bytes,
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
@@ -209,13 +225,7 @@ def xlsx_to_pages(
 def _xlsx_pages(
     zf: zipfile.ZipFile,
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
-    out = []
-    for i, (name, rows) in enumerate(_xlsx_grids(zf), start=1):
-        blocks = [Block("heading", f"## Sheet: {name}")]
-        blocks.append(Block("table", _grid_table(rows)))
-        markdown, spans = join_blocks(blocks)
-        out.append((i, markdown, spans))
-    return out
+    return grids_to_pages(_xlsx_grids(zf))
 
 
 # ---------------------------------------------------------------------------

@@ -289,9 +289,17 @@ def ann_topk_ivf(
     exactly reranks only those cells' members. Same output contract as
     ann_topk_exact/ann_topk_lsh. ``nprobe=None`` → adaptive worst-case
     default (see IVF_NPROBE note); pass a fixed value for clustered data."""
-    cents = _centroids(embeddings, centroid_mod)
+    # localCheckpoint: the centroid subtree (a filter over the FULL
+    # embeddings table) would otherwise re-execute for the count, the
+    # assignment join, and the query join — three scans of the big table
+    cents = _centroids(embeddings, centroid_mod).localCheckpoint()
+    n_cells = cents.count()  # tiny (the sampled centroid set)
+    if n_cells == 0:
+        raise ValueError(
+            f"IVF centroid sample is empty (no vec_id divisible by "
+            f"{centroid_mod}) — lower centroid_mod or use the LSH path"
+        )
     if nprobe is None:
-        n_cells = cents.count()  # tiny (the sampled centroid set)
         nprobe = max(IVF_NPROBE, (n_cells + 1) // 2)
     assign = ivf_assignments(embeddings, cents)
     # query-side: nprobe nearest cells (tiny Q×C set; window is fine)

@@ -329,19 +329,16 @@ def ngram_counts(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = docs.select(F.explode(grams).alias("ngram"))
+    # ONE explode computes both counts (count_distinct doc_id = doc
+    # frequency) — a second array_distinct explode would double the
+    # dominant tokenize+shuffle cost of the corpus sweep
+    exploded = docs.select("doc_id", F.explode(grams).alias("ngram"))
     counts = exploded.groupBy("ngram").agg(
-        F.count(F.lit(1)).alias("n_total")
-    )
-    distinct_per_doc = docs.select(
-        F.explode(F.array_distinct(grams)).alias("ngram")
-    )
-    doc_freq = distinct_per_doc.groupBy("ngram").agg(
-        F.count(F.lit(1)).alias("n_docs")
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_total"),
     )
     return (
-        counts.join(doc_freq, "ngram")
-        .orderBy(F.desc("n_docs"), F.desc("n_total"), F.asc("ngram"))
+        counts.orderBy(F.desc("n_docs"), F.desc("n_total"), F.asc("ngram"))
         .limit(k)
         .select("ngram", "n_docs", "n_total")
     )

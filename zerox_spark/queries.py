@@ -817,6 +817,22 @@ SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
 FROM fp
 """
 
+# the rendered-workbook page markdown (sheet_cells grids) — ONE statement
+# shared by the xlsx (extract_ooxml) and .xls (extract_legacy) oracles,
+# mirroring the shared grids_to_pages page contract on the Spark side
+_SHEET_PAGES_CASE = f"""CASE p.page_no
+      WHEN 1 THEN
+        '## Sheet: data' || {_NL2} ||
+        '<table><tr><th>name</th><th>q1</th><th>q2</th></tr><tr><td>r0</td><td>'
+        || ((doc_id * 7) % 100) || '</td><td>' || ((doc_id * 11) % 100)
+        || '</td></tr><tr><td>r1</td><td>' || ((doc_id * 7 + 13) % 100)
+        || '</td><td>' || ((doc_id * 11 + 17) % 100) || '</td></tr></table>'
+      ELSE
+        '## Sheet: summary' || {_NL2} ||
+        '<table><tr><th>name</th><th>total</th></tr><tr><td>all</td><td>'
+        || ((doc_id * 19) % 1000) || '</td></tr></table>'
+    END AS markdown"""
+
 ORACLE_SQL: dict[str, str] = {
     "extract_markdown": _MD_CTE
     + """
@@ -879,18 +895,7 @@ WITH docs AS (
 ),
 xlsx_md AS (
   SELECT url, p.page_no,
-    CASE p.page_no
-      WHEN 1 THEN
-        '## Sheet: data' || {_NL2} ||
-        '<table><tr><th>name</th><th>q1</th><th>q2</th></tr><tr><td>r0</td><td>'
-        || ((doc_id * 7) % 100) || '</td><td>' || ((doc_id * 11) % 100)
-        || '</td></tr><tr><td>r1</td><td>' || ((doc_id * 7 + 13) % 100)
-        || '</td><td>' || ((doc_id * 11 + 17) % 100) || '</td></tr></table>'
-      ELSE
-        '## Sheet: summary' || {_NL2} ||
-        '<table><tr><th>name</th><th>total</th></tr><tr><td>all</td><td>'
-        || ((doc_id * 19) % 1000) || '</td></tr></table>'
-    END AS markdown
+    {_SHEET_PAGES_CASE}
   FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
   WHERE doc_id % 2 = 0
 ),
@@ -919,18 +924,7 @@ WITH docs AS (
 ),
 xls_md AS (
   SELECT url, p.page_no,
-    CASE p.page_no
-      WHEN 1 THEN
-        '## Sheet: data' || {_NL2} ||
-        '<table><tr><th>name</th><th>q1</th><th>q2</th></tr><tr><td>r0</td><td>'
-        || ((doc_id * 7) % 100) || '</td><td>' || ((doc_id * 11) % 100)
-        || '</td></tr><tr><td>r1</td><td>' || ((doc_id * 7 + 13) % 100)
-        || '</td><td>' || ((doc_id * 11 + 17) % 100) || '</td></tr></table>'
-      ELSE
-        '## Sheet: summary' || {_NL2} ||
-        '<table><tr><th>name</th><th>total</th></tr><tr><td>all</td><td>'
-        || ((doc_id * 19) % 1000) || '</td></tr></table>'
-    END AS markdown
+    {_SHEET_PAGES_CASE}
   FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
   WHERE doc_id % 2 = 0
 ),

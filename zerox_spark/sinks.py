@@ -85,14 +85,23 @@ class ParquetSnapshotSink:
         )
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
+        # mergeSchema: a sink dir written by an older engine version may
+        # lack newer columns (e.g. max_warc_ts); single-footer inference
+        # could sample an old file and fail the watermark aggregation AFTER
+        # the expensive extraction ran. Merged schema yields nulls instead.
         try:
-            return spark.read.parquet(self.lineage_path)
+            return spark.read.option("mergeSchema", "true").parquet(
+                self.lineage_path
+            )
         except Exception:  # first run: no lineage yet
             return spark.createDataFrame([], LINEAGE_SCHEMA)
 
     def read_extracted(self, spark: SparkSession) -> DataFrame:
-        """All row versions (plus the _snap version column)."""
-        return spark.read.parquet(self.extracted_path)
+        """All row versions (plus the _snap version column). mergeSchema
+        for the same old-sink-dir reason as read_lineage."""
+        return spark.read.option("mergeSchema", "true").parquet(
+            self.extracted_path
+        )
 
     def read_extracted_latest(self, spark: SparkSession) -> DataFrame:
         """Latest version per (url, page_no) — the logical table a consumer

@@ -465,47 +465,6 @@ def render_docx(doc_id: int, text: str) -> bytes:
     )
 
 
-def _synth_ooxml_batch(batches):
-    for pdf in batches:
-        rows = []
-        for doc_id, text, lang, source in zip(
-            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
-        ):
-            doc_id = int(doc_id)
-            payload = (
-                render_xlsx(doc_id)
-                if doc_id % 2 == 0
-                else render_docx(doc_id, text)
-            )
-            rows.append(
-                {
-                    "url": doc_url(doc_id, source),
-                    "warc_ts": doc_ts(doc_id).replace(tzinfo=None),
-                    "html": payload,
-                    "text": "",
-                    "lang": lang,
-                }
-            )
-        yield pd.DataFrame(
-            rows, columns=["url", "warc_ts", "html", "text", "lang"]
-        )
-
-
-def synth_ooxml_pages(
-    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
-) -> DataFrame:
-    """documents.parquet → pages whose payloads are REAL OOXML containers
-    (xlsx for even doc_ids, docx for odd) — exercises the zip+XML extraction
-    path (extract/ooxml.py) end to end."""
-    from zerox_spark.schema import PAGES_SCHEMA
-
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang", "source"
-    )
-    docs = docs.repartition(num_partitions, "doc_id")
-    return docs.mapInPandas(_synth_ooxml_batch, schema=PAGES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -618,30 +577,85 @@ def render_doc(doc_id: int, text: str) -> bytes:
     return write_cfb([("WordDocument", bytes(word)), ("1Table", clx)])
 
 
-def _synth_legacy_batch(batches):
-    for pdf in batches:
-        rows = []
-        for doc_id, text, lang, source in zip(
-            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
-        ):
-            doc_id = int(doc_id)
-            payload = (
-                render_xls(doc_id)
-                if doc_id % 2 == 0
-                else render_doc(doc_id, text)
+
+
+
+
+def _row_taxonomy(doc_id: int, text: str, lang: str, source: str):
+    return render_payload(doc_id, text, lang, source), (
+        text if is_fast(doc_id) else ""
+    )
+
+
+def _row_ooxml(doc_id: int, text: str, lang: str, source: str):
+    return (
+        render_xlsx(doc_id) if doc_id % 2 == 0 else render_docx(doc_id, text)
+    ), ""
+
+
+def _row_legacy(doc_id: int, text: str, lang: str, source: str):
+    return (
+        render_xls(doc_id) if doc_id % 2 == 0 else render_doc(doc_id, text)
+    ), ""
+
+
+def _row_poison(doc_id: int, text: str, lang: str, source: str):
+    if doc_id % 3 == 0:
+        return b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64, ""
+    return _row_taxonomy(doc_id, text, lang, source)
+
+
+def _pages_from_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    row_fn,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Shared scaffold for every synthesized pages table: documents scan →
+    repartition → mapInPandas building (url, warc_ts, html, text, lang)
+    rows, with ``row_fn(doc_id, text, lang, source) → (payload, trusted
+    text)`` supplying the variant-specific payload."""
+    from zerox_spark.schema import PAGES_SCHEMA
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    def batch(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text, lang, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
+            ):
+                doc_id = int(doc_id)
+                payload, trusted = row_fn(doc_id, text, lang, source)
+                rows.append(
+                    {
+                        "url": doc_url(doc_id, source),
+                        "warc_ts": doc_ts(doc_id).replace(tzinfo=None),
+                        "html": payload,
+                        "text": trusted,
+                        "lang": lang,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
             )
-            rows.append(
-                {
-                    "url": doc_url(doc_id, source),
-                    "warc_ts": doc_ts(doc_id).replace(tzinfo=None),
-                    "html": payload,
-                    "text": "",
-                    "lang": lang,
-                }
-            )
-        yield pd.DataFrame(
-            rows, columns=["url", "warc_ts", "html", "text", "lang"]
-        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return docs.repartition(num_partitions, "doc_id").mapInPandas(
+        batch, schema=PAGES_SCHEMA
+    )
+
+
+def synth_ooxml_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are REAL OOXML containers
+    (xlsx for even doc_ids, docx for odd) — exercises the zip+XML
+    extraction path (extract/ooxml.py) end to end."""
+    return _pages_from_docs(spark, sf_dir, _row_ooxml, num_partitions)
 
 
 def synth_legacy_pages(
@@ -650,56 +664,13 @@ def synth_legacy_pages(
     """documents.parquet → pages whose payloads are REAL legacy-Office CFB
     containers (.xls for even doc_ids, .doc for odd) — exercises the
     CFB/BIFF8/Word97 extraction path end to end."""
-    from zerox_spark.schema import PAGES_SCHEMA
-
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang", "source"
-    )
-    docs = docs.repartition(num_partitions, "doc_id")
-    return docs.mapInPandas(_synth_legacy_batch, schema=PAGES_SCHEMA)
-
-
-def _synth_poison_batch(batches):
-    """The standard taxonomy corpus (_synth_batch) except every third doc's
-    payload is replaced by a deterministically-corrupt CFB header (and its
-    trusted-text channel emptied) — the containment-contract corpus."""
-    for pdf in batches:
-        rows = []
-        for doc_id, text, lang, source in zip(
-            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
-        ):
-            doc_id = int(doc_id)
-            if doc_id % 3 == 0:
-                payload = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64
-                trusted = ""
-            else:
-                payload = render_payload(doc_id, text, lang, source)
-                trusted = text if is_fast(doc_id) else ""
-            rows.append(
-                {
-                    "url": doc_url(doc_id, source),
-                    "warc_ts": doc_ts(doc_id).replace(tzinfo=None),
-                    "html": payload,
-                    "text": trusted,
-                    "lang": lang,
-                }
-            )
-        yield pd.DataFrame(
-            rows, columns=["url", "warc_ts", "html", "text", "lang"]
-        )
+    return _pages_from_docs(spark, sf_dir, _row_legacy, num_partitions)
 
 
 def synth_poison_pages(
     spark: SparkSession, sf_dir: str, num_partitions: int | None = None
 ) -> DataFrame:
-    from zerox_spark.schema import PAGES_SCHEMA
-
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang", "source"
-    )
-    docs = docs.repartition(num_partitions, "doc_id")
-    return docs.mapInPandas(_synth_poison_batch, schema=PAGES_SCHEMA)
+    """The standard taxonomy corpus except every third doc's payload is a
+    deterministically-corrupt CFB header (trusted text emptied) — the
+    containment-contract corpus."""
+    return _pages_from_docs(spark, sf_dir, _row_poison, num_partitions)
