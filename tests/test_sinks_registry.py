@@ -71,3 +71,42 @@ def test_export_markdown_files(spark, tmp_path):
     assert n == 10
     sample = sorted(out.iterdir())[0]
     assert sample.suffix == ".md" and sample.read_text()
+
+
+def test_lineage_mixed_schema_old_sink_dir(spark, tmp_path):
+    """A sink dir written by an older engine version (lineage rows without
+    max_warc_ts) must still support the watermark aggregation after new
+    rows are appended — mergeSchema yields nulls for the old files."""
+    from pyspark.sql import Row, functions as F
+
+    from zerox_spark.sinks import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(str(tmp_path / "s"))
+    old = spark.createDataFrame(
+        [
+            Row(
+                job_id="old", partition_id=1, input_split="x", doc_count=1,
+                page_count=1, checksum="0", elapsed_ms=1, status="SUCCESS",
+            )
+        ]
+    )
+    old.write.mode("append").parquet(sink.lineage_path)
+    import datetime
+
+    new = spark.createDataFrame(
+        [
+            Row(
+                job_id="new", partition_id=2, input_split="y", doc_count=1,
+                page_count=1, checksum="0", elapsed_ms=1, status="SUCCESS",
+                max_warc_ts=datetime.datetime(2024, 1, 2),
+            )
+        ]
+    )
+    new.write.mode("append").parquet(sink.lineage_path)
+    wm = (
+        sink.read_lineage(spark)
+        .agg(F.max("max_warc_ts").alias("wm"))
+        .collect()[0]
+        .wm
+    )
+    assert wm == datetime.datetime(2024, 1, 2)

@@ -284,3 +284,20 @@ def test_connected_components_transitive_chains(spark):
     # empty pair graph → empty result, no crash
     empty = pairs.limit(0)
     assert connected_components(empty).count() == 0
+
+
+def test_ann_ivf_empty_centroid_sample_raises(spark):
+    """No vec_id divisible by centroid_mod → loud error, not silent empty
+    top-k."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from zerox_spark.operators.similarity import ann_topk_ivf
+
+    emb = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .filter(F.col("vec_id") % 20 != 0)
+        .limit(50)
+    )
+    with pytest.raises(ValueError, match="centroid sample is empty"):
+        ann_topk_ivf(emb, emb.limit(3), 64, 5, centroid_mod=10**9)
