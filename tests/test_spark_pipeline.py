@@ -301,3 +301,48 @@ def test_ann_ivf_empty_centroid_sample_raises(spark):
     )
     with pytest.raises(ValueError, match="centroid sample is empty"):
         ann_topk_ivf(emb, emb.limit(3), 64, 5, centroid_mod=10**9)
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """Multimodal resize + frame-sample: real schemas/batching/fan-out with
+    the deterministic stub codec — exact expected values per contract."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from zerox_spark.operators.multimodal import (
+        FRAME_MOD,
+        resize_media,
+        sample_frames,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            Row(url="u1", html=bytearray(b"\x89PNGfakebytes")),
+            Row(url="u2", html=bytearray(b"abc")),
+            Row(url="u3", html=None),
+        ]
+    )
+    resized = {r.url: r for r in resize_media(pages, 32, 16).collect()}
+    assert set(resized) == {"u1", "u2", "u3"}
+    seed = hashlib.sha256(
+        b"\x89PNGfakebytes"
+        + (32).to_bytes(4, "little")
+        + (16).to_bytes(4, "little")
+    ).digest()
+    assert bytes(resized["u1"].payload) == (seed * 8)[:256]
+    assert (resized["u1"].width, resized["u1"].height) == (32, 16)
+
+    frames = sample_frames(pages).collect()
+    by_url: dict = {}
+    for r in frames:
+        by_url.setdefault(r.url, []).append(r)
+    for url, payload in (("u1", b"\x89PNGfakebytes"), ("u2", b"abc"), ("u3", b"")):
+        got = sorted(by_url[url], key=lambda r: r.frame_no)
+        assert len(got) == 1 + len(payload) % FRAME_MOD, url
+        assert [r.ts_ms for r in got] == [
+            (i) * 1000 for i in range(len(got))
+        ]
+        assert bytes(got[0].frame) == hashlib.sha256(
+            payload + (0).to_bytes(4, "little")
+        ).digest()

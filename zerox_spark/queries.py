@@ -426,6 +426,19 @@ def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_counts(_docs(spark, sf_dir), n=2, k=100)
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out, value-checked: frame COUNTS and timestamps
+    are closed-form in the payload byte length, which the oracle
+    reconstructs via _PAYLOAD_CTE (the frame bytes themselves are the
+    documented deterministic stub and stay out of the compared columns)."""
+    from zerox_spark.operators.multimodal import sample_frames
+    from zerox_spark.synth import synth_pages
+
+    return sample_frames(synth_pages(spark, sf_dir)).select(
+        "url", "frame_no", "ts_ms"
+    )
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, value-checked: the oracle restates the FULL
     winnowing algorithm (k-gram rolling hashes, rightmost-tie window min,
@@ -485,6 +498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_counts": q_ngram_counts,
     "fingerprints": q_fingerprints,
     "media_meta": q_media_meta,
+    "media_frames": q_media_frames,
 }
 
 
@@ -1040,6 +1054,13 @@ reach(node, comp) AS (
 SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
 """
     ),
+    "media_frames": _PAYLOAD_CTE
+    + """
+SELECT url, CAST(f.frame_no AS INTEGER) AS frame_no,
+       CAST((f.frame_no - 1) * 1000 AS BIGINT) AS ts_ms
+FROM payloads,
+     LATERAL (SELECT unnest(range(1, 1 + strlen(payload) % 5 + 1)) AS frame_no) f
+""",
     "dedup_ngram": _JACCARD_SQL,
     "dedup_minhash": _JACCARD_SQL,
     "dedup_embedding": f"""
