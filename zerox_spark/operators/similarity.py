@@ -239,13 +239,15 @@ def ann_topk_lsh(
 # sample rate sets the cell count (~sqrt(N) cells is the usual rule); probes
 # buy recall exactly like LSH tables do.
 IVF_CENTROID_MOD = 20
-# Minimum probe count; the DEFAULT is adaptive — ceil(n_cells / 2), floored
-# here — because on UNCLUSTERED vectors (the sandbox corpus, the hardest
-# regime) recall tracks the probed fraction: measured recall@5 vs exact is
-# 0.92 at 16/25 cells (sf0.01) and 0.88/0.96 at 48/64 of 100 cells (sf0.1),
-# but only 0.61 at a fixed 16/100. Production embeddings are clustered, so
-# a small FIXED nprobe holds recall there — pass nprobe explicitly to
-# override the worst-case default.
+# Default probe count — a FIXED, sublinear library default (clustered
+# production embeddings hold recall at small constant nprobe). On
+# UNCLUSTERED vectors (the sandbox corpus, the hardest regime) recall
+# tracks the probed FRACTION — measured recall@5 vs exact: 0.92 at 16/25
+# cells (sf0.01), 0.88/0.96 at 48/64 of 100 cells (sf0.1), but 0.61 at a
+# fixed 16/100 — so worst-case corpora must pass nprobe ∝ n_cells
+# explicitly, as the sandbox recall oracle (queries.q_ann_ivf_recall)
+# does. Baking that scaling into the default would make the 'approximate'
+# path half-brute-force on large clustered corpora.
 IVF_NPROBE = 16
 
 
@@ -287,20 +289,23 @@ def ann_topk_ivf(
     """IVF-flat approximate top-k: each database vector lives in its
     nearest-centroid cell; a query probes its ``nprobe`` nearest cells and
     exactly reranks only those cells' members. Same output contract as
-    ann_topk_exact/ann_topk_lsh. ``nprobe=None`` → adaptive worst-case
-    default (see IVF_NPROBE note); pass a fixed value for clustered data."""
-    # localCheckpoint: the centroid subtree (a filter over the FULL
-    # embeddings table) would otherwise re-execute for the count, the
-    # assignment join, and the query join — three scans of the big table
-    cents = _centroids(embeddings, centroid_mod).localCheckpoint()
-    n_cells = cents.count()  # tiny (the sampled centroid set)
+    ann_topk_exact/ann_topk_lsh. ``nprobe=None`` → IVF_NPROBE (see the
+    note there: unclustered corpora need nprobe ∝ n_cells, passed
+    explicitly)."""
+    # persist (NOT localCheckpoint: truncated lineage is unrecoverable on
+    # executor loss): the centroid subtree — a filter over the FULL
+    # embeddings table — would otherwise re-execute for the guard count,
+    # the assignment join, and the query join. The set is tiny and the
+    # ContextCleaner unpersists it when the DataFrame is GC'd.
+    cents = _centroids(embeddings, centroid_mod).persist()
+    n_cells = cents.count()
     if n_cells == 0:
         raise ValueError(
             f"IVF centroid sample is empty (no vec_id divisible by "
             f"{centroid_mod}) — lower centroid_mod or use the LSH path"
         )
     if nprobe is None:
-        nprobe = max(IVF_NPROBE, (n_cells + 1) // 2)
+        nprobe = IVF_NPROBE
     assign = ivf_assignments(embeddings, cents)
     # query-side: nprobe nearest cells (tiny Q×C set; window is fine)
     q = queries.select(

@@ -311,12 +311,14 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 def ngram_counts(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
     """Top-k corpus n-grams by document frequency THEN total count — the
     classic LM-corpus accounting sweep (vocabulary/collocation tables).
+    ``docs`` must carry (doc_id, text).
 
-    Plan: per-doc DISTINCT n-grams explode → groupBy(ngram) count docs +
-    total occurrences (the occurrence count explodes non-distinct grams) —
-    two map-side-combined aggregations, one ordered take. The final top-k
-    is a single-partition sort of the (tiny) aggregated table, not of the
-    corpus. Ties break lexicographically for cross-engine determinism."""
+    Plan: ONE n-gram explode → groupBy(ngram) with count(*) for total
+    occurrences and count_distinct(doc_id) for document frequency (Spark
+    plans the distinct as a two-phase aggregate) — the corpus is tokenized
+    once. The final top-k is a single-partition sort of the (tiny)
+    aggregated table, not of the corpus. Ties break lexicographically for
+    cross-engine determinism."""
     words = _words(F.col("text"))
     n_sh = F.size(words) - (n - 1)
     # n_sh >= 1 guard: F.sequence(1, 0) is the DESCENDING [1, 0] and its

@@ -25,14 +25,15 @@ import os
 import time
 from typing import Callable, TypeVar
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T, SparkSession, functions as F
 
 from zerox_spark.schema import LINEAGE_SCHEMA
 
-T = TypeVar("T")
+_R = TypeVar("_R")
 
 
-def run_retries(fn: Callable[[], T], max_retries: int = 1) -> T:
+def run_retries(fn: Callable[[], _R], max_retries: int = 1) -> _R:
     """runRetries analog (node-zerox/src/utils/common.ts:62-80): retry up to
     max_retries times, rethrow at the limit. The deterministic compute needs
     no retries — this guards I/O commits only (SURVEY.md §2.4 O6); task-level
@@ -85,23 +86,28 @@ class ParquetSnapshotSink:
         )
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
-        # mergeSchema: a sink dir written by an older engine version may
-        # lack newer columns (e.g. max_warc_ts); single-footer inference
-        # could sample an old file and fail the watermark aggregation AFTER
-        # the expensive extraction ran. Merged schema yields nulls instead.
+        # EXPLICIT schema: a sink dir written by an older engine version
+        # may lack newer columns (e.g. max_warc_ts) — single-footer
+        # inference could sample an old file and fail the watermark
+        # aggregation AFTER the expensive extraction ran, and mergeSchema
+        # would pay a footer-merge over every part file on every read.
+        # The known schema null-fills old files for free.
         try:
-            return spark.read.option("mergeSchema", "true").parquet(
+            return spark.read.schema(LINEAGE_SCHEMA).parquet(
                 self.lineage_path
             )
         except Exception:  # first run: no lineage yet
             return spark.createDataFrame([], LINEAGE_SCHEMA)
 
     def read_extracted(self, spark: SparkSession) -> DataFrame:
-        """All row versions (plus the _snap version column). mergeSchema
-        for the same old-sink-dir reason as read_lineage."""
-        return spark.read.option("mergeSchema", "true").parquet(
-            self.extracted_path
+        """All row versions (plus the _snap version column). Explicit
+        schema for the same old-sink-dir reason as read_lineage."""
+        from zerox_spark.operators.extract import RAW_EXTRACTED_SCHEMA
+
+        on_disk = T.StructType(
+            RAW_EXTRACTED_SCHEMA.fields + [T.StructField("_snap", T.IntegerType(), True)]
         )
+        return spark.read.schema(on_disk).parquet(self.extracted_path)
 
     def read_extracted_latest(self, spark: SparkSession) -> DataFrame:
         """Latest version per (url, page_no) — the logical table a consumer

@@ -250,33 +250,6 @@ def expected_markdown_pages(
 # Spark-side synthesis (distributed: mapInPandas over the documents scan)
 
 
-def _synth_batch(batches):
-    for pdf in batches:
-        rows = []
-        for doc_id, text, lang, source in zip(
-            pdf["doc_id"], pdf["text"], pdf["lang"], pdf["source"]
-        ):
-            doc_id = int(doc_id)
-            if is_sheet_doc(doc_id):
-                payload = render_sheet(doc_id)
-            elif is_pdf_doc(doc_id):
-                payload = render_pdf(doc_id, text)
-            else:
-                payload = render_html(doc_id, text, lang, source)
-            rows.append(
-                {
-                    "url": doc_url(doc_id, source),
-                    "warc_ts": doc_ts(doc_id).replace(tzinfo=None),
-                    "html": payload,
-                    "text": text if is_fast(doc_id) else "",
-                    "lang": lang,
-                }
-            )
-        yield pd.DataFrame(
-            rows, columns=["url", "warc_ts", "html", "text", "lang"]
-        )
-
-
 def synth_pages(
     spark: SparkSession, sf_dir: str, num_partitions: int | None = None
 ) -> DataFrame:
@@ -287,15 +260,7 @@ def synth_pages(
     synthesis is distributed. At real scale this whole stage is replaced by
     the Iceberg table scan itself (many splits for free).
     """
-    from zerox_spark.schema import PAGES_SCHEMA
-
-    if num_partitions is None:
-        num_partitions = spark.sparkContext.defaultParallelism
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang", "source"
-    )
-    docs = docs.repartition(num_partitions, "doc_id")
-    return docs.mapInPandas(_synth_batch, schema=PAGES_SCHEMA)
+    return _pages_from_docs(spark, sf_dir, _row_taxonomy, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -465,8 +430,6 @@ def render_docx(doc_id: int, text: str) -> bytes:
     )
 
 
-
-
 # ---------------------------------------------------------------------------
 # legacy-Office renderers (.xls BIFF8 / .doc Word97 inside real CFB
 # containers — extract/cfb.py, extract/legacy_office.py)
@@ -575,10 +538,6 @@ def render_doc(doc_id: int, text: str) -> bytes:
     from zerox_spark.extract.cfb import write_cfb
 
     return write_cfb([("WordDocument", bytes(word)), ("1Table", clx)])
-
-
-
-
 
 
 def _row_taxonomy(doc_id: int, text: str, lang: str, source: str):
