@@ -93,6 +93,7 @@ def tokenize(src: str) -> Iterator[tuple]:
     pos, n = 0, len(src)
     match = _SCANNER.match
     find = src.find
+    low = None  # lazily-built lowercase copy for rawtext close-tag search
     while pos < n:
         m = match(src, pos)
         pos = m.end()
@@ -115,7 +116,11 @@ def tokenize(src: str) -> Iterator[tuple]:
                 "start", tag, attrs, "", self_closing or tag in VOID_ELEMENTS
             )
             if tag in RAWTEXT_ELEMENTS and not self_closing:
-                close = _find_close(src, pos, tag)
+                if low is None:
+                    # ONE lowercase copy per document (not per rawtext
+                    # element — a chrome-heavy page has dozens of scripts)
+                    low = src.lower()
+                close = low.find("</" + tag, pos)
                 if close == -1:
                     yield ("text", "", None, src[pos:], False)
                     yield ("end", tag, None, "", False)
@@ -165,13 +170,6 @@ def tokenize(src: str) -> Iterator[tuple]:
         # an unterminated declaration never matches this alternative and is
         # dropped by the bare-'<' branch above
         yield ("doctype", "", None, token_text[:-1], False)
-
-
-def _find_close(src: str, start: int, tag: str) -> int:
-    """Index of '</tag' (case-insensitive) at/after start, or -1."""
-    needle = "</" + tag
-    low = src.lower()
-    return low.find(needle, start)
 
 
 def _parse_attrs(attr_src: str) -> dict[str, str]:
