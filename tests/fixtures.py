@@ -106,6 +106,52 @@ E13_QUOTED_ATTRS = b"""<!DOCTYPE html>
 <table class="stats"><tr><th>k</th><th>v</th></tr><tr><td>a > b</td><td>1</td></tr></table>
 </article></body></html>"""
 
+# round-2 container formats, byte-locked through the full pipeline: ODT
+# (zip+XML), legacy .xls (CFB+BIFF8) and .doc (CFB+Word97 piece table) —
+# built by the deterministic renderers the driver corpus uses
+def _e14_odt() -> bytes:
+    from zerox_spark.synth import _zip_bytes
+
+    content = (
+        '<office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0">'
+        "<office:body><office:text>"
+        '<text:h text:outline-level="2">Open document</text:h>'
+        "<text:p>Body with <text:span>nested span</text:span> text.</text:p>"
+        "<text:list><text:list-item><text:p>alpha</text:p></text:list-item>"
+        "<text:list-item><text:p>beta</text:p></text:list-item></text:list>"
+        "<table:table><table:table-row>"
+        "<table:table-cell><text:p>k</text:p></table:table-cell>"
+        "<table:table-cell><text:p>v</text:p></table:table-cell>"
+        "</table:table-row></table:table>"
+        "</office:text></office:body></office:document-content>"
+    )
+    return _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.text"),
+            ("content.xml", content),
+        ]
+    )
+
+
+def _e15_xls() -> bytes:
+    from zerox_spark.synth import render_xls
+
+    return render_xls(42)
+
+
+def _e16_doc() -> bytes:
+    from zerox_spark.synth import render_doc
+
+    return render_doc(43, "fixture words one two three four five six seven eight nine ten")
+
+
+E14_ODT = _e14_odt()
+E15_XLS = _e15_xls()
+E16_DOC = _e16_doc()
+
 FIXTURES: dict[str, bytes] = {
     "e02_nav_only": E02_NAV_ONLY,
     "e03_markdown_fence": E03_MARKDOWN_FENCE,
@@ -117,4 +163,7 @@ FIXTURES: dict[str, bytes] = {
     "e12_nested_lists": E12_NESTED_LISTS,
     "e05_cross_page_table": E05_CROSS_PAGE_TABLE,
     "e13_quoted_attrs": E13_QUOTED_ATTRS,
+    "e14_odt": E14_ODT,
+    "e15_xls": E15_XLS,
+    "e16_doc": E16_DOC,
 }
