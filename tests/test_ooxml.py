@@ -265,22 +265,20 @@ def test_odt_empty_body_contained():
     assert out[0].status == "ERROR"
 
 
-def test_oversized_container_capped_and_contained():
-    """A container payload above max_payload_bytes is deterministically
-    truncated by _cap_payload, which corrupts the zip — the documented
-    trade-off is a contained ERROR row (bounded per-row work beats parsing
-    an unbounded container), never a task failure."""
+def test_oversized_container_bypasses_truncation_and_extracts():
+    """Containers BYPASS the byte-truncation cap (truncating a zip just
+    corrupts it — every oversized xlsx would become an ERROR row); per-row
+    work is bounded inside the parsers instead (zip-member decompressed
+    size, CFB sector cap)."""
+    import io
     import zipfile as _zf
 
     from zerox_spark.extract.ooxml import _zip as _open_zip
     from zerox_spark.synth import render_xlsx
 
-    # a VALID >15MB container: the xlsx members plus a 16MB padding member
     base = render_xlsx(2)
     with _open_zip(base) as zsrc:
         members = [(n, zsrc.read(n)) for n in zsrc.namelist()]
-    import io
-
     buf = io.BytesIO()
     with _zf.ZipFile(buf, "w", _zf.ZIP_STORED) as z:
         for n, data in members:
@@ -288,14 +286,22 @@ def test_oversized_container_capped_and_contained():
         z.writestr("padding.bin", b"\x00" * (16 * 1024 * 1024))
     big = buf.getvalue()
     assert len(big) > 15 * 1024 * 1024
-
-    # default 15MB cap: truncation corrupts the zip → contained ERROR
     out = extract_document(big, None, ExtractConfig(trust_text=False))
-    assert out[0].status == "ERROR"
-    # with a cap above the payload size the same container extracts fine
-    ok = extract_document(
-        big, None,
-        ExtractConfig(trust_text=False, max_payload_bytes=len(big) + 1),
+    assert out[0].status == "SUCCESS"
+    assert out[0].markdown.startswith("## Sheet: data")
+
+
+def test_zip_decompression_bomb_contained():
+    """A member CLAIMING a huge decompressed size (deflate bomb: 300MB of
+    zeros in a ~300KB payload) hits the per-member bound and contains."""
+    import io
+    import zipfile as _zf
+
+    bomb = io.BytesIO()
+    with _zf.ZipFile(bomb, "w", _zf.ZIP_DEFLATED) as z:
+        z.writestr("xl/workbook.xml", b"\x00" * (300 * 1024 * 1024))
+    out = extract_document(
+        bomb.getvalue(), None, ExtractConfig(trust_text=False)
     )
-    assert ok[0].status == "SUCCESS"
-    assert ok[0].markdown.startswith("## Sheet: data")
+    assert out[0].status == "ERROR"
+    assert "too large" in out[0].error

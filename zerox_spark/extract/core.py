@@ -232,7 +232,16 @@ def _extract_raw(
     if not html:
         raise ValueError("empty document payload")
     if config.max_payload_bytes and len(html) > config.max_payload_bytes:
-        html = _cap_payload(html, config.max_payload_bytes)
+        if html[:2] == b"PK" or html[:4] == b"\xd0\xcf\x11\xe0":
+            # byte-truncating a CONTAINER just corrupts it (any oversized
+            # xlsx would become an ERROR row); containers instead pass
+            # whole to parsers that enforce their own bounds — zip member
+            # decompressed-size guard (ooxml._read_member), CFB sector cap
+            # (cfb._MAX_SECTORS) — so per-row work stays bounded without
+            # losing every large office document
+            pass
+        else:
+            html = _cap_payload(html, config.max_payload_bytes)
     if config.extractor is not None:
         pages = config.extractor(html, text)  # type: ignore[operator]
         return [(no, _finalize(md), spans) for no, md, spans in pages]

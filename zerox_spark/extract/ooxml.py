@@ -60,11 +60,27 @@ def _zip(payload: bytes) -> zipfile.ZipFile:
         raise ValueError(f"unreadable zip container: {exc}") from exc
 
 
-def _read_xml(zf: zipfile.ZipFile, name: str) -> ET.Element:
+# decompressed-size bound per zip member: blocks decompression bombs (a
+# tiny deflate stream expanding to GBs would otherwise pin executor memory;
+# containers bypass the byte-truncation cap, so this is THE per-row bound)
+MAX_MEMBER_BYTES = 256 * 1024 * 1024
+
+
+def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
     try:
-        return ET.fromstring(zf.read(name))
+        info = zf.getinfo(name)
     except KeyError as exc:
         raise ValueError(f"OOXML part missing: {name}") from exc
+    if info.file_size > MAX_MEMBER_BYTES:
+        raise ValueError(
+            f"OOXML part too large: {name} ({info.file_size} bytes)"
+        )
+    return zf.read(name)
+
+
+def _read_xml(zf: zipfile.ZipFile, name: str) -> ET.Element:
+    try:
+        return ET.fromstring(_read_member(zf, name))
     except ET.ParseError as exc:
         raise ValueError(f"OOXML part unparseable: {name}: {exc}") from exc
 
