@@ -60,13 +60,19 @@ def _zip(payload: bytes) -> zipfile.ZipFile:
         raise ValueError(f"unreadable zip container: {exc}") from exc
 
 
-# decompressed-size bound per zip member: blocks decompression bombs (a
-# tiny deflate stream expanding to GBs would otherwise pin executor memory;
-# containers bypass the byte-truncation cap, so this is THE per-row bound)
-MAX_MEMBER_BYTES = 256 * 1024 * 1024
+# decompressed-size bounds: blocks decompression bombs (a tiny deflate
+# stream expanding to GBs would otherwise pin executor memory; containers
+# bypass the byte-truncation cap, so these are THE per-row work bound).
+# Both a per-member AND a per-container AGGREGATE budget — member count is
+# attacker-controlled, so a per-member bound alone still allows unbounded
+# total work via hundreds of just-under-the-limit members.
+MAX_MEMBER_BYTES = 32 * 1024 * 1024
+MAX_CONTAINER_BYTES = 64 * 1024 * 1024
 
 
-def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
+def _read_member(
+    zf: zipfile.ZipFile, name: str, budget: list[int] | None = None
+) -> bytes:
     try:
         info = zf.getinfo(name)
     except KeyError as exc:
@@ -75,12 +81,20 @@ def _read_member(zf: zipfile.ZipFile, name: str) -> bytes:
         raise ValueError(
             f"OOXML part too large: {name} ({info.file_size} bytes)"
         )
+    if budget is not None:
+        budget[0] -= info.file_size
+        if budget[0] < 0:
+            raise ValueError(
+                f"OOXML container decompressed-size budget exceeded at {name}"
+            )
     return zf.read(name)
 
 
-def _read_xml(zf: zipfile.ZipFile, name: str) -> ET.Element:
+def _read_xml(
+    zf: zipfile.ZipFile, name: str, budget: list[int] | None = None
+) -> ET.Element:
     try:
-        return ET.fromstring(_read_member(zf, name))
+        return ET.fromstring(_read_member(zf, name, budget))
     except ET.ParseError as exc:
         raise ValueError(f"OOXML part unparseable: {name}: {exc}") from exc
 
@@ -102,10 +116,12 @@ def _col_index(ref: str | None) -> int | None:
     return n - 1
 
 
-def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+def _shared_strings(
+    zf: zipfile.ZipFile, budget: list[int] | None = None
+) -> list[str]:
     if "xl/sharedStrings.xml" not in zf.namelist():
         return []
-    root = _read_xml(zf, "xl/sharedStrings.xml")
+    root = _read_xml(zf, "xl/sharedStrings.xml", budget)
     # plain <t> or rich-text runs <r><t>; phonetic hints excluded
     return ["".join(_si_text(si)) for si in root.findall(f"{_S}si")]
 
@@ -178,10 +194,11 @@ def xlsx_to_grids(payload: bytes) -> list[tuple[str, list[list[str]]]]:
 
 
 def _xlsx_grids(zf: zipfile.ZipFile) -> list[tuple[str, list[list[str]]]]:
-    shared = _shared_strings(zf)
+    budget = [MAX_CONTAINER_BYTES]
+    shared = _shared_strings(zf, budget)
     grids = []
     for name, member in _sheet_targets(zf):
-        root = _read_xml(zf, member)
+        root = _read_xml(zf, member, budget)
         rows: list[list[str]] = []
         for row in root.iter(f"{_S}row"):
             cells: list[tuple[int, str]] = []

@@ -87,13 +87,22 @@ _SCANNER = re.compile(
 )
 
 
+# close-tag scanners per rawtext element: explicit ASCII-case classes, NOT
+# str.lower() of the document — lowercase can change string LENGTH (e.g.
+# 'İ' U+0130 → 2 chars), which would misalign indices found in the lowered
+# copy against the original
+_RAWTEXT_CLOSE = {
+    tag: re.compile("</" + "".join(f"[{c}{c.upper()}]" for c in tag))
+    for tag in RAWTEXT_ELEMENTS
+}
+
+
 def tokenize(src: str) -> Iterator[tuple]:
     """Yield (kind, tag, attrs, text, self_closing) tuples (see Token);
     never raises on malformed input."""
     pos, n = 0, len(src)
     match = _SCANNER.match
     find = src.find
-    low = None  # lazily-built lowercase copy for rawtext close-tag search
     while pos < n:
         m = match(src, pos)
         pos = m.end()
@@ -116,11 +125,8 @@ def tokenize(src: str) -> Iterator[tuple]:
                 "start", tag, attrs, "", self_closing or tag in VOID_ELEMENTS
             )
             if tag in RAWTEXT_ELEMENTS and not self_closing:
-                if low is None:
-                    # ONE lowercase copy per document (not per rawtext
-                    # element — a chrome-heavy page has dozens of scripts)
-                    low = src.lower()
-                close = low.find("</" + tag, pos)
+                m_close = _RAWTEXT_CLOSE[tag].search(src, pos)
+                close = m_close.start() if m_close else -1
                 if close == -1:
                     yield ("text", "", None, src[pos:], False)
                     yield ("end", tag, None, "", False)

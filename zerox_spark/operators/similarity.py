@@ -285,19 +285,21 @@ def ann_topk_ivf(
     k: int = DEFAULT_K,
     centroid_mod: int = IVF_CENTROID_MOD,
     nprobe: int | None = None,
+    nprobe_fn=None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: each database vector lives in its
     nearest-centroid cell; a query probes its ``nprobe`` nearest cells and
     exactly reranks only those cells' members. Same output contract as
     ann_topk_exact/ann_topk_lsh. ``nprobe=None`` → IVF_NPROBE (see the
-    note there: unclustered corpora need nprobe ∝ n_cells, passed
-    explicitly)."""
-    # persist (NOT localCheckpoint: truncated lineage is unrecoverable on
-    # executor loss): the centroid subtree — a filter over the FULL
-    # embeddings table — would otherwise re-execute for the guard count,
-    # the assignment join, and the query join. The set is tiny and the
-    # ContextCleaner unpersists it when the DataFrame is GC'd.
-    cents = _centroids(embeddings, centroid_mod).persist()
+    note there: unclustered corpora need nprobe ∝ n_cells — pass a fixed
+    ``nprobe`` or an ``nprobe_fn(n_cells) -> int`` policy, evaluated on
+    the single guard count so no extra scan is spent)."""
+    # No persist/localCheckpoint: persist inside a library operator leaks
+    # (nothing can safely unpersist before the caller's action) and
+    # localCheckpoint severs lineage (unrecoverable on executor loss). The
+    # centroid subtree is a column-pruned filter; the guard count scans it
+    # once, and Spark's broadcast-exchange reuse covers the two joins.
+    cents = _centroids(embeddings, centroid_mod)
     n_cells = cents.count()
     if n_cells == 0:
         raise ValueError(
@@ -305,7 +307,9 @@ def ann_topk_ivf(
             f"{centroid_mod}) — lower centroid_mod or use the LSH path"
         )
     if nprobe is None:
-        nprobe = IVF_NPROBE
+        nprobe = (
+            int(nprobe_fn(n_cells)) if nprobe_fn is not None else IVF_NPROBE
+        )
     assign = ivf_assignments(embeddings, cents)
     # query-side: nprobe nearest cells (tiny Q×C set; window is fine)
     q = queries.select(

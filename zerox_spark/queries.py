@@ -363,19 +363,13 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The sandbox corpus is UNCLUSTERED — the hardest IVF regime — so this
     query passes the worst-case nprobe (half the cells) explicitly rather
     than baking that scaling into the library default."""
-    from zerox_spark.operators.similarity import (
-        IVF_CENTROID_MOD,
-        IVF_NPROBE,
-        ann_topk_ivf,
-    )
+    from zerox_spark.operators.similarity import IVF_NPROBE, ann_topk_ivf
 
     def ivf_worstcase(emb, queries, dim, k):
-        n_cells = emb.filter(
-            F.pmod(F.col("vec_id"), F.lit(IVF_CENTROID_MOD)) == 0
-        ).count()
+        # the policy rides the operator's own guard count — no extra scan
         return ann_topk_ivf(
             emb, queries, dim, k=k,
-            nprobe=max(IVF_NPROBE, (n_cells + 1) // 2),
+            nprobe_fn=lambda n_cells: max(IVF_NPROBE, (n_cells + 1) // 2),
         )
 
     return _recall_floor(spark, sf_dir, ivf_worstcase)
