@@ -156,6 +156,60 @@ def test_doc_control_chars_dropped_and_cell_marks_break():
     assert md == "a\n\nb\n\ncFIELDd"
 
 
+def test_ppt_renderer_two_slides():
+    from zerox_spark.extract.legacy_office import ppt_to_pages
+    from zerox_spark.synth import render_ppt
+
+    pages = ppt_to_pages(render_ppt(9, "w1 w2 w3"))
+    assert [(n, md) for n, md, _ in pages] == [
+        (1, "# Document 9\n\nw1 w2 w3"),
+        (2, "# Section 9\n\nw1 w2 w3"),
+    ]
+
+
+def test_ppt_textbytes_cp1252_and_paragraph_split():
+    """TextBytesAtom (one byte per char) with \\r-separated paragraphs."""
+    from zerox_spark.extract.legacy_office import ppt_to_pages
+    from zerox_spark.synth import _ppt_rec
+
+    recs = _ppt_rec(0, 0, 0x03F3, bytes(20))
+    recs += _ppt_rec(0, 0, 0x0F9F, struct.pack("<I", 1))
+    recs += _ppt_rec(0, 0, 0x0FA8, "p\xe9 one\rp two".encode("cp1252"))
+    doc = _ppt_rec(0xF, 0, 0x03E8, _ppt_rec(0xF, 0, 0x0FF0, recs))
+    payload = write_cfb([("PowerPoint Document", doc)])
+    assert ppt_to_pages(payload)[0][1] == "pé one\n\np two"
+
+
+def test_ppt_truncated_record_keeps_prefix():
+    """A record whose recLen runs past the stream end stops the walk at the
+    last whole record — everything before it still extracts."""
+    from zerox_spark.extract.legacy_office import ppt_to_pages
+    from zerox_spark.synth import _ppt_rec, render_ppt
+    from zerox_spark.extract.cfb import CfbReader
+
+    stream = CfbReader(render_ppt(3, "kept words")).read_stream(
+        "PowerPoint Document"
+    )
+    bad = stream + struct.pack("<HHI", 0, 0x0FA0, 9999) + b"xx"
+    payload = write_cfb([("PowerPoint Document", bad)])
+    pages = ppt_to_pages(payload)
+    assert pages[0][1] == "# Document 3\n\nkept words"
+
+
+def test_ppt_nesting_bomb_contained():
+    """Containers nested past the depth cap raise into containment instead
+    of blowing the recursion stack."""
+    from zerox_spark.synth import _ppt_rec
+
+    body = _ppt_rec(0, 0, 0x0FA0, "x".encode("utf-16-le"))
+    for _ in range(30):
+        body = _ppt_rec(0xF, 0, 0x03E8, body)
+    payload = write_cfb([("PowerPoint Document", body)])
+    pages = extract_document(payload, None, ExtractConfig(trust_text=False))
+    assert pages[0].status == "ERROR"
+    assert "nesting too deep" in pages[0].error
+
+
 def test_unknown_cfb_contained_as_error():
     payload = write_cfb([("SomeOtherApp", b"data" * 10)])
     pages = extract_document(payload, None, ExtractConfig(trust_text=False))
@@ -181,6 +235,45 @@ def test_xls_xlsx_same_workbook_extract_identically():
     assert [(p.page_no, p.markdown) for p in xls] == [
         (p.page_no, p.markdown) for p in xlsx
     ]
+
+
+def test_doc_overlapping_pieces_output_bomb_contained():
+    """Pieces that all point at the SAME fc region re-emit the same bytes
+    over and over (ccp_text is attacker-controlled up to ~4G chars) — the
+    emitted-output cap (min(ccp_text, 8×stream, global)) contains it."""
+    chunk = "x" * 4096
+    word = bytearray(1024) + chunk.encode("utf-16-le")
+    struct.pack_into("<H", word, 0, 0xA5EC)
+    struct.pack_into("<H", word, 0x0A, 0x0200)
+    n_pieces = 100  # 100 × 4096 chars ≫ 8 × len(word) ≈ 74k
+    ccp = n_pieces * len(chunk)
+    struct.pack_into("<I", word, 0x4C, ccp)
+    cps = b"".join(
+        struct.pack("<I", i * len(chunk)) for i in range(n_pieces + 1)
+    )
+    pcds = b"".join(
+        struct.pack("<HIH", 0, 1024, 0) for _ in range(n_pieces)
+    )
+    plc = cps + pcds
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<II", word, 0x01A2, 0, len(clx))
+    payload = write_cfb([("WordDocument", bytes(word)), ("1Table", clx)])
+    with pytest.raises(ValueError, match="overlapping pieces"):
+        doc_to_text(payload)
+    pages = extract_document(payload, None, ExtractConfig(trust_text=False))
+    assert pages[0].status == "ERROR"
+
+
+def test_write_cfb_empty_small_stream_keeps_minifat_aligned():
+    """An empty small stream must not consume a miniFAT entry — it has no
+    mini sector, so an ENDOFCHAIN there would shift every later stream's
+    miniFAT entries one past their sector ids."""
+    data = b"y" * 200
+    payload = write_cfb([("Empty", b""), ("Data", data), ("More", b"z" * 65)])
+    r = CfbReader(payload)
+    assert r.read_stream("Empty") == b""
+    assert r.read_stream("Data") == data
+    assert r.read_stream("More") == b"z" * 65
 
 
 def test_doc_missing_table_stream_contained():

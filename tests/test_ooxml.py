@@ -186,6 +186,112 @@ def test_throw_mode_propagates_ooxml_errors():
 
 
 # ---------------------------------------------------------------------------
+# pptx (PresentationML)
+
+
+def test_pptx_renderer_slides_title_body_table():
+    from zerox_spark.extract.ooxml import pptx_to_pages
+    from zerox_spark.synth import render_pptx
+
+    pages = pptx_to_pages(render_pptx(7, "a b c d e f g h i j k l"))
+    assert len(pages) == 2
+    p1, p2 = pages[0][1], pages[1][1]
+    assert p1.startswith("# Document 7")
+    assert "a b c d e f g h i j k l" in p1
+    assert (
+        "<table><tr><th>metric</th><th>value</th></tr>"
+        "<tr><td>views</td><td>259</td></tr></table>" in p1
+    )
+    assert p2 == "# Section 7\n\na b c d e f g h i j"
+
+
+def test_pptx_routes_through_extract_document():
+    from zerox_spark.synth import render_pptx
+
+    out = extract_document(
+        render_pptx(4, "w1 w2"), None, ExtractConfig(trust_text=False)
+    )
+    assert [p.status for p in out] == ["SUCCESS", "SUCCESS"]
+    assert out[0].markdown.startswith("# Document 4")
+
+
+def test_pptx_empty_slide_skipped_and_renumbered():
+    """A slide whose shapes carry no text yields no page; later slides
+    renumber sequentially (the docx empty-page contract)."""
+    from zerox_spark.extract.ooxml import pptx_to_pages
+    from zerox_spark.synth import (
+        _PKG_RELS,
+        _PPTX_CT,
+        _pptx_slide,
+        _pptx_sp,
+        _zip_bytes,
+    )
+
+    presentation = (
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<p:sldIdLst><p:sldId id="256" r:id="rId1"/>'
+        '<p:sldId id="257" r:id="rId2"/></p:sldIdLst></p:presentation>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="s" Target="slides/slide1.xml"/>'
+        '<Relationship Id="rId2" Type="s" Target="slides/slide2.xml"/>'
+        "</Relationships>"
+    )
+    payload = _zip_bytes(
+        [
+            ("[Content_Types].xml", _PPTX_CT),
+            ("_rels/.rels", _PKG_RELS.format(target="ppt/presentation.xml")),
+            ("ppt/presentation.xml", presentation),
+            ("ppt/_rels/presentation.xml.rels", rels),
+            ("ppt/slides/slide1.xml", _pptx_slide(_pptx_sp("", "title"))),
+            ("ppt/slides/slide2.xml", _pptx_slide(_pptx_sp("only text"))),
+        ]
+    )
+    pages = pptx_to_pages(payload)
+    assert [(n, md) for n, md, _ in pages] == [(1, "only text")]
+
+
+def test_pptx_grouped_shapes_recurse_in_order():
+    from zerox_spark.extract.ooxml import pptx_to_pages
+    from zerox_spark.synth import (
+        _PKG_RELS,
+        _PPTX_CT,
+        _pptx_slide,
+        _pptx_sp,
+        _zip_bytes,
+    )
+
+    grp = f"<p:grpSp>{_pptx_sp('inner one')}{_pptx_sp('inner two')}</p:grpSp>"
+    presentation = (
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<p:sldIdLst><p:sldId id="256" r:id="rId1"/></p:sldIdLst></p:presentation>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="s" Target="slides/slide1.xml"/>'
+        "</Relationships>"
+    )
+    payload = _zip_bytes(
+        [
+            ("[Content_Types].xml", _PPTX_CT),
+            ("_rels/.rels", _PKG_RELS.format(target="ppt/presentation.xml")),
+            ("ppt/presentation.xml", presentation),
+            ("ppt/_rels/presentation.xml.rels", rels),
+            (
+                "ppt/slides/slide1.xml",
+                _pptx_slide(_pptx_sp("before") + grp + _pptx_sp("after")),
+            ),
+        ]
+    )
+    assert pptx_to_pages(payload)[0][1] == (
+        "before\n\ninner one\n\ninner two\n\nafter"
+    )
+
+
+# ---------------------------------------------------------------------------
 # ODT (OpenDocument)
 
 _ODT_NS = (
@@ -289,6 +395,45 @@ def test_oversized_container_bypasses_truncation_and_extracts():
     out = extract_document(big, None, ExtractConfig(trust_text=False))
     assert out[0].status == "SUCCESS"
     assert out[0].markdown.startswith("## Sheet: data")
+
+
+def test_shared_string_fanout_output_bomb_contained():
+    """OUTPUT amplification: a within-input-budget xlsx whose one ~1 MiB
+    shared string is referenced by 40 cells would emit ~40 MiB — past the
+    per-container emitted-output budget → contained ERROR (the input-byte
+    budgets alone can't see this; fan-out happens at page build)."""
+    big = "A" * (1024 * 1024)
+    sst = f'<sst {_S_XMLNS}><si><t>{big}</t></si></sst>'
+    cells = "".join(
+        f'<c r="{chr(65 + i % 26)}{1 + i // 26}" t="s"><v>0</v></c>'
+        for i in range(40)
+    )
+    sheet = (
+        f'<worksheet {_S_XMLNS}><sheetData>'
+        f'<row r="1">{cells}</row>'
+        "</sheetData></worksheet>"
+    )
+    payload = _xlsx(sheet, sst)
+    assert len(payload) < 4 * 1024 * 1024  # input is small; output is not
+    out = extract_document(payload, None, ExtractConfig(trust_text=False))
+    assert out[0].status == "ERROR"
+    assert "emitted-output budget" in out[0].error
+
+
+def test_dtd_in_ooxml_part_rejected():
+    """OOXML parts never legitimately carry DTDs; an inline one (entity
+    expansion vector) is rejected into the contained-ERROR path."""
+    sheet = (
+        '<?xml version="1.0"?><!DOCTYPE x [<!ENTITY a "b">]>'
+        f'<worksheet {_S_XMLNS}><sheetData>'
+        '<row r="1"><c r="A1" t="str"><v>&a;</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    out = extract_document(
+        _xlsx(sheet), None, ExtractConfig(trust_text=False)
+    )
+    assert out[0].status == "ERROR"
+    assert "DTD" in out[0].error
 
 
 def test_zip_decompression_bomb_contained():

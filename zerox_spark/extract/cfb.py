@@ -210,6 +210,12 @@ def write_cfb(streams: list[tuple[str, bytes]]) -> bytes:
     for name, data in small:
         start = len(mini_data) // MINI_SECTOR
         mini_starts[name] = start if data else ENDOFCHAIN
+        if not data:
+            # no sector allocated → no miniFAT entry either: appending an
+            # ENDOFCHAIN here would shift every later small stream's miniFAT
+            # entries one past their sector ids (the start is already
+            # recorded as ENDOFCHAIN above)
+            continue
         padded = pad(data, MINI_SECTOR)
         n = len(padded) // MINI_SECTOR
         mini_data += padded

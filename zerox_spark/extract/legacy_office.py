@@ -318,8 +318,19 @@ def doc_to_text(payload: bytes, cfb: CfbReader | None = None) -> str:
     if n <= 0:
         raise ValueError("empty piece table")
     cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+    # emitted-output bound: ccp_text is an attacker-controlled u32 (up to
+    # ~4G chars) and pieces may OVERLAP — a small PlcPcd whose PCDs all
+    # point at the same fc region re-emits the same WordDocument bytes
+    # thousands of times, bypassing every container-size bound. A legit doc
+    # emits ≤ len(word_stream) chars (pieces don't overlap; utf-16 halves
+    # that), so 8× is generous margin; exceeding it raises into the
+    # contained-ERROR path.
+    from zerox_spark.extract.ooxml import MAX_OUTPUT_CHARS
+
+    max_out = min(ccp_text, 8 * len(word), MAX_OUTPUT_CHARS)
     out: list[str] = []
     taken = 0
+    emitted = 0
     for i in range(n):
         if taken >= ccp_text:
             break
@@ -331,11 +342,18 @@ def doc_to_text(payload: bytes, cfb: CfbReader | None = None) -> str:
         if fc_raw & 0x40000000:  # compressed: cp1252, fc is doubled
             fc = (fc_raw & 0x3FFFFFFF) // 2
             raw = word[fc : fc + n_chars]
-            out.append(raw.decode("cp1252", "replace"))
+            piece = raw.decode("cp1252", "replace")
         else:
             fc = fc_raw & 0x3FFFFFFF
             raw = word[fc : fc + n_chars * 2]
-            out.append(raw.decode("utf-16-le", "replace"))
+            piece = raw.decode("utf-16-le", "replace")
+        emitted += len(piece)
+        if emitted > max_out:
+            raise ValueError(
+                f"doc piece table emits more than {max_out} chars "
+                "(overlapping pieces)"
+            )
+        out.append(piece)
         taken += n_chars
     return "".join(out)
 
@@ -365,6 +383,85 @@ def doc_to_pages(
 
 
 # ---------------------------------------------------------------------------
+# .ppt (PowerPoint 97 binary — the last legacy-Office family the reference
+# routes through libreoffice, README.md:508; [MS-PPT] record stream)
+
+PPT_SLIDEPERSIST = 0x03F3
+PPT_TEXTHEADER = 0x0F9F
+PPT_TEXTCHARS = 0x0FA0
+PPT_TEXTBYTES = 0x0FA8
+_PPT_MAX_DEPTH = 16
+
+
+def ppt_to_pages(
+    payload: bytes, cfb: CfbReader | None = None
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """Slide k → page k from the ``PowerPoint Document`` record stream:
+    SlidePersistAtom (in SlideListWithText) starts a slide, TextHeaderAtom
+    sets the text type, TextCharsAtom (utf-16) / TextBytesAtom (cp1252)
+    carry the text. Title text (txType 0/6) → '# ' heading, everything else
+    → paragraphs split on \\r — the same page shape as the pptx path.
+
+    The record walk is linear (each byte visited once per nesting level,
+    depth capped), so emitted output is bounded by the stream size — no
+    piece-table-style overlap amplification exists in this format."""
+    if cfb is None:
+        cfb = CfbReader(payload)
+    stream = cfb.read_stream("PowerPoint Document")
+    slides: list[list[tuple[int, str]]] = []
+    tx_type = [1]
+
+    def walk(pos: int, end: int, depth: int) -> None:
+        if depth > _PPT_MAX_DEPTH:
+            raise ValueError("ppt record nesting too deep")
+        while pos + 8 <= end:
+            verinst, rectype, reclen = struct.unpack_from(
+                "<HHI", stream, pos
+            )
+            body = pos + 8
+            if reclen > end - body:
+                break  # truncated record → stop, keep what we have
+            if verinst & 0xF == 0xF:  # container: payload is nested records
+                walk(body, body + reclen, depth + 1)
+            elif rectype == PPT_SLIDEPERSIST:
+                slides.append([])
+            elif rectype == PPT_TEXTHEADER:
+                if reclen >= 4:
+                    tx_type[0] = struct.unpack_from("<I", stream, body)[0]
+            elif rectype in (PPT_TEXTCHARS, PPT_TEXTBYTES):
+                raw = stream[body : body + reclen]
+                text = raw.decode(
+                    "utf-16-le" if rectype == PPT_TEXTCHARS else "cp1252",
+                    "replace",
+                )
+                if not slides:
+                    slides.append([])
+                slides[-1].append((tx_type[0], text))
+            pos = body + reclen
+
+    walk(0, len(stream), 0)
+    out = []
+    for texts in slides:
+        blocks = []
+        for ttype, text in texts:
+            for para in text.split("\r"):
+                para = para.strip()
+                if not para:
+                    continue
+                if ttype in (0, 6):  # title / centerTitle placeholders
+                    blocks.append(Block("heading", f"# {para}"))
+                else:
+                    blocks.append(Block("para", para))
+        if not blocks:
+            continue
+        markdown, spans = join_blocks(blocks)
+        out.append((len(out) + 1, markdown, spans))
+    if not out:
+        raise ValueError("ppt produced no content")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # router
 
 
@@ -380,8 +477,10 @@ def cfb_to_pages(
         return xls_to_pages(payload, cfb)
     if "WordDocument" in names:
         return doc_to_pages(payload, cfb)
+    if "PowerPoint Document" in names:
+        return ppt_to_pages(payload, cfb)
     raise ValueError(
-        "CFB container is not xls/doc (streams: "
+        "CFB container is not xls/doc/ppt (streams: "
         + ",".join(sorted(names)[:5])
         + ")"
     )

@@ -69,6 +69,33 @@ def _zip(payload: bytes) -> zipfile.ZipFile:
 MAX_MEMBER_BYTES = 32 * 1024 * 1024
 MAX_CONTAINER_BYTES = 64 * 1024 * 1024
 
+# emitted-OUTPUT bound: the input budgets above cap decompressed bytes, but
+# reference fan-out amplifies OUTPUT past any input bound — a within-budget
+# xlsx can hold one ~30 MB shared string referenced by ~1M cells (t="s";
+# same for .xls LABELSST), and the page builders materialize a full copy per
+# cell. Total characters any one container may emit is therefore capped
+# independently; exceeding it raises ValueError into the contained-ERROR
+# path. Applied in grids_to_pages (xlsx + .xls + ods share it), the docx/odt
+# block builders, and doc_to_text (legacy_office.py).
+MAX_OUTPUT_CHARS = 32 * 1024 * 1024
+
+
+class OutputBudget:
+    """Running per-container emitted-character budget."""
+
+    __slots__ = ("remaining",)
+
+    def __init__(self, limit: int = MAX_OUTPUT_CHARS) -> None:
+        self.remaining = limit
+
+    def charge(self, n_chars: int) -> None:
+        self.remaining -= n_chars
+        if self.remaining < 0:
+            raise ValueError(
+                "container emitted-output budget exceeded "
+                f"(> {MAX_OUTPUT_CHARS} chars)"
+            )
+
 
 def _read_member(
     zf: zipfile.ZipFile, name: str, budget: list[int] | None = None
@@ -93,8 +120,14 @@ def _read_member(
 def _read_xml(
     zf: zipfile.ZipFile, name: str, budget: list[int] | None = None
 ) -> ET.Element:
+    raw = _read_member(zf, name, budget)
+    # OOXML/ODF parts never legitimately carry a DTD; an inline one enables
+    # entity-expansion bombs on expat builds without amplification limits,
+    # and the size budgets above check pre-expansion bytes only.
+    if b"<!DOCTYPE" in raw or b"<!ENTITY" in raw:
+        raise ValueError(f"OOXML part carries a DTD (rejected): {name}")
     try:
-        return ET.fromstring(_read_member(zf, name, budget))
+        return ET.fromstring(raw)
     except ET.ParseError as exc:
         raise ValueError(f"OOXML part unparseable: {name}: {exc}") from exc
 
@@ -236,9 +269,17 @@ def grids_to_pages(
     """Sheet k → page k with the canonical '## Sheet: name' + first-row-th
     table form — THE cross-format page contract shared by xlsx (here) and
     legacy .xls (legacy_office.py), so both containers of one workbook
-    extract byte-identically (tested)."""
+    extract byte-identically (tested).
+
+    Charges the per-container OUTPUT budget BEFORE materializing the table
+    f-strings — the cell lists hold shared references (cheap), the copies
+    happen here, so this is where shared-string fan-out would OOM."""
     out = []
+    budget = OutputBudget()
     for i, (name, rows) in enumerate(grids, start=1):
+        budget.charge(
+            len(name) + sum(len(c) + 9 for row in rows for c in row)
+        )
         blocks = [Block("heading", f"## Sheet: {name}")]
         blocks.append(Block("table", _grid_table(rows)))
         markdown, spans = join_blocks(blocks)
@@ -346,6 +387,7 @@ def _docx_pages(
     body = root.find(f"{_W}body")
     if body is None:
         raise ValueError("docx has no <w:body>")
+    budget = OutputBudget()
     pages: list[list[Block]] = [[]]
     for el in body:
         if el.tag == f"{_W}p":
@@ -354,12 +396,14 @@ def _docx_pages(
                 pages.append([])
             blk = _docx_para_block(el)
             if blk is not None:
+                budget.charge(len(blk.text))
                 pages[-1].append(blk)
             if after and pages[-1]:
                 pages.append([])
         elif el.tag == f"{_W}tbl":
             blk = _docx_table_block(el)
             if blk is not None:
+                budget.charge(len(blk.text))
                 pages[-1].append(blk)
     out = []
     for blocks in pages:
@@ -403,9 +447,147 @@ def ooxml_to_pages(
             return _xlsx_pages(zf)
         if "word/document.xml" in names:
             return _docx_pages(zf)
+        if "ppt/presentation.xml" in names:
+            return _pptx_pages(zf)
         if "content.xml" in names:
             return _odt_pages(zf)
-    raise ValueError("zip container is not OOXML/ODF (xlsx/docx/odt)")
+    raise ValueError("zip container is not OOXML/ODF (xlsx/docx/pptx/odt)")
+
+
+# ---------------------------------------------------------------------------
+# pptx (PresentationML — the reference's highest-frequency office input
+# after xlsx/docx, README.md:508-509, routed via convertFileToPdf,
+# node-zerox/src/utils/file.ts:129-150; libreoffice rasterizes slide k to
+# page k, so slide = page is the deterministic analog, exactly the
+# sheet-per-page shape of xlsx_to_pages)
+
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+
+
+def _slide_members(zf: zipfile.ZipFile) -> list[str]:
+    """Slide zip members in presentation order (p:sldIdLst → rels target),
+    the same rels indirection as _sheet_targets."""
+    pres = _read_xml(zf, "ppt/presentation.xml")
+    rels = _read_xml(zf, "ppt/_rels/presentation.xml.rels")
+    target_by_id = {
+        rel.get("Id"): rel.get("Target", "")
+        for rel in rels.findall(f"{_PR}Relationship")
+    }
+    sld_lst = pres.find(f"{_P}sldIdLst")
+    if sld_lst is None:
+        raise ValueError("pptx has no <p:sldIdLst>")
+    out = []
+    for sld in sld_lst.findall(f"{_P}sldId"):
+        target = target_by_id.get(sld.get(f"{_R}id"), "")
+        if not target:
+            continue
+        out.append(
+            target.lstrip("/") if target.startswith("/") else "ppt/" + target
+        )
+    if not out:
+        raise ValueError("pptx resolves no slides")
+    return out
+
+
+def _a_para_text(p: ET.Element) -> str:
+    """Flatten one a:p paragraph: a:t runs concatenated, a:br as space."""
+    parts: list[str] = []
+    for node in p.iter():
+        tag = node.tag
+        if tag == f"{_A}t":
+            parts.append(node.text or "")
+        elif tag == f"{_A}br":
+            parts.append(" ")
+    return "".join(parts)
+
+
+def _sp_is_title(sp: ET.Element) -> bool:
+    ph = sp.find(f"{_P}nvSpPr/{_P}nvPr/{_P}ph")
+    return ph is not None and ph.get("type") in ("title", "ctrTitle")
+
+
+def _pptx_tbl_block(tbl: ET.Element) -> Block | None:
+    rows = []
+    for tr in tbl.findall(f"{_A}tr"):
+        cells = []
+        for tc in tr.findall(f"{_A}tc"):
+            paras = [
+                _a_para_text(p).strip() for p in tc.iter(f"{_A}p")
+            ]
+            cells.append(" ".join(x for x in paras if x))
+        rows.append(cells)
+    if not rows:
+        return None
+    return Block("table", _grid_table(rows))
+
+
+def _pptx_slide_blocks(
+    root: ET.Element, budget: OutputBudget
+) -> list[Block]:
+    sp_tree = root.find(f"{_P}cSld/{_P}spTree")
+    if sp_tree is None:
+        raise ValueError("slide has no <p:spTree>")
+    blocks: list[Block] = []
+
+    def add(blk: Block | None) -> None:
+        if blk is not None:
+            budget.charge(len(blk.text))
+            blocks.append(blk)
+
+    def walk(parent: ET.Element) -> None:
+        for el in parent:
+            tag = el.tag
+            if tag == f"{_P}sp":
+                tx = el.find(f"{_P}txBody")
+                if tx is None:
+                    continue
+                paras = [
+                    _a_para_text(p).strip() for p in tx.findall(f"{_A}p")
+                ]
+                if _sp_is_title(el):
+                    title = " ".join(x for x in paras if x)
+                    if title:
+                        add(Block("heading", f"# {title}"))
+                else:
+                    for text in paras:
+                        if text:
+                            add(Block("para", text))
+            elif tag == f"{_P}graphicFrame":
+                for tbl in el.iter(f"{_A}tbl"):
+                    add(_pptx_tbl_block(tbl))
+            elif tag == f"{_P}grpSp":
+                walk(el)  # grouped shapes recurse in document order
+
+    walk(sp_tree)
+    return blocks
+
+
+def pptx_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """Slide k → page k; title placeholder → '# ' heading, body paragraphs
+    → para blocks, a:tbl → the canonical first-row-<th> table."""
+    with _zip(payload) as zf:
+        return _pptx_pages(zf)
+
+
+def _pptx_pages(
+    zf: zipfile.ZipFile,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    budget = OutputBudget()
+    zip_budget = [MAX_CONTAINER_BYTES]
+    out = []
+    for member in _slide_members(zf):
+        root = _read_xml(zf, member, zip_budget)
+        blocks = _pptx_slide_blocks(root, budget)
+        if not blocks:
+            continue
+        markdown, spans = join_blocks(blocks)
+        out.append((len(out) + 1, markdown, spans))
+    if not out:
+        raise ValueError("pptx slides produced no content")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +679,13 @@ def _odt_pages(
     text_el = body.find(f"{_O}text") if body is not None else None
     if text_el is None:
         raise ValueError("odt has no office:text body")
-    blocks = [b for b in (_odt_block(el) for el in text_el) if b is not None]
+    budget = OutputBudget()
+    blocks = []
+    for el in text_el:
+        b = _odt_block(el)
+        if b is not None:
+            budget.charge(len(b.text))
+            blocks.append(b)
     if not blocks:
         raise ValueError("odt body produced no content")
     markdown, spans = join_blocks(_merge_list_runs(blocks))

@@ -18,10 +18,12 @@ One lazy plan, shaped for 100 TB:
   → candidates-only exact verification), NOT the raw bigram-shingle
   self-join — common shingles ("of the") give the raw join posting lists
   that explode quadratically at 100 TB, while the LSH path's cost stays
-  ∝ candidates. The two operators share the verified-pair output contract
-  (both hash-match the same Jaccard SQL oracle), so the swap changes the
-  plan, not the result; ``dedup_ngram_pairs`` remains the test-scale
-  ground truth;
+  ∝ candidates. The contract is PROBABILISTIC: candidates are verified by
+  exact Jaccard, so precision is exact, but candidate recall near the
+  threshold is governed by the band/row configuration (< 1 for pairs just
+  above it) — on corpora beyond the test set the LSH stage can under-delete
+  pairs the exact shingle join would catch. ``dedup_ngram_pairs`` remains
+  the exact test-scale ground truth for small corpora;
 - token accounting is two inline column expressions, not a join.
 
 The deduped corpus is consumed by both the pair generator and the final

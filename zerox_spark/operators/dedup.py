@@ -357,6 +357,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     fraction of the corpus at 100 TB. ``localCheckpoint`` truncates the
     iterative lineage so the plan doesn't grow with the round count;
     convergence is detected by the (monotonically decreasing) label sum.
+
+    On localCheckpoint vs similarity.py's no-localCheckpoint policy: both
+    are deliberate. localCheckpoint is unrecoverable on executor loss, so
+    it is WRONG inside a big-table operator (similarity.py avoids it); for
+    an iterative algorithm on the SMALL label table it is the right trade
+    — reliable checkpointing would re-shuffle to stable storage per round,
+    and a lost-executor retry of this cheap loop just reruns it.
     """
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = (

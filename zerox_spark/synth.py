@@ -430,6 +430,98 @@ def render_docx(doc_id: int, text: str) -> bytes:
     )
 
 
+_PPTX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
+    '<Override PartName="/ppt/slides/slide1.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+    '<Override PartName="/ppt/slides/slide2.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
+    "</Types>"
+)
+
+_PPTX_NS = (
+    'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main" '
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+)
+
+
+def _pptx_sp(text: str, ph_type: str | None = None) -> str:
+    ph = f'<p:ph type="{ph_type}"/>' if ph_type else ""
+    return (
+        "<p:sp><p:nvSpPr><p:cNvPr id='2' name='s'/><p:cNvSpPr/>"
+        f"<p:nvPr>{ph}</p:nvPr></p:nvSpPr><p:spPr/>"
+        f"<p:txBody><a:bodyPr/><a:p><a:r><a:t>{_xesc(text)}</a:t></a:r></a:p>"
+        "</p:txBody></p:sp>"
+    )
+
+
+def _pptx_slide(shapes: str) -> str:
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<p:sld {_PPTX_NS}><p:cSld><p:spTree>"
+        "<p:nvGrpSpPr><p:cNvPr id='1' name=''/><p:cNvGrpSpPr/><p:nvPr/></p:nvGrpSpPr>"
+        f"<p:grpSpPr/>{shapes}</p:spTree></p:cSld></p:sld>"
+    )
+
+
+def render_pptx(doc_id: int, text: str) -> bytes:
+    """Real pptx payload: slide 1 = title + body paragraph + a:tbl stats
+    table, slide 2 = title + first-10-words paragraph — a deterministic
+    closed form of (doc_id, text) so the oracle can restate the expected
+    markdown in SQL (the docx-shape analog through PresentationML)."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+
+    def a_tc(t: str) -> str:
+        return (
+            "<a:tc><a:txBody><a:bodyPr/><a:p><a:r><a:t>"
+            f"{_xesc(t)}</a:t></a:r></a:p></a:txBody></a:tc>"
+        )
+
+    tbl = (
+        "<p:graphicFrame><p:nvGraphicFramePr><p:cNvPr id='9' name='t'/>"
+        "<p:cNvGraphicFramePr/><p:nvPr/></p:nvGraphicFramePr><p:xfrm/>"
+        '<a:graphic><a:graphicData uri="http://schemas.openxmlformats.org/drawingml/2006/table">'
+        "<a:tbl><a:tblGrid/>"
+        "<a:tr>" + a_tc("metric") + a_tc("value") + "</a:tr>"
+        "<a:tr>" + a_tc("views") + a_tc(str((doc_id * 37) % 1000)) + "</a:tr>"
+        "</a:tbl></a:graphicData></a:graphic></p:graphicFrame>"
+    )
+    slide1 = _pptx_slide(
+        _pptx_sp(f"Document {doc_id}", "title")
+        + _pptx_sp(text)
+        + tbl
+    )
+    slide2 = _pptx_slide(
+        _pptx_sp(f"Section {doc_id}", "title") + _pptx_sp(first10)
+    )
+    presentation = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<p:presentation {_PPTX_NS}><p:sldIdLst>"
+        '<p:sldId id="256" r:id="rId1"/><p:sldId id="257" r:id="rId2"/>'
+        "</p:sldIdLst></p:presentation>"
+    )
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slide1.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/slide" Target="slides/slide2.xml"/>'
+        "</Relationships>"
+    )
+    return _zip_bytes(
+        [
+            ("[Content_Types].xml", _PPTX_CT),
+            ("_rels/.rels", _PKG_RELS.format(target="ppt/presentation.xml")),
+            ("ppt/presentation.xml", presentation),
+            ("ppt/_rels/presentation.xml.rels", pres_rels),
+            ("ppt/slides/slide1.xml", slide1),
+            ("ppt/slides/slide2.xml", slide2),
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # legacy-Office renderers (.xls BIFF8 / .doc Word97 inside real CFB
 # containers — extract/cfb.py, extract/legacy_office.py)
@@ -538,6 +630,40 @@ def render_doc(doc_id: int, text: str) -> bytes:
     from zerox_spark.extract.cfb import write_cfb
 
     return write_cfb([("WordDocument", bytes(word)), ("1Table", clx)])
+
+
+def _ppt_rec(ver: int, inst: int, rectype: int, body: bytes) -> bytes:
+    return _struct.pack("<HHI", (inst << 4) | ver, rectype, len(body)) + body
+
+
+def render_ppt(doc_id: int, text: str) -> bytes:
+    """Real legacy .ppt ([MS-PPT] records in CFB): a Document container
+    holding a SlideListWithText with two slides — SlidePersistAtom +
+    title/body TextHeaderAtom/TextCharsAtom pairs. Same closed-form text
+    as render_pptx minus the table (binary-ppt tables are grouped shapes,
+    out of the deterministic subset)."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+
+    def slide(title: str, paras: list[str]) -> bytes:
+        recs = _ppt_rec(0, 0, 0x03F3, bytes(20))  # SlidePersistAtom
+        recs += _ppt_rec(0, 0, 0x0F9F, _struct.pack("<I", 0))
+        recs += _ppt_rec(0, 0, 0x0FA0, title.encode("utf-16-le"))
+        for p in paras:
+            recs += _ppt_rec(0, 0, 0x0F9F, _struct.pack("<I", 1))
+            recs += _ppt_rec(0, 0, 0x0FA0, p.encode("utf-16-le"))
+        return recs
+
+    sltw = _ppt_rec(
+        0xF,
+        0,
+        0x0FF0,
+        slide(f"Document {doc_id}", [text])
+        + slide(f"Section {doc_id}", [first10]),
+    )
+    doc = _ppt_rec(0xF, 0, 0x03E8, sltw)
+    from zerox_spark.extract.cfb import write_cfb
+
+    return write_cfb([("PowerPoint Document", doc)])
 
 
 def _row_taxonomy(doc_id: int, text: str, lang: str, source: str):
