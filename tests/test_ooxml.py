@@ -371,6 +371,84 @@ def test_odt_empty_body_contained():
     assert out[0].status == "ERROR"
 
 
+def _ods(body: str) -> bytes:
+    content = (
+        f"<office:document-content {_ODT_NS}>"
+        f"<office:body><office:spreadsheet>{body}</office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    return _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.spreadsheet"),
+            ("content.xml", content),
+        ]
+    )
+
+
+def test_ods_three_containers_one_workbook_identical():
+    """ods, xlsx and .xls of the same workbook extract byte-identical
+    pages (the shared grids_to_pages contract across all three)."""
+    from zerox_spark.synth import render_ods, render_xls, render_xlsx
+
+    cfg = ExtractConfig(trust_text=False)
+    outs = [
+        [
+            (p.page_no, p.markdown)
+            for p in extract_document(render(12), None, cfg)
+        ]
+        for render in (render_ods, render_xlsx, render_xls)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert outs[0][0][1].startswith("## Sheet: data")
+
+
+def test_ods_repeated_columns_and_rows():
+    body = (
+        '<table:table table:name="s">'
+        "<table:table-row>"
+        '<table:table-cell table:number-columns-repeated="3"><text:p>x</text:p></table:table-cell>'
+        "</table:table-row>"
+        '<table:table-row table:number-rows-repeated="2">'
+        "<table:table-cell><text:p>y</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table>"
+    )
+    from zerox_spark.extract.ooxml import odt_to_pages
+
+    md = odt_to_pages(_ods(body))[0][1]
+    assert (
+        "<table><tr><th>x</th><th>x</th><th>x</th></tr>"
+        "<tr><td>y</td></tr><tr><td>y</td></tr></table>" in md
+    )
+
+
+def test_ods_empty_repeat_filler_dropped_and_value_attr_fallback():
+    """The classic LibreOffice trailing filler (an empty cell repeated
+    16383×) is a gap — dropped like the xlsx sparse path; a cell with only
+    an office:value attribute still yields its value."""
+    body = (
+        '<table:table table:name="s">'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="float" office:value="42"/>'
+        '<table:table-cell table:number-columns-repeated="16383"/>'
+        "</table:table-row>"
+        "</table:table>"
+    )
+    from zerox_spark.extract.ooxml import odt_to_pages
+
+    md = odt_to_pages(_ods(body))[0][1]
+    assert "<table><tr><th>42</th></tr></table>" in md
+
+
+def test_ods_routes_through_extract_document():
+    from zerox_spark.synth import render_ods
+
+    out = extract_document(
+        render_ods(4), None, ExtractConfig(trust_text=False)
+    )
+    assert [p.status for p in out] == ["SUCCESS", "SUCCESS"]
+
+
 def test_oversized_container_bypasses_truncation_and_extracts():
     """Containers BYPASS the byte-truncation cap (truncating a zip just
     corrupts it — every oversized xlsx would become an ERROR row); per-row

@@ -23,6 +23,73 @@ x
 """
 
 
+# --- delimited (csv/tsv) fast path ----------------------------------------
+
+def test_sniff_delimiter_positive_and_negative():
+    from zerox_spark.extract.delimited import sniff_delimiter
+
+    assert sniff_delimiter("a,b,c\n1,2,3\n4,5,6\n") == ","
+    assert sniff_delimiter("a\tb\n1\t2\n") == "\t"
+    # tsv probed before comma: comma-bearing fields must not mis-split
+    assert sniff_delimiter('x\ty\n"a,b"\tc\n') == "\t"
+    # prose with incidental commas: inconsistent counts → not a table
+    assert sniff_delimiter("One, two, and three.\nNo commas here.\n") is None
+    # single line / single column → not detectable
+    assert sniff_delimiter("a,b,c\n") is None
+    assert sniff_delimiter("one\ntwo\nthree\n") is None
+
+
+def test_csv_quoting_escaping_golden():
+    """Quoted field with embedded delimiter + doubled quote — the
+    csv-module escaping contract, pinned."""
+    payload = b'name,note\nr1,"says ""hi"", ok"\n'
+    out = extract_document(payload, None, ExtractConfig(trust_text=False))
+    assert out[0].status == "SUCCESS"
+    assert out[0].markdown == (
+        '<table><tr><th>name</th><th>note</th></tr>'
+        '<tr><td>r1</td><td>says "hi", ok</td></tr></table>'
+    )
+
+
+def test_csv_crlf_and_empty_rows():
+    payload = b"h1,h2\r\n\r\na,b\r\n"
+    out = extract_document(payload, None, ExtractConfig(trust_text=False))
+    assert out[0].markdown == (
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table>"
+    )
+
+
+def test_csv_xlsx_same_grid_same_table_body():
+    """A csv and an xlsx of the same grid share the <table> body (the
+    cross-container grid contract)."""
+    from zerox_spark.synth import render_csv, render_xlsx
+
+    csv_md = extract_document(
+        render_csv(6), None, ExtractConfig(trust_text=False)
+    )[0].markdown
+    xlsx_md = extract_document(
+        render_xlsx(6), None, ExtractConfig(trust_text=False)
+    )[0].markdown
+    assert csv_md in xlsx_md  # xlsx adds the '## Sheet: data' heading
+
+
+def test_plain_text_with_commas_still_paragraphs():
+    txt = b"First, a thought.\n\nSecond, another, longer one.\n"
+    out = extract_document(txt, None, ExtractConfig(trust_text=False))
+    assert out[0].markdown == (
+        "First, a thought.\n\nSecond, another, longer one."
+    )
+
+
+def test_delimited_strategy_rejects_non_table():
+    from zerox_spark.extract.core import get_extractor
+
+    fn = get_extractor("delimited")
+    with pytest.raises(ValueError, match="not a consistent delimited"):
+        fn(b"just some prose\nwith two lines\n", None)
+
+
 # --- sheet fast path -------------------------------------------------------
 
 def test_parse_sheets():

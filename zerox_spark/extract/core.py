@@ -72,6 +72,19 @@ def _builtin_cfb(html: bytes, text: str | None):
     return cfb_to_pages(html)
 
 
+def _builtin_delimited(html: bytes, text: str | None):
+    from zerox_spark.extract.delimited import (
+        delimited_to_pages,
+        sniff_delimiter,
+    )
+
+    src = _decode_payload(html).replace("\r\n", "\n").replace("\r", "\n")
+    delim = sniff_delimiter(src)
+    if delim is None:
+        raise ValueError("payload is not a consistent delimited table")
+    return delimited_to_pages(src, delim)
+
+
 EXTRACTORS: dict[str, object] = {
     "auto": None,  # full dispatch below (the default)
     "readability": _builtin_html,
@@ -79,6 +92,7 @@ EXTRACTORS: dict[str, object] = {
     "sheets": _builtin_sheets,
     "ooxml": _builtin_ooxml,
     "legacy_office": _builtin_cfb,
+    "delimited": _builtin_delimited,
 }
 
 
@@ -281,6 +295,18 @@ def _extract_raw(
     src = _decode_payload(html)
     src = src.replace("\r\n", "\n").replace("\r", "\n")
     if not src.lstrip().startswith("<"):
+        # csv/tsv structured fast path (README.md:506-507): a consistent
+        # delimited grid extracts as one first-row-<th> table page, the
+        # same sheet contract as %SHEET/xlsx/xls (extract/delimited.py)
+        from zerox_spark.extract.delimited import (
+            delimited_to_pages,
+            sniff_delimiter,
+        )
+
+        delim = sniff_delimiter(src)
+        if delim is not None:
+            pages = delimited_to_pages(src, delim)
+            return [(no, _finalize(md), spans) for no, md, spans in pages]
         # plain-text document (.txt is a first-class reference input type,
         # README.md:488-513): paragraphs on blank lines, no DOM pass
         return [_plain_text_page(src)]

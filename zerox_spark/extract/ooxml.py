@@ -670,15 +670,66 @@ def odt_to_pages(
         return _odt_pages(zf)
 
 
+_O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
+
+# ODS repeat attributes are attacker-controlled (the classic LibreOffice
+# trailing-filler cell claims 16383 columns); non-empty repeats are clamped
+# and budget-charged, empty repeats are dropped outright (the xlsx path
+# skips gaps the same way — sparse forEach, file.ts:250-257)
+_ODS_MAX_REPEAT = 1024
+
+
+def _ods_grids(
+    spreadsheet: ET.Element,
+) -> list[tuple[str, list[list[str]]]]:
+    """office:spreadsheet → [(sheet_name, rows)] — the same grid contract
+    as xlsx_to_grids/xls_to_grids, so ods joins the shared
+    grids_to_pages page form (one workbook, three containers,
+    byte-identical pages — tested)."""
+    grids = []
+    for tbl in spreadsheet.findall(f"{_TBL}table"):
+        rows: list[list[str]] = []
+        for tr in tbl.findall(f"{_TBL}table-row"):
+            row_rep = min(
+                int(tr.get(f"{_TBL}number-rows-repeated", "1") or "1"),
+                _ODS_MAX_REPEAT,
+            )
+            vals: list[str] = []
+            for tc in tr.findall(f"{_TBL}table-cell"):
+                texts = [
+                    _odt_text(p).strip() for p in tc.findall(f"{_T}p")
+                ]
+                val = " ".join(x for x in texts if x)
+                if not val:
+                    val = tc.get(f"{_O}value", "")
+                if val == "":
+                    continue  # gap — skipped like the xlsx sparse path
+                col_rep = min(
+                    int(tc.get(f"{_TBL}number-columns-repeated", "1") or "1"),
+                    _ODS_MAX_REPEAT,
+                )
+                vals.extend([val] * col_rep)
+            if vals:
+                rows.extend([vals] * row_rep)
+        grids.append((tbl.get(f"{_TBL}name", ""), rows))
+    if not grids:
+        raise ValueError("ods has no table:table sheets")
+    return grids
+
+
 def _odt_pages(
     zf: zipfile.ZipFile,
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
     root = _read_xml(zf, "content.xml")
-    _O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
     body = root.find(f"{_O}body")
+    if body is not None:
+        sheet_el = body.find(f"{_O}spreadsheet")
+        if sheet_el is not None:
+            # ods: sheet k → page k through the shared grid page contract
+            return grids_to_pages(_ods_grids(sheet_el))
     text_el = body.find(f"{_O}text") if body is not None else None
     if text_el is None:
-        raise ValueError("odt has no office:text body")
+        raise ValueError("odf has no office:text/office:spreadsheet body")
     budget = OutputBudget()
     blocks = []
     for el in text_el:

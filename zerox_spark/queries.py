@@ -141,6 +141,39 @@ def q_extract_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("url", "page_no", "markdown")
 
 
+def q_extract_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real presentation containers, slide = page: pptx (zip+XML, even
+    doc_ids) and legacy .ppt ([MS-PPT] records in CFB, odd doc_ids) —
+    extract/ooxml.py pptx path + extract/legacy_office.py ppt path."""
+    from zerox_spark.synth import synth_pres_pages
+
+    pages = synth_pres_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    return ex.select("url", "page_no", "markdown")
+
+
+def q_extract_odf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real OpenDocument containers: ods sheet-per-page (even doc_ids,
+    byte-identical to the xlsx/xls containers of the same workbook) + odt
+    heading/list/table extraction (odd) — extract/ooxml.py ODF branch."""
+    from zerox_spark.synth import synth_odf_pages
+
+    pages = synth_odf_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    return ex.select("url", "page_no", "markdown")
+
+
+def q_extract_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-sniffed csv/tsv structured fast path: one first-row-<th>
+    table page per payload (csv carries the sheet_cells data grid; tsv
+    carries a quoted field pinning csv-module escaping)."""
+    from zerox_spark.synth import synth_delimited_pages
+
+    pages = synth_delimited_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    return ex.select("url", "page_no", "markdown")
+
+
 def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-containment contract, driver-checked: every third doc is a
     deterministically-corrupt CFB payload → exactly one ERROR row with
@@ -481,6 +514,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "page_select": q_page_select,
     "extract_ooxml": q_extract_ooxml,
     "extract_legacy": q_extract_legacy,
+    "extract_pptx": q_extract_pptx,
+    "extract_odf": q_extract_odf,
+    "extract_delimited": q_extract_delimited,
     "extract_errors": q_extract_errors,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
@@ -964,6 +1000,85 @@ doc_md AS (
 )
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
 FROM (SELECT * FROM xls_md UNION ALL SELECT * FROM doc_md)
+""",
+    "extract_pptx": f"""
+WITH docs AS (
+  SELECT doc_id, text, source, {_URL} AS url FROM documents
+),
+pptx_md AS (
+  SELECT url, p.page_no,
+    CASE p.page_no
+      WHEN 1 THEN
+        '# Document ' || doc_id || {_NL2} || text || {_NL2} ||
+        '<table><tr><th>metric</th><th>value</th></tr><tr><td>views</td><td>'
+        || ((doc_id * 37) % 1000) || '</td></tr></table>'
+      ELSE
+        '# Section ' || doc_id || {_NL2} ||
+        array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+    END AS markdown
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 2 = 0
+),
+ppt_md AS (
+  SELECT url, p.page_no,
+    CASE p.page_no
+      WHEN 1 THEN '# Document ' || doc_id || {_NL2} || text
+      ELSE '# Section ' || doc_id || {_NL2} ||
+        array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+    END AS markdown
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 2 = 1
+)
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
+FROM (SELECT * FROM pptx_md UNION ALL SELECT * FROM ppt_md)
+""",
+    "extract_odf": f"""
+WITH docs AS (
+  SELECT doc_id, text, source, {_URL} AS url FROM documents
+),
+ods_md AS (
+  SELECT url, p.page_no,
+    {_SHEET_PAGES_CASE}
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 2 = 0
+),
+odt_md AS (
+  SELECT url, 1 AS page_no,
+    '# Document ' || doc_id || {_NL2} || text || {_NL2} ||
+    '- item ' || ((doc_id * 7) % 100) || chr(10) ||
+    '- item ' || ((doc_id * 11) % 100) || {_NL2} ||
+    '<table><tr><th>metric</th><th>value</th></tr><tr><td>views</td><td>'
+    || ((doc_id * 37) % 1000) || '</td></tr></table>' || {_NL2} ||
+    '## Section ' || doc_id || {_NL2} ||
+    array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+      AS markdown
+  FROM docs WHERE doc_id % 2 = 1
+)
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
+FROM (SELECT * FROM ods_md UNION ALL SELECT * FROM odt_md)
+""",
+    "extract_delimited": f"""
+WITH docs AS (
+  SELECT doc_id, source, {_URL} AS url FROM documents
+),
+csv_md AS (
+  SELECT url, 1 AS page_no,
+    '<table><tr><th>name</th><th>q1</th><th>q2</th></tr><tr><td>r0</td><td>'
+    || ((doc_id * 7) % 100) || '</td><td>' || ((doc_id * 11) % 100)
+    || '</td></tr><tr><td>r1</td><td>' || ((doc_id * 7 + 13) % 100)
+    || '</td><td>' || ((doc_id * 11 + 17) % 100) || '</td></tr></table>'
+      AS markdown
+  FROM docs WHERE doc_id % 2 = 0
+),
+tsv_md AS (
+  SELECT url, 1 AS page_no,
+    '<table><tr><th>name</th><th>note</th></tr><tr><td>r' || (doc_id % 7)
+    || '</td><td>says "hi", x=' || ((doc_id * 3) % 100)
+    || '</td></tr></table>' AS markdown
+  FROM docs WHERE doc_id % 2 = 1
+)
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
+FROM (SELECT * FROM csv_md UNION ALL SELECT * FROM tsv_md)
 """,
     # poison corpus: the MD CTE restricted to the valid docs, plus one
     # closed-form ERROR row per corrupt doc (doc_id % 3 == 0)

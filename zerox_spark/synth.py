@@ -632,6 +632,108 @@ def render_doc(doc_id: int, text: str) -> bytes:
     return write_cfb([("WordDocument", bytes(word)), ("1Table", clx)])
 
 
+# ---------------------------------------------------------------------------
+# ODF renderers (odt text + ods spreadsheet — the OpenDocument family the
+# reference routes through libreoffice; extract/ooxml.py ODF branch)
+
+_ODF_NS = (
+    'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+    'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" '
+    'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+)
+
+
+def _odf_doc(body_kind: str, body: str, mimetype: str) -> bytes:
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f"<office:document-content {_ODF_NS}>"
+        f"<office:body><office:{body_kind}>{body}</office:{body_kind}>"
+        "</office:body></office:document-content>"
+    )
+    return _zip_bytes([("mimetype", mimetype), ("content.xml", content)])
+
+
+def render_ods(doc_id: int) -> bytes:
+    """Real ods payload carrying the sheet_cells grids — the THIRD container
+    of the same workbook (after xlsx and .xls), extracting byte-identical
+    pages through the shared grids_to_pages contract."""
+    data, summary = sheet_cells(doc_id)
+
+    def sheet(name: str, rows: list[list[str]]) -> str:
+        trs = "".join(
+            "<table:table-row>"
+            + "".join(
+                f"<table:table-cell><text:p>{_xesc(c)}</text:p></table:table-cell>"
+                for c in row
+            )
+            + "</table:table-row>"
+            for row in rows
+        )
+        return f'<table:table table:name="{name}">{trs}</table:table>'
+
+    return _odf_doc(
+        "spreadsheet",
+        sheet("data", data) + sheet("summary", summary),
+        "application/vnd.oasis.opendocument.spreadsheet",
+    )
+
+
+def render_odt(doc_id: int, text: str) -> bytes:
+    """Real odt payload mirroring render_docx's structure (title, body,
+    2-item list, stats table, section) — one page (ODT pagination is
+    renderer-defined; no explicit breaks here)."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+
+    def tc(t: str) -> str:
+        return (
+            f"<table:table-cell><text:p>{_xesc(t)}</text:p></table:table-cell>"
+        )
+
+    body = (
+        f'<text:h text:outline-level="1">Document {doc_id}</text:h>'
+        f"<text:p>{_xesc(text)}</text:p>"
+        "<text:list>"
+        f"<text:list-item><text:p>item {(doc_id * 7) % 100}</text:p></text:list-item>"
+        f"<text:list-item><text:p>item {(doc_id * 11) % 100}</text:p></text:list-item>"
+        "</text:list>"
+        "<table:table><table:table-row>"
+        + tc("metric")
+        + tc("value")
+        + "</table:table-row><table:table-row>"
+        + tc("views")
+        + tc(str((doc_id * 37) % 1000))
+        + "</table:table-row></table:table>"
+        f'<text:h text:outline-level="2">Section {doc_id}</text:h>'
+        f"<text:p>{_xesc(first10)}</text:p>"
+    )
+    return _odf_doc(
+        "text", body, "application/vnd.oasis.opendocument.text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# delimited renderers (csv/tsv — extract/delimited.py structured fast path)
+
+
+def render_csv(doc_id: int) -> bytes:
+    """Comma-delimited payload carrying the sheet_cells data grid — the
+    same cell values as the %SHEET/xlsx/xls containers, so a csv and an
+    xlsx of one grid extract the same <table> body."""
+    data, _ = sheet_cells(doc_id)
+    return ("\n".join(",".join(row) for row in data) + "\n").encode("utf-8")
+
+
+def render_tsv(doc_id: int) -> bytes:
+    """Tab-delimited payload with a QUOTED field (embedded comma + doubled
+    quote) — pins the csv-module quoting/escaping behavior in a closed form
+    the oracle can restate."""
+    lines = [
+        "name\tnote",
+        f'r{doc_id % 7}\t"says ""hi"", x={(doc_id * 3) % 100}"',
+    ]
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
 def _ppt_rec(ver: int, inst: int, rectype: int, body: bytes) -> bytes:
     return _struct.pack("<HHI", (inst << 4) | ver, rectype, len(body)) + body
 
@@ -681,6 +783,26 @@ def _row_ooxml(doc_id: int, text: str, lang: str, source: str):
 def _row_legacy(doc_id: int, text: str, lang: str, source: str):
     return (
         render_xls(doc_id) if doc_id % 2 == 0 else render_doc(doc_id, text)
+    ), ""
+
+
+def _row_odf(doc_id: int, text: str, lang: str, source: str):
+    return (
+        render_ods(doc_id) if doc_id % 2 == 0 else render_odt(doc_id, text)
+    ), ""
+
+
+def _row_delimited(doc_id: int, text: str, lang: str, source: str):
+    return (
+        render_csv(doc_id) if doc_id % 2 == 0 else render_tsv(doc_id)
+    ), ""
+
+
+def _row_pres(doc_id: int, text: str, lang: str, source: str):
+    return (
+        render_pptx(doc_id, text)
+        if doc_id % 2 == 0
+        else render_ppt(doc_id, text)
     ), ""
 
 
@@ -750,6 +872,33 @@ def synth_legacy_pages(
     containers (.xls for even doc_ids, .doc for odd) — exercises the
     CFB/BIFF8/Word97 extraction path end to end."""
     return _pages_from_docs(spark, sf_dir, _row_legacy, num_partitions)
+
+
+def synth_odf_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are REAL OpenDocument
+    containers (ods spreadsheet for even doc_ids, odt text for odd) —
+    exercises the ODF extraction branch end to end."""
+    return _pages_from_docs(spark, sf_dir, _row_odf, num_partitions)
+
+
+def synth_delimited_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are delimited text (csv for
+    even doc_ids, quoted tsv for odd) — exercises the content-sniffed
+    structured fast path (extract/delimited.py) end to end."""
+    return _pages_from_docs(spark, sf_dir, _row_delimited, num_partitions)
+
+
+def synth_pres_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are REAL presentations
+    (pptx zip+XML for even doc_ids, legacy .ppt CFB for odd) — exercises
+    the slide-per-page extraction paths end to end."""
+    return _pages_from_docs(spark, sf_dir, _row_pres, num_partitions)
 
 
 def synth_poison_pages(
