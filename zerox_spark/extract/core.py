@@ -85,6 +85,12 @@ def _builtin_delimited(html: bytes, text: str | None):
     return delimited_to_pages(src, delim)
 
 
+def _builtin_rtf(html: bytes, text: str | None):
+    from zerox_spark.extract.rtf import rtf_to_pages
+
+    return rtf_to_pages(html)
+
+
 EXTRACTORS: dict[str, object] = {
     "auto": None,  # full dispatch below (the default)
     "readability": _builtin_html,
@@ -93,6 +99,7 @@ EXTRACTORS: dict[str, object] = {
     "ooxml": _builtin_ooxml,
     "legacy_office": _builtin_cfb,
     "delimited": _builtin_delimited,
+    "rtf": _builtin_rtf,
 }
 
 
@@ -270,6 +277,14 @@ def _extract_raw(
         pages = cfb_to_pages(html)
         if not pages:
             raise ValueError("CFB payload with no pages")
+        return [(no, _finalize(md), spans) for no, md, spans in pages]
+    if html[:5] == b"{\\rtf":
+        # RTF (README.md:495): group/control-word parse → paragraph blocks,
+        # \page splits pages (extract/rtf.py) — no more control-word soup
+        # through the plain-text fallback
+        from zerox_spark.extract.rtf import rtf_to_pages
+
+        pages = rtf_to_pages(html)
         return [(no, _finalize(md), spans) for no, md, spans in pages]
     if is_sheet(html):
         pages = sheets_to_pages(html)

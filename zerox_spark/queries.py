@@ -163,6 +163,16 @@ def q_extract_odf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("url", "page_no", "markdown")
 
 
+def q_extract_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF group/control-word extraction: destinations stripped, \\page
+    page split, paragraph blocks (extract/rtf.py)."""
+    from zerox_spark.synth import synth_rtf_pages
+
+    pages = synth_rtf_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    return ex.select("url", "page_no", "markdown")
+
+
 def q_extract_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-sniffed csv/tsv structured fast path: one first-row-<th>
     table page per payload (csv carries the sheet_cells data grid; tsv
@@ -282,6 +292,50 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No SQL oracle (xxhash64 parity impossible in DuckDB); recall/precision
     asserted against exact pairs in pytest."""
     return dedup_simhash_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+
+
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-hashed floor for the SimHash family (the ann_recall pattern):
+    recall of the 8-band blocking vs the EXACT hamming-≤7 self-join over
+    the same signatures, floor-clamped at 100. Pigeonhole guarantees the
+    banding misses nothing at radius 7, so the true value IS 100 — any
+    banding/signature regression drops it and fails the driver's hash
+    check. The exact self-join is the declared test-scale ground truth
+    (all-pairs on the (doc_id, int64) signature table only — never on
+    text), mirroring dedup_ngram's role."""
+    from zerox_spark.operators.dedup import simhash
+
+    corpus = with_injected_duplicates(_docs(spark, sf_dir))
+    sigs = simhash(corpus)
+    l, r = sigs.alias("l"), sigs.alias("r")
+    exact = (
+        l.join(r, F.col("l.doc_id") < F.col("r.doc_id"))
+        .filter(
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            )
+            <= 7
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+    )
+    banded = dedup_simhash_pairs(corpus).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    joined = exact.join(banded, ["id_a", "id_b"], "left")
+    recall = joined.agg(
+        F.least(
+            F.floor(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                * 100
+                / F.count(F.lit(1))
+            ),
+            F.lit(100).cast("long"),
+        ).alias("recall_floor_pct")
+    )
+    n_docs = corpus.agg(F.count(F.lit(1)).alias("n_docs"))
+    return n_docs.crossJoin(recall)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pptx": q_extract_pptx,
     "extract_odf": q_extract_odf,
     "extract_delimited": q_extract_delimited,
+    "extract_rtf": q_extract_rtf,
     "extract_errors": q_extract_errors,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
@@ -526,6 +581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "simhash_recall": q_simhash_recall,
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
@@ -1032,6 +1088,18 @@ ppt_md AS (
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
 FROM (SELECT * FROM pptx_md UNION ALL SELECT * FROM ppt_md)
 """,
+    "extract_rtf": f"""
+WITH docs AS (
+  SELECT doc_id, text, source, {_URL} AS url FROM documents
+)
+SELECT url, CAST(p.page_no AS INTEGER) AS page_no,
+  CASE p.page_no
+    WHEN 1 THEN 'Document ' || doc_id || {_NL2} || text
+    ELSE 'Section ' || doc_id || {_NL2} ||
+      array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+  END AS markdown
+FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+""",
     "extract_odf": f"""
 WITH docs AS (
   SELECT doc_id, text, source, {_URL} AS url FROM documents
@@ -1119,6 +1187,16 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM corpus GROUP BY text
     + """
 SELECT url, CAST(strlen(payload) AS BIGINT) AS n_bytes, media_kind
 FROM payloads
+""",
+    # n_docs is closed-form from the injected-dup derivation; the floor IS
+    # 100 by pigeonhole (8 bands over a 64-bit hash at radius 7) — any
+    # banding/signature regression drops below and hash-mismatches
+    "simhash_recall": """
+SELECT CAST((SELECT count(*) FROM documents)
+     + (SELECT count(*) FROM documents WHERE doc_id % 10 = 4)
+     + (SELECT count(*) FROM documents WHERE doc_id % 10 = 3) AS BIGINT)
+       AS n_docs,
+       CAST(100 AS BIGINT) AS recall_floor_pct
 """,
     "ann_recall": f"""
 SELECT CAST(count(*) AS BIGINT) AS n_queries,

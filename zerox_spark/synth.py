@@ -712,6 +712,33 @@ def render_odt(doc_id: int, text: str) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# RTF renderer (extract/rtf.py)
+
+
+def _rtf_escape(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("{", "\\{").replace("}", "\\}")
+
+
+def render_rtf(doc_id: int, text: str) -> bytes:
+    """Real RTF payload: font-table destination (must not leak into output),
+    two pages split by \\page, title/body/section paragraphs — the .doc
+    closed-form shape through text markup."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+    rtf = (
+        "{\\rtf1\\ansi\\deff0"
+        "{\\fonttbl{\\f0\\froman Times New Roman;}}"
+        "{\\*\\generator zerox-spark-synth;}"
+        f"\\pard Document {doc_id}\\par\n"
+        f"{_rtf_escape(text)}\\par\n"
+        "\\page "
+        f"Section {doc_id}\\par\n"
+        f"{_rtf_escape(first10)}\\par\n"
+        "}"
+    )
+    return rtf.encode("cp1252", "replace")
+
+
+# ---------------------------------------------------------------------------
 # delimited renderers (csv/tsv — extract/delimited.py structured fast path)
 
 
@@ -784,6 +811,10 @@ def _row_legacy(doc_id: int, text: str, lang: str, source: str):
     return (
         render_xls(doc_id) if doc_id % 2 == 0 else render_doc(doc_id, text)
     ), ""
+
+
+def _row_rtf(doc_id: int, text: str, lang: str, source: str):
+    return render_rtf(doc_id, text), ""
 
 
 def _row_odf(doc_id: int, text: str, lang: str, source: str):
@@ -872,6 +903,14 @@ def synth_legacy_pages(
     containers (.xls for even doc_ids, .doc for odd) — exercises the
     CFB/BIFF8/Word97 extraction path end to end."""
     return _pages_from_docs(spark, sf_dir, _row_legacy, num_partitions)
+
+
+def synth_rtf_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are RTF — exercises the
+    group/control-word parser end to end."""
+    return _pages_from_docs(spark, sf_dir, _row_rtf, num_partitions)
 
 
 def synth_odf_pages(
