@@ -55,6 +55,11 @@ N_SMALL = int(os.environ.get("BENCH_SMALL", str(max(1, N_BIG // 4))))
 # (the factor is identical at both widths, so it cancels in the ratio)
 # while the whole bench fits the driver's time budget
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "12"))
+# per-query timings are MEDIANS of N interleaved passes: the r1→r2 round
+# comparison surfaced sub-second "regressions" indistinguishable from
+# single-session machine noise; 3 passes make round-over-round per-query
+# deltas meaningful (min/max spread is reported alongside)
+QUERY_PASSES = int(os.environ.get("BENCH_QUERY_PASSES", "3"))
 NUM_PARTITIONS = int(os.environ.get("BENCH_PARTITIONS", "128"))
 SCALING_ROUNDS = int(os.environ.get("BENCH_ROUNDS", "2"))
 # shuffle spill dir: tmpfs, the local-mode stand-in for NVMe shuffle disks
@@ -188,7 +193,7 @@ def main() -> None:
     spark.range(1).count()
     q_quality_score(spark, SF_DIR).count()  # warm Python workers (UDF path)
     q_extract_markdown(spark, SF_DIR).count()  # warm the extract path
-    for name, fn in [
+    query_list = [
         ("extract_markdown", q_extract_markdown),
         ("extract_doc_agg", q_extract_doc_agg),
         ("dedup_minhash", q_dedup_minhash),
@@ -196,9 +201,18 @@ def main() -> None:
         ("ann_topk", q_ann_topk),
         ("quality_score", q_quality_score),
         ("token_counts", q_token_counts),
-    ]:
-        dt, _ = timed(fn, spark, SF_DIR)
-        results[name] = round(dt, 3)
+    ]
+    samples: dict[str, list[float]] = {name: [] for name, _ in query_list}
+    for _ in range(QUERY_PASSES):  # interleaved: drift spreads evenly
+        for name, fn in query_list:
+            dt, _ = timed(fn, spark, SF_DIR)
+            samples[name].append(dt)
+    import statistics
+
+    spread: dict[str, list[float]] = {}
+    for name, ts in samples.items():
+        results[name] = round(statistics.median(ts), 3)
+        spread[name] = [round(min(ts), 3), round(max(ts), 3)]
     spark.stop()
 
     out = {
@@ -206,6 +220,8 @@ def main() -> None:
         "value": round(head_pages / head_dt, 2),
         "unit": "sec",
         "queries": results,
+        "query_passes": QUERY_PASSES,
+        "query_spread": spread,
         "sf": SF_DIR,
         "headline_cores": CPUS,
         "scaling": {

@@ -449,6 +449,59 @@ def test_ods_routes_through_extract_document():
     assert [p.status for p in out] == ["SUCCESS", "SUCCESS"]
 
 
+def test_odp_renderer_slides_and_title_mapping():
+    from zerox_spark.extract.ooxml import odt_to_pages
+    from zerox_spark.synth import render_odp
+
+    pages = odt_to_pages(render_odp(9, "w1 w2 w3"))
+    assert [(n, md) for n, md, _ in pages] == [
+        (1, "# Document 9\n\nw1 w2 w3"),
+        (2, "# Section 9\n\nw1 w2 w3"),
+    ]
+
+
+def test_odp_ppt_pptx_same_text_shape():
+    """odp, legacy .ppt and (table-less slides of) pptx share the slide
+    page shape: title heading + body paragraphs."""
+    from zerox_spark.extract.legacy_office import ppt_to_pages
+    from zerox_spark.extract.ooxml import odt_to_pages
+    from zerox_spark.synth import render_odp, render_ppt
+
+    odp = [(n, md) for n, md, _ in odt_to_pages(render_odp(5, "a b c"))]
+    ppt = [(n, md) for n, md, _ in ppt_to_pages(render_ppt(5, "a b c"))]
+    assert odp == ppt
+
+
+def test_generic_xml_element_and_tail_text():
+    payload = (
+        b'<?xml version="1.0"?>\n'
+        b"<r><a>one</a>mid<b><c>two</c></b>tail</r>"
+    )
+    out = extract_document(payload, None, ExtractConfig(trust_text=False))
+    assert out[0].status == "SUCCESS"
+    assert out[0].markdown == "one\n\nmid\n\ntwo\n\ntail"
+
+
+def test_xhtml_with_xml_decl_stays_on_dom_pipeline():
+    payload = (
+        b'<?xml version="1.0"?>\n'
+        b'<html><body><article><h1>T</h1><p>body text</p></article></body></html>'
+    )
+    out = extract_document(payload, None, ExtractConfig(trust_text=False))
+    assert out[0].markdown == "# T\n\nbody text"
+
+
+def test_xml_with_dtd_falls_to_tolerant_pipeline_not_expat():
+    payload = (
+        b'<?xml version="1.0"?><!DOCTYPE r [<!ENTITY a "x">]>'
+        b"<r><p>content &a; here</p></r>"
+    )
+    out = extract_document(payload, None, ExtractConfig(trust_text=False))
+    # HTML tokenizer path: custom entity NOT expanded, content survives
+    assert out[0].status == "SUCCESS"
+    assert "content" in out[0].markdown
+
+
 def test_oversized_container_bypasses_truncation_and_extracts():
     """Containers BYPASS the byte-truncation cap (truncating a zip just
     corrupts it — every oversized xlsx would become an ERROR row); per-row

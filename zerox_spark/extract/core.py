@@ -325,8 +325,54 @@ def _extract_raw(
         # plain-text document (.txt is a first-class reference input type,
         # README.md:488-513): paragraphs on blank lines, no DOM pass
         return [_plain_text_page(src)]
+    if src.lstrip().startswith("<?xml"):
+        page = _generic_xml_page(src)
+        if page is not None:
+            return [page]
     markdown, spans = html_to_markdown(src)
     return [(1, _finalize(markdown), spans)]
+
+
+def _generic_xml_page(src: str) -> tuple[int, str, list] | None:
+    """Standalone XML document (the reference's 'xml' input type,
+    README.md:498): element text nodes in document order → paragraph
+    blocks, one page. Returns None — falling back to the error-tolerant
+    HTML pipeline — for XHTML (root <html>), unparseable XML, or anything
+    carrying a DTD (entity-expansion guard; the HTML tokenizer never
+    expands custom entities)."""
+    if "<!DOCTYPE" in src or "<!ENTITY" in src:
+        return None
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(src)
+    except ET.ParseError:
+        return None
+    if root.tag.split("}")[-1].lower() == "html":
+        return None
+    paras: list[str] = []
+
+    def walk(el) -> None:  # text nodes in true document order
+        t = _WS_RUN.sub(" ", (el.text or "")).strip()
+        if t:
+            paras.append(t)
+        for child in el:
+            walk(child)
+            tail = _WS_RUN.sub(" ", (child.tail or "")).strip()
+            if tail:
+                paras.append(tail)
+
+    walk(root)
+    if not paras:
+        return None
+    markdown = "\n\n".join(paras)
+    spans, pos = [], 0
+    for i, p in enumerate(paras):
+        if i:
+            pos += 2
+        spans.append(("para", pos, pos + len(p), 1.0))
+        pos += len(p)
+    return (1, _finalize(markdown), spans)
 
 
 # charset resolution — the mime/extension fallback-chain analog

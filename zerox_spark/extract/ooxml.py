@@ -717,6 +717,46 @@ def _ods_grids(
     return grids
 
 
+_DR = "{urn:oasis:names:tc:opendocument:xmlns:drawing:1.0}"
+_PRES = "{urn:oasis:names:tc:opendocument:xmlns:presentation:1.0}"
+
+
+def _odp_pages(
+    presentation: ET.Element,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """office:presentation → draw:page k = page k; a frame whose
+    presentation:class is title renders its paragraphs as '# ' headings,
+    every other text-box content reuses the odt block mapping — the same
+    slide shape as the pptx/ppt paths."""
+    budget = OutputBudget()
+    out = []
+    for page in presentation.findall(f"{_DR}page"):
+        blocks: list[Block] = []
+        for frame in page.iter(f"{_DR}frame"):
+            is_title = frame.get(f"{_PRES}class") == "title"
+            for tb in frame.findall(f"{_DR}text-box"):
+                for el in tb:
+                    if is_title and el.tag == f"{_T}p":
+                        text = _odt_text(el).strip()
+                        if text:
+                            blk = Block("heading", f"# {text}")
+                        else:
+                            continue
+                    else:
+                        blk = _odt_block(el)
+                        if blk is None:
+                            continue
+                    budget.charge(len(blk.text))
+                    blocks.append(blk)
+        if not blocks:
+            continue
+        markdown, spans = join_blocks(_merge_list_runs(blocks))
+        out.append((len(out) + 1, markdown, spans))
+    if not out:
+        raise ValueError("odp slides produced no content")
+    return out
+
+
 def _odt_pages(
     zf: zipfile.ZipFile,
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
@@ -725,11 +765,16 @@ def _odt_pages(
     if body is not None:
         sheet_el = body.find(f"{_O}spreadsheet")
         if sheet_el is not None:
-            # ods: sheet k → page k through the shared grid page contract
+            # ods/ots: sheet k → page k through the shared grid contract
             return grids_to_pages(_ods_grids(sheet_el))
+        pres_el = body.find(f"{_O}presentation")
+        if pres_el is not None:
+            return _odp_pages(pres_el)  # odp/otp: slide k → page k
     text_el = body.find(f"{_O}text") if body is not None else None
     if text_el is None:
-        raise ValueError("odf has no office:text/office:spreadsheet body")
+        raise ValueError(
+            "odf has no office:text/office:spreadsheet/office:presentation body"
+        )
     budget = OutputBudget()
     blocks = []
     for el in text_el:

@@ -163,6 +163,17 @@ def q_extract_odf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("url", "page_no", "markdown")
 
 
+def q_extract_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last two reference input families: odp slide-per-page (even
+    doc_ids, extract/ooxml.py ODF presentation branch) and standalone XML
+    element-text paragraphs (odd, extract/core.py)."""
+    from zerox_spark.synth import synth_misc_pages
+
+    pages = synth_misc_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    return ex.select("url", "page_no", "markdown")
+
+
 def q_extract_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RTF group/control-word extraction: destinations stripped, \\page
     page split, paragraph blocks (extract/rtf.py)."""
@@ -572,6 +583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_odf": q_extract_odf,
     "extract_delimited": q_extract_delimited,
     "extract_rtf": q_extract_rtf,
+    "extract_misc": q_extract_misc,
     "extract_errors": q_extract_errors,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
@@ -1087,6 +1099,31 @@ ppt_md AS (
 )
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
 FROM (SELECT * FROM pptx_md UNION ALL SELECT * FROM ppt_md)
+""",
+    "extract_misc": f"""
+WITH docs AS (
+  SELECT doc_id, text, source, {_URL} AS url FROM documents
+),
+odp_md AS (
+  SELECT url, p.page_no,
+    CASE p.page_no
+      WHEN 1 THEN '# Document ' || doc_id || {_NL2} || text
+      ELSE '# Section ' || doc_id || {_NL2} ||
+        array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+    END AS markdown
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 2 = 0
+),
+xml_md AS (
+  SELECT url, 1 AS page_no,
+    'Document ' || doc_id || {_NL2} || text || {_NL2} ||
+    'Section ' || doc_id || ': ' ||
+    array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+      AS markdown
+  FROM docs WHERE doc_id % 2 = 1
+)
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
+FROM (SELECT * FROM odp_md UNION ALL SELECT * FROM xml_md)
 """,
     "extract_rtf": f"""
 WITH docs AS (

@@ -711,6 +711,69 @@ def render_odt(doc_id: int, text: str) -> bytes:
     )
 
 
+_ODP_NS = (
+    _ODF_NS
+    + ' xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"'
+    + ' xmlns:presentation="urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"'
+)
+
+
+def render_odp(doc_id: int, text: str) -> bytes:
+    """Real odp payload: two draw:page slides with title frames + body
+    text-boxes — the ppt/pptx closed-form shape through the ODF family."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+
+    def frame(cls: str, para: str) -> str:
+        attr = f' presentation:class="{cls}"' if cls else ""
+        return (
+            f"<draw:frame{attr}><draw:text-box>"
+            f"<text:p>{_xesc(para)}</text:p>"
+            "</draw:text-box></draw:frame>"
+        )
+
+    def page(name: str, title: str, body_para: str) -> str:
+        return (
+            f'<draw:page draw:name="{name}">'
+            + frame("title", title)
+            + frame("", body_para)
+            + "</draw:page>"
+        )
+
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f"<office:document-content {_ODP_NS}>"
+        "<office:body><office:presentation>"
+        + page("page1", f"Document {doc_id}", text)
+        + page("page2", f"Section {doc_id}", first10)
+        + "</office:presentation></office:body></office:document-content>"
+    )
+    return _zip_bytes(
+        [
+            ("mimetype", "application/vnd.oasis.opendocument.presentation"),
+            ("content.xml", content),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic XML renderer (extract/core.py XML branch)
+
+
+def render_xml(doc_id: int, text: str) -> bytes:
+    """Standalone XML document (the reference's 'xml' input type) — element
+    text nodes in document order become paragraphs."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<record id="{doc_id}">\n'
+        f"  <title>Document {doc_id}</title>\n"
+        f"  <body>{_xesc(text)}</body>\n"
+        f"  <note>Section {doc_id}: {_xesc(first10)}</note>\n"
+        "</record>\n"
+    )
+    return xml.encode("utf-8")
+
+
 # ---------------------------------------------------------------------------
 # RTF renderer (extract/rtf.py)
 
@@ -813,6 +876,14 @@ def _row_legacy(doc_id: int, text: str, lang: str, source: str):
     ), ""
 
 
+def _row_misc(doc_id: int, text: str, lang: str, source: str):
+    return (
+        render_odp(doc_id, text)
+        if doc_id % 2 == 0
+        else render_xml(doc_id, text)
+    ), ""
+
+
 def _row_rtf(doc_id: int, text: str, lang: str, source: str):
     return render_rtf(doc_id, text), ""
 
@@ -903,6 +974,15 @@ def synth_legacy_pages(
     containers (.xls for even doc_ids, .doc for odd) — exercises the
     CFB/BIFF8/Word97 extraction path end to end."""
     return _pages_from_docs(spark, sf_dir, _row_legacy, num_partitions)
+
+
+def synth_misc_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are odp presentations (even
+    doc_ids) and standalone XML documents (odd) — the last two reference
+    input families (README.md:498,509)."""
+    return _pages_from_docs(spark, sf_dir, _row_misc, num_partitions)
 
 
 def synth_rtf_pages(
