@@ -87,3 +87,29 @@ def test_curate_cluster_dedup_matches_pairwise_on_chainless_corpus(spark):
         for r in curate(docs, quality_min=0.0, cluster_dedup=True).collect()
     }
     assert pairwise == clustered
+
+
+def test_dedup_lines_strips_cross_doc_boilerplate(spark):
+    """Lines in >=2 distinct docs are removed everywhere; unique lines and
+    empty separator lines survive; ordering is preserved; fully-boiler
+    pages drop out."""
+    from zerox_spark.operators.dedup import dedup_lines
+
+    rows = [
+        ("u1", 1, "unique one\n\nSHARED FOOTER\nkeep me"),
+        ("u2", 1, "different text\n\nSHARED FOOTER"),
+        ("u3", 1, "SHARED FOOTER"),
+        # two pages of ONE url sharing a line: count_distinct(url)=1 → kept
+        ("u4", 1, "intra-doc repeat"),
+        ("u4", 2, "intra-doc repeat"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "page_no", "markdown"])
+    out = {
+        (r.url, r.page_no): (r.clean_md, r.n_removed)
+        for r in dedup_lines(df, min_docs=2).collect()
+    }
+    assert out[("u1", 1)] == ("unique one\n\nkeep me", 1)
+    assert out[("u2", 1)] == ("different text\n", 1)
+    assert ("u3", 1) not in out  # page was pure boilerplate
+    assert out[("u4", 1)] == ("intra-doc repeat", 0)
+    assert out[("u4", 2)] == ("intra-doc repeat", 0)

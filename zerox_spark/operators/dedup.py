@@ -339,6 +339,65 @@ def dedup_simhash_pairs(corpus: DataFrame, max_hamming: int = 7) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cross-document line dedup (boilerplate-line removal)
+
+
+def dedup_lines(
+    pages: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "markdown",
+    key_col: str = "url",
+) -> DataFrame:
+    """Remove every non-empty LINE that appears in ≥ ``min_docs`` distinct
+    documents — the C4/FineWeb-style cross-document boilerplate strip at
+    the text layer (nav fragments, repeated list items, shared footers
+    survive per-document extraction; only corpus-level frequency exposes
+    them). Returns (key, page_no, clean_md, n_removed) per page; pages
+    whose every line was boilerplate drop out.
+
+    Plan (100 TB shape): posexplode lines → distinct-doc count per line
+    (one map-side-combined agg) → join back on the line → re-assemble with
+    a sort-free array_sort agg. Two shuffles, both on the line/key hash;
+    no window over the full corpus, no driver-side state. Empty lines are
+    structure (block separators) and are never counted or removed.
+    """
+    lines = pages.select(
+        key_col,
+        "page_no",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.filter(F.col("line") != "")
+        .groupBy("line")
+        .agg(F.count_distinct(key_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    kept = lines.join(boiler, "line", "left")
+    per_line = F.struct("pos", "line")
+    return (
+        kept.groupBy(key_col, "page_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("is_boiler").isNull(), per_line)
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("clean_md"),
+            F.sum(
+                F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
+            ).cast("int").alias("n_removed"),
+        )
+        .filter(F.col("clean_md") != "")
+    )
+
+
+# ---------------------------------------------------------------------------
 # connected components over the near-dup pair graph
 
 

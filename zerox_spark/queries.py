@@ -305,6 +305,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_simhash_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/FineWeb-style cross-document boilerplate-line removal over the
+    extracted corpus: any non-empty markdown line appearing in ≥2 distinct
+    urls is stripped from every page (repeated list items, shared code
+    fences — what survives per-document extraction)."""
+    from zerox_spark.operators.dedup import dedup_lines
+
+    ex = _extracted(spark, sf_dir, maintain_format=True)
+    return dedup_lines(ex, min_docs=2).select(
+        "url", "page_no", "clean_md", "n_removed"
+    )
+
+
 def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashed floor for the SimHash family (the ann_recall pattern):
     recall of the 8-band blocking vs the EXACT hamming-≤7 self-join over
@@ -594,6 +607,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "simhash_recall": q_simhash_recall,
+    "line_dedup": q_line_dedup,
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
@@ -1224,6 +1238,33 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM corpus GROUP BY text
     + """
 SELECT url, CAST(strlen(payload) AS BIGINT) AS n_bytes, media_kind
 FROM payloads
+""",
+    # the full line-dedup algorithm restated over the expected-markdown CTE:
+    # split to lines, count distinct urls per non-empty line, strip lines at
+    # df>=2, reassemble in position order (NULL-skipping string_agg mirrors
+    # Spark's null-skipping collect_list)
+    "line_dedup": _MD_CTE
+    + """
+, lns AS (
+  SELECT url, page_no, i, l[i] AS ln
+  FROM (SELECT url, page_no, string_split(markdown, chr(10)) AS l
+        FROM expected),
+       LATERAL unnest(range(1, len(l) + 1)) AS t(i)
+),
+boiler AS (
+  SELECT ln FROM lns WHERE ln <> ''
+  GROUP BY ln HAVING count(DISTINCT url) >= 2
+),
+marked AS (
+  SELECT url, page_no, i, ln,
+         (ln <> '' AND ln IN (SELECT ln FROM boiler)) AS is_b
+  FROM lns
+)
+SELECT url, CAST(page_no AS INTEGER) AS page_no,
+  string_agg(CASE WHEN NOT is_b THEN ln END, chr(10) ORDER BY i) AS clean_md,
+  CAST(count(CASE WHEN is_b THEN 1 END) AS INTEGER) AS n_removed
+FROM marked GROUP BY url, page_no
+HAVING coalesce(string_agg(CASE WHEN NOT is_b THEN ln END, chr(10) ORDER BY i), '') <> ''
 """,
     # n_docs is closed-form from the injected-dup derivation; the floor IS
     # 100 by pigeonhole (8 bands over a 64-bit hash at radius 7) — any
