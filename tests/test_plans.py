@@ -58,17 +58,39 @@ def test_lang_filter_pushed_to_scan(spark, pages_parquet):
     assert m2 and "html" not in m2.group(1)
 
 
-def test_minhash_plan_has_partial_aggregation(spark):
-    """The minhash signature agg must be map-side combinable (partial
-    HashAggregate before the exchange) — the property that keeps the
-    shuffle ∝ docs, not ∝ shingles."""
+def test_minhash_signature_plan_is_shuffle_free(spark):
+    """The minhash signature stage must plan as a pure MAP (scan → project
+    → filter): the k permutation minima are array_min(transform(…)) over a
+    per-row shingle-hash array — NO exchange, NO aggregate. The only
+    shuffle in the whole minhash path is the band bucket join."""
     from zerox_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = plan_of(minhash_signatures(docs))
-    # two HashAggregates (partial + final) around one Exchange
-    assert plan.count("HashAggregate") >= 2
-    assert "Exchange" in plan
+    assert "Exchange" not in plan, "signature stage must not shuffle"
+    assert "HashAggregate" not in plan
+
+
+def test_minhash_map_and_agg_formulations_agree(spark):
+    """The shuffle-free map formulation must produce byte-identical
+    signatures to the explode+groupBy reference formulation."""
+    from zerox_spark.operators.dedup import (
+        _minhash_signatures_agg,
+        minhash_signatures,
+        with_injected_duplicates,
+    )
+
+    corpus = with_injected_duplicates(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ).limit(120)
+    new = {
+        r.doc_id: r.sig for r in minhash_signatures(corpus).collect()
+    }
+    old = {
+        r.doc_id: r.sig
+        for r in _minhash_signatures_agg(corpus).collect()
+    }
+    assert new == old and len(new) > 0
 
 
 def test_curation_plan_uses_lsh_not_raw_shingle_join(spark):
@@ -82,7 +104,13 @@ def test_curation_plan_uses_lsh_not_raw_shingle_join(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = plan_of(curate(docs))
     assert "sig_hash" in plan, "curation near-dup stage is not the LSH path"
-    assert plan.count("pmod") >= 128, "minhash permutation hashes missing"
+    # the permutation minima render as array_min(transform(pmod…)) lambdas
+    # in the formatted plan (long projections truncate, so count pmod>=128
+    # no longer holds); array_min is the map-formulation fingerprint the
+    # raw shingle join never produces
+    assert "array_min" in plan and "pmod" in plan, (
+        "minhash permutation hashes missing"
+    )
 
 
 def test_repetition_plan_is_linear_not_quadratic(spark):
