@@ -113,3 +113,24 @@ def test_dedup_lines_strips_cross_doc_boilerplate(spark):
     assert ("u3", 1) not in out  # page was pure boilerplate
     assert out[("u4", 1)] == ("intra-doc repeat", 0)
     assert out[("u4", 2)] == ("intra-doc repeat", 0)
+
+
+def test_gopher_filter_rules_flip(spark):
+    """Each Gopher rule independently gates `passes`."""
+    from zerox_spark.operators.textstats import gopher_filter
+
+    rows = [
+        (1, " ".join(["the", "of", "and", "word"] * 20)),  # all rules pass
+        (2, "the of and word"),                      # < 50 words
+        (3, " ".join(["####"] * 60)),                # symbol + alpha fail
+        (4, " ".join(["12345"] * 60)),               # alpha + stopword fail
+        (5, " ".join(["a"] * 60)),                   # mean word len < 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_filter(df).collect()}
+    assert out[1].passes == 1
+    assert out[1].mean_word_len == 3.0 and out[1].alpha_word_ratio == 1.0
+    assert out[2].passes == 0 and out[2].n_words == 4
+    assert out[3].passes == 0 and out[3].symbol_ratio == 4.0
+    assert out[4].passes == 0 and out[4].alpha_word_ratio == 0.0
+    assert out[5].passes == 0 and out[5].mean_word_len == 1.0

@@ -342,6 +342,11 @@ def _generic_xml_page(src: str) -> tuple[int, str, list] | None:
     expands custom entities)."""
     if "<!DOCTYPE" in src or "<!ENTITY" in src:
         return None
+    if len(src) > 4 * 1024 * 1024:
+        # ET materializes a ~10× element tree; with 32 concurrent executor
+        # threads that transient matters — oversized XML takes the linear
+        # scanning tokenizer path instead (still extracts text content)
+        return None
     import xml.etree.ElementTree as ET
 
     try:

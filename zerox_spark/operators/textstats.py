@@ -118,6 +118,57 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+# Gopher quality rules (Rae et al. 2021, §A1.1 — the standard web-corpus
+# document filter battery). Thresholds are the published defaults; all
+# pure column algebra, ratios rounded to 6dp for cross-engine hashing.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3.0
+GOPHER_MAX_MEAN_WL = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    stop_hits, passes) — the Gopher document-quality rule battery:
+    word-count bounds, mean-word-length bounds, hash/ellipsis
+    symbol-to-word ratio, alphabetic-word fraction, and a stop-word
+    floor. ``passes`` is the conjunction — the corpus-gate column a
+    training pipeline filters on. Pure JVM column algebra, no shuffle."""
+    text = F.col("text")
+    words = _words(text)
+    n_words = F.size(words)
+    mean_wl = F.round((F.length(text) - (n_words - 1)) / n_words, 6)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / n_words, 6)
+    alpha_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    stop_hits = _count_in(words, GOPHER_STOPWORDS)
+    passes = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_wl.between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.cast("int").alias("stop_hits"),
+        passes.cast("int").alias("passes"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """(doc_id, ws_tokens, bpe_tokens): whitespace tokens and BPE-ish regex
     tokens — the two standard corpus-size accountants."""

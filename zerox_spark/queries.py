@@ -528,6 +528,15 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rule battery (word-count/mean-word-length
+    bounds, symbol ratio, alphabetic-word fraction, stop-word floor) —
+    the standard pre-training corpus gate, pure column algebra."""
+    from zerox_spark.operators.textstats import gopher_filter
+
+    return gopher_filter(_docs(spark, sf_dir))
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zerox_spark.operators.textstats import redact_pii
 
@@ -620,6 +629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_rollup": q_events_rollup,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
+    "gopher_filter": q_gopher_filter,
     "token_counts": q_token_counts,
     "redact_pii": q_redact_pii,
     "repetition": q_repetition,
@@ -1464,6 +1474,33 @@ WITH feats AS ({_QUALITY_EXPR})
 SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio, punct_ratio,
        round(least(1.0, n_words / 100.0) * 0.4 + stopword_ratio * 0.4
              + (1.0 - punct_ratio) * 0.2, 6) AS quality
+FROM feats
+""",
+    "gopher_filter": """
+WITH feats AS (
+  SELECT doc_id,
+    len(string_split(text, ' ')) AS n_words,
+    round((length(text) - (len(string_split(text, ' ')) - 1))
+          / len(string_split(text, ' ')), 6) AS mean_word_len,
+    round(((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3)
+          / len(string_split(text, ' ')), 6) AS symbol_ratio,
+    round(len(list_filter(string_split(text, ' '),
+                          w -> regexp_matches(w, '[A-Za-z]')))
+          / len(string_split(text, ' ')), 6) AS alpha_word_ratio,
+    len(list_filter(string_split(text, ' '),
+        w -> w IN ('the','be','to','of','and','that','have','with')))
+      AS stop_hits
+  FROM documents
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
+       symbol_ratio, alpha_word_ratio, CAST(stop_hits AS INTEGER) AS stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND mean_word_len BETWEEN 3.0 AND 10.0
+                  AND symbol_ratio <= 0.1
+                  AND alpha_word_ratio >= 0.8
+                  AND stop_hits >= 2
+             THEN 1 ELSE 0 END AS INTEGER) AS passes
 FROM feats
 """,
     "token_counts": r"""
