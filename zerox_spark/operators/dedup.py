@@ -164,17 +164,54 @@ def _minhash_params() -> tuple[list[int], list[int]]:
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) — min over shingle hashes per
-    permutation, computed as a pure MAP: shingle hashes materialize once
-    into an array column, each permutation is an ``array_min(transform(…))``
-    over it. ZERO shuffle — the signature stage's cost is ∝ docs × k ×
-    shingles of arithmetic, entirely inside whole-stage codegen, and the
-    only exchange in the whole minhash path is the band bucket join.
-    (The previous explode + groupBy(128 mins) formulation shuffled a
-    partial-aggregate row per doc — map-side combined, but still an
-    exchange of the full corpus; measured ~25% slower end-to-end at sf0.1.)
+    permutation, computed as explode + groupBy(128 map-side-combined mins).
 
-    Docs with zero shingles (< n words) are filtered out — identical to the
-    explode formulation, where they simply produced no rows."""
+    Why the AGG formulation and not a shuffle-free pure map (see
+    ``minhash_signatures_map``): the banded LSH consumer self-joins the
+    band table, putting the signature subtree in TWO consumers' lineage.
+    The aggregation's Exchange is a materialization point Spark's
+    ReuseExchange deduplicates — signatures compute ONCE and the shuffle
+    (one 129-column row per doc, ∝ docs not shingles) is re-read by both
+    sides. The map formulation is ~17% faster in isolation but recomputes
+    the full shingle-hash work per consumer: measured end-to-end at sf0.1
+    (interleaved ×4), agg = 8.2 s median vs map = 16.9 s. Same trade at
+    100 TB — a per-doc exchange is cheap; doubling the k×shingles
+    arithmetic is not."""
+    a_coef, b_coef = _minhash_params()
+    sh = corpus.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
+    ).select(
+        "doc_id",
+        F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_PRIME)).alias("h"),
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.col("h") * F.lit(a_coef[i]) + F.lit(b_coef[i]),
+                F.lit(MERSENNE_PRIME),
+            )
+        ).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    agged = sh.groupBy("doc_id").agg(*mins)
+    return agged.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def minhash_signatures_map(corpus: DataFrame) -> DataFrame:
+    """Shuffle-free signature formulation: shingle hashes materialize once
+    into an array column, each permutation is ``array_min(transform(…))``
+    inside whole-stage codegen — ZERO exchange (plan-tested). Byte-identical
+    output to ``minhash_signatures`` (equality-tested).
+
+    Right ONLY for single-consumer pipelines (e.g. signatures persisted to
+    a table); the default LSH path deliberately uses the agg formulation —
+    its Exchange is the reuse point for the band self-join (see
+    minhash_signatures docstring for the measured 2× end-to-end gap).
+
+    Docs with zero shingles (< n words) are filtered out — identical to
+    the explode formulation, where they simply produce no rows."""
     a_coef, b_coef = _minhash_params()
     hs = F.transform(
         _shingles(F.col("text")),
@@ -198,32 +235,6 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
         corpus.select("doc_id", hs.alias("_hs"))
         .filter(F.size("_hs") > 0)
         .select("doc_id", sig.alias("sig"))
-    )
-
-
-def _minhash_signatures_agg(corpus: DataFrame) -> DataFrame:
-    """The explode + groupBy(min…) formulation kept as the A/B reference:
-    map-side-combined partial aggregation, one exchange ∝ docs. Equality
-    with the map formulation is asserted in tests."""
-    a_coef, b_coef = _minhash_params()
-    sh = corpus.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
-    ).select(
-        "doc_id",
-        F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_PRIME)).alias("h"),
-    )
-    mins = [
-        F.min(
-            F.pmod(
-                F.col("h") * F.lit(a_coef[i]) + F.lit(b_coef[i]),
-                F.lit(MERSENNE_PRIME),
-            )
-        ).alias(f"m{i}")
-        for i in range(MINHASH_K)
-    ]
-    agged = sh.groupBy("doc_id").agg(*mins)
-    return agged.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
     )
 
 
