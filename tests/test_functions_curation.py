@@ -134,3 +134,34 @@ def test_gopher_filter_rules_flip(spark):
     assert out[3].passes == 0 and out[3].symbol_ratio == 4.0
     assert out[4].passes == 0 and out[4].alpha_word_ratio == 0.0
     assert out[5].passes == 0 and out[5].mean_word_len == 1.0
+
+
+def test_stratified_sample_deterministic_and_rates(spark):
+    from zerox_spark.operators.curation import stratified_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "zz") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = stratified_sample(df, {"en": 50}, default_pct=0)
+    ids = sorted(r.doc_id for r in kept.collect())
+    # en rows (even ids): kept iff id % 100 < 50; zz rows: rate 0 → none
+    assert ids == [i for i in range(200) if i % 2 == 0 and i % 100 < 50]
+    # replay-stable: second evaluation returns the identical set
+    assert sorted(r.doc_id for r in kept.collect()) == ids
+
+
+def test_corpus_mix_rollup_marginals(spark):
+    from zerox_spark.operators.curation import corpus_mix
+
+    rows = [
+        (1, "a b c", "en", "s1"),
+        (2, "d e", "en", "s2"),
+        (3, "f", "de", "s1"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    out = {
+        (r.lang, r.source): (r.n_docs, r.total_ws_tokens)
+        for r in corpus_mix(df).collect()
+    }
+    assert out[("en", "s1")] == (1, 3)
+    assert out[("en", None)] == (2, 5)   # lang marginal
+    assert out[(None, None)] == (3, 6)   # grand total

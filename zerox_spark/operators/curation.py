@@ -47,6 +47,43 @@ QUALITY_MIN = 0.5
 JACCARD_MAX = 0.5
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    denom: int = 100,
+) -> DataFrame:
+    """Deterministic mod-based stratified sampling — the data-mixing
+    primitive (down-weight over-represented strata, keep rare ones whole).
+    A row survives iff ``key % denom < rate_pct(stratum)``: replay-stable
+    (same rows on every run and on task retry — rand() would not be),
+    shuffle-free (a pure filter the scan can evaluate), and exactly
+    restatable in oracle SQL. Rates are integer percents of ``denom``."""
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(
+            rate
+        )
+    return docs.filter(F.col(key_col) % denom < rate)
+
+
+def corpus_mix(docs: DataFrame) -> DataFrame:
+    """Token-mix accounting per (lang, source) with ROLLUP subtotals —
+    what a data-mixing decision reads (doc counts, whitespace-token
+    totals per stratum plus marginals and the grand total). One
+    map-side-combined aggregate."""
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ws_tokens_col()).cast("bigint").alias("total_ws_tokens"),
+        )
+        .select("lang", "source", "n_docs", "total_ws_tokens")
+    )
+
+
 def curate(
     docs: DataFrame,
     quality_min: float = QUALITY_MIN,

@@ -516,6 +516,29 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(with_injected_duplicates(_docs(spark, sf_dir)))
 
 
+SAMPLE_RATES = {"en": 50, "de": 100, "fr": 25}
+SAMPLE_DEFAULT = 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mod-based stratified sampling by lang (the
+    data-mixing primitive): en 50%, de 100%, fr 25%, everything else 10%
+    — replay-stable, shuffle-free, exactly restatable in SQL."""
+    from zerox_spark.operators.curation import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, SAMPLE_DEFAULT
+    ).select("doc_id", "lang")
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mix accounting: (lang, source) ROLLUP of doc counts and
+    whitespace-token totals — the table a mixing decision reads."""
+    from zerox_spark.operators.curation import corpus_mix
+
+    return corpus_mix(_docs(spark, sf_dir))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
@@ -624,6 +647,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "curation": q_curation,
+    "stratified_sample": q_stratified_sample,
+    "corpus_mix": q_corpus_mix,
     "events_sessionize": q_events_sessionize,
     "events_topk": q_events_topk,
     "events_rollup": q_events_rollup,
@@ -1429,6 +1454,19 @@ losers AS (
 )
 SELECT doc_id, ws_tokens, bpe_tokens, quality
 FROM g WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+""",
+    "stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 100 < CASE lang
+  WHEN 'en' THEN {SAMPLE_RATES["en"]}
+  WHEN 'de' THEN {SAMPLE_RATES["de"]}
+  WHEN 'fr' THEN {SAMPLE_RATES["fr"]}
+  ELSE {SAMPLE_DEFAULT} END
+""",
+    "corpus_mix": """
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+FROM documents GROUP BY ROLLUP (lang, source)
 """,
     "events_sessionize": """
 WITH g AS (
