@@ -133,3 +133,39 @@ def test_minhash_signature_computed_once_per_plan(spark):
     plan = plan_of(dedup_minhash_pairs(with_injected_duplicates(docs)))
     assert "array_intersect" in plan  # the per-pair verify
     assert plan.count("pmod") < 3000, "signature subtree duplicated in plan"
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must sort-merge-join
+    with ZERO exchange on either side — the co-located layout the extracted
+    table uses for its downstream consumers at scale (sinks.write_bucketed)."""
+    from zerox_spark.sinks import write_bucketed
+
+    try:
+        left = spark.range(0, 2000).selectExpr(
+            "concat('u', id) AS url", "id AS a"
+        )
+        right = spark.range(0, 2000).selectExpr(
+            "concat('u', id) AS url", "id * 2 AS b"
+        )
+        write_bucketed(left, "bk_left", 8, str(tmp_path / "l"))
+        write_bucketed(right, "bk_right", 8, str(tmp_path / "r"))
+        with_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bk_left").join(
+                spark.table("bk_right"), "url"
+            )
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, (
+                "bucketed join must not shuffle either side"
+            )
+            assert joined.count() == 2000
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", with_thresh
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")

@@ -238,3 +238,29 @@ class IcebergSink:
     def commit_snapshot(self, job_id: str, meta: dict) -> str:
         # Iceberg's own snapshot log is the commit record
         return f"{self.extracted_table}@latest"
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    num_buckets: int,
+    path: str,
+    bucket_col: str = "url",
+) -> None:
+    """Bucketed + sorted parquet table — the co-located-join layout.
+
+    Two tables bucketed identically on the join key sort-merge-join with
+    ZERO exchange on either side (plan-tested): at 100 TB this is how the
+    extracted table joins its consumers (dedup verdicts, structured
+    values, lineage backfills) without re-shuffling the crawl-scale side
+    every downstream job. Spark-native bucketing (no Hive needed);
+    `sortBy` makes the SMJ sort a no-op read order.
+    """
+    (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
