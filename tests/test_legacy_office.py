@@ -284,3 +284,30 @@ def test_doc_missing_table_stream_contained():
     payload = write_cfb([("WordDocument", bytes(word))])
     with pytest.raises(ValueError):
         doc_to_text(payload)
+
+
+def test_wpd_renderer_two_pages_and_group_skip():
+    from zerox_spark.extract.legacy_office import wpd_to_pages
+    from zerox_spark.synth import render_wpd
+
+    pages = wpd_to_pages(render_wpd(9, "w1 w2 w3"))
+    # the 0xD3 function group between title and body must vanish whole;
+    # 0x80 soft spaces map back to spaces
+    assert [(n, md) for n, md, _ in pages] == [
+        (1, "Document 9\n\nw1 w2 w3"),
+        (2, "Section 9\n\nw1 w2 w3"),
+    ]
+
+
+def test_wpd_mangled_group_degrades_and_header_contained():
+    from zerox_spark.extract.legacy_office import wpd_to_pages
+
+    # group with a size that doesn't land on a closing code: single-byte
+    # skip, surrounding text survives
+    body = b"ab\xd3\x01\xff\xffcd\x0a"
+    payload = b"\xffWPC" + struct.pack("<I", 16) + b"\x00" * 8 + body
+    assert wpd_to_pages(payload)[0][1] == "abcd"
+    # document offset beyond EOF → contained
+    bad = b"\xffWPC" + struct.pack("<I", 999999) + b"\x00" * 8
+    pages = extract_document(bad, None, ExtractConfig(trust_text=False))
+    assert pages[0].status == "ERROR"

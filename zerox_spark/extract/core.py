@@ -278,6 +278,12 @@ def _extract_raw(
         if not pages:
             raise ValueError("CFB payload with no pages")
         return [(no, _finalize(md), spans) for no, md, spans in pages]
+    if html[:4] == b"\xffWPC":
+        # WordPerfect (README.md:500): WP5.x byte-model text extraction
+        from zerox_spark.extract.legacy_office import wpd_to_pages
+
+        pages = wpd_to_pages(html)
+        return [(no, _finalize(md), spans) for no, md, spans in pages]
     if html[:5] == b"{\\rtf":
         # RTF (README.md:495): group/control-word parse → paragraph blocks,
         # \page splits pages (extract/rtf.py) — no more control-word soup

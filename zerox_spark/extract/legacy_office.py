@@ -462,6 +462,96 @@ def ppt_to_pages(
 
 
 # ---------------------------------------------------------------------------
+# .wpd (WordPerfect 5.x/6.x — the last reference input type with a public
+# byte-level layout, README.md:500; libreoffice-routed like the rest)
+
+WPD_MAGIC = b"\xffWPC"
+
+
+def is_wpd(payload: bytes) -> bool:
+    return payload[:4] == WPD_MAGIC
+
+
+def wpd_to_pages(
+    payload: bytes,
+) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
+    """WordPerfect text extraction — the documented WP 5.x byte model:
+    the prefix header carries the document-area offset at byte 4 (u32 LE);
+    from there, bytes 0x20-0x7E are literal text, 0x80 is a soft space,
+    0x0A a hard return (paragraph), 0x0C a hard page break; 0xA9 a
+    breakable hyphen. Fixed/variable function groups (0xC0-0xFF) carry a
+    trailing length we honor when sane, else single-byte skip — mangled
+    groups degrade to dropped formatting, never a crash. Linear walk, so
+    output ≤ input."""
+    if not is_wpd(payload):
+        raise ValueError("not a WPD payload")
+    if len(payload) < 16:
+        raise ValueError("WPD truncated before header")
+    doc_start = struct.unpack_from("<I", payload, 4)[0]
+    if not 4 <= doc_start <= len(payload):
+        raise ValueError(f"WPD document offset out of range: {doc_start}")
+    data = payload
+    i, n = doc_start, len(data)
+    pages: list[list[str]] = [[]]
+    cur: list[str] = []
+
+    def end_para() -> None:
+        text = " ".join("".join(cur).split())
+        cur.clear()
+        if text:
+            pages[-1].append(text)
+
+    while i < n:
+        b = data[i]
+        if 0x20 <= b <= 0x7E:
+            cur.append(chr(b))
+            i += 1
+        elif b == 0x80:  # WP soft space
+            cur.append(" ")
+            i += 1
+        elif b in (0x0A, 0x0D):  # hard/soft return → paragraph/space
+            if b == 0x0A:
+                end_para()
+            else:
+                cur.append(" ")
+            i += 1
+        elif b == 0x0C:  # hard page
+            end_para()
+            if pages[-1]:
+                pages.append([])
+            i += 1
+        elif b == 0xA9:  # breakable hyphen
+            cur.append("-")
+            i += 1
+        elif 0xC0 <= b <= 0xFF and i + 4 <= n:
+            # variable-length function group: WP closes the group with the
+            # opening code; its u16 size sits before that close. Honor the
+            # trailing-size convention when it lands on a matching close
+            # byte, else fall back to single-byte skip.
+            size = struct.unpack_from("<H", data, i + 2)[0] if b >= 0xD0 else 0
+            if (
+                b >= 0xD0
+                and 4 <= size <= n - i
+                and data[i + size - 1] == b
+            ):
+                i += size
+            else:
+                i += 1
+        else:
+            i += 1  # control/function byte we don't model — drop
+    end_para()
+    out = []
+    for paras in pages:
+        if not paras:
+            continue
+        markdown, spans = join_blocks([Block("para", p) for p in paras])
+        out.append((len(out) + 1, markdown, spans))
+    if not out:
+        raise ValueError("wpd produced no content")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # router
 
 

@@ -164,9 +164,10 @@ def q_extract_odf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The last two reference input families: odp slide-per-page (even
-    doc_ids, extract/ooxml.py ODF presentation branch) and standalone XML
-    element-text paragraphs (odd, extract/core.py)."""
+    """The last reference input families: odp slide-per-page (doc_id%3==0,
+    extract/ooxml.py ODF presentation branch), standalone XML element-text
+    paragraphs (==1, extract/core.py), and WordPerfect .wpd (==2, WP5.x
+    byte model, extract/legacy_office.py)."""
     from zerox_spark.synth import synth_misc_pages
 
     pages = synth_misc_pages(spark, sf_dir)
@@ -1161,7 +1162,7 @@ odp_md AS (
         array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
     END AS markdown
   FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
-  WHERE doc_id % 2 = 0
+  WHERE doc_id % 3 = 0
 ),
 xml_md AS (
   SELECT url, 1 AS page_no,
@@ -1169,10 +1170,21 @@ xml_md AS (
     'Section ' || doc_id || ': ' ||
     array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
       AS markdown
-  FROM docs WHERE doc_id % 2 = 1
+  FROM docs WHERE doc_id % 3 = 1
+),
+wpd_md AS (
+  SELECT url, p.page_no,
+    CASE p.page_no
+      WHEN 1 THEN 'Document ' || doc_id || {_NL2} || text
+      ELSE 'Section ' || doc_id || {_NL2} ||
+        array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+    END AS markdown
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 3 = 2
 )
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
-FROM (SELECT * FROM odp_md UNION ALL SELECT * FROM xml_md)
+FROM (SELECT * FROM odp_md UNION ALL SELECT * FROM xml_md
+      UNION ALL SELECT * FROM wpd_md)
 """,
     "extract_rtf": f"""
 WITH docs AS (

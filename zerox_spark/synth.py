@@ -755,6 +755,32 @@ def render_odp(doc_id: int, text: str) -> bytes:
     )
 
 
+def render_wpd(doc_id: int, text: str) -> bytes:
+    """Real .wpd payload (WP5.x byte model): prefix header with the
+    document-area offset, hard returns/page breaks, a soft space, and a
+    variable function group that must be skipped whole."""
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+    # 0xD3 variable group: code, subcode, u16 size, payload, closing code
+    grp_payload = b"\x00" * 7
+    grp = (
+        bytes([0xD3, 0x01])
+        + _struct.pack("<H", 4 + len(grp_payload) + 1)
+        + grp_payload
+        + bytes([0xD3])
+    )
+    body = (
+        f"Document {doc_id}\x0a".encode("ascii")
+        + grp
+        + text.encode("ascii", "replace").replace(b" ", b"\x80")
+        + b"\x0a\x0c"
+        + f"Section {doc_id}\x0a".encode("ascii")
+        + first10.encode("ascii", "replace")
+        + b"\x0a"
+    )
+    header = b"\xffWPC" + _struct.pack("<I", 16) + b"\x01\x0a\x00\x00" + b"\x00\x00\x00\x00"
+    return header + body
+
+
 # ---------------------------------------------------------------------------
 # generic XML renderer (extract/core.py XML branch)
 
@@ -877,11 +903,11 @@ def _row_legacy(doc_id: int, text: str, lang: str, source: str):
 
 
 def _row_misc(doc_id: int, text: str, lang: str, source: str):
-    return (
-        render_odp(doc_id, text)
-        if doc_id % 2 == 0
-        else render_xml(doc_id, text)
-    ), ""
+    if doc_id % 3 == 0:
+        return render_odp(doc_id, text), ""
+    if doc_id % 3 == 1:
+        return render_xml(doc_id, text), ""
+    return render_wpd(doc_id, text), ""
 
 
 def _row_rtf(doc_id: int, text: str, lang: str, source: str):
@@ -979,9 +1005,9 @@ def synth_legacy_pages(
 def synth_misc_pages(
     spark: SparkSession, sf_dir: str, num_partitions: int | None = None
 ) -> DataFrame:
-    """documents.parquet → pages whose payloads are odp presentations (even
-    doc_ids) and standalone XML documents (odd) — the last two reference
-    input families (README.md:498,509)."""
+    """documents.parquet → pages whose payloads are odp presentations
+    (doc_id%3==0), standalone XML (==1), and WordPerfect .wpd (==2) — the
+    last reference input families (README.md:498,500,509)."""
     return _pages_from_docs(spark, sf_dir, _row_misc, num_partitions)
 
 
