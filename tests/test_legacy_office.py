@@ -311,3 +311,31 @@ def test_wpd_mangled_group_degrades_and_header_contained():
     bad = b"\xffWPC" + struct.pack("<I", 999999) + b"\x00" * 8
     pages = extract_document(bad, None, ExtractConfig(trust_text=False))
     assert pages[0].status == "ERROR"
+
+
+def test_wpd_fixed_function_payload_does_not_leak():
+    """0xC0-0xCF fixed multi-byte functions (e.g. extended-character
+    [C0, char, charset, C0]) skip whole — their binary payload must not
+    leak printable bytes into the text."""
+    from zerox_spark.extract.legacy_office import wpd_to_pages
+
+    body = b"ab" + bytes([0xC0, ord("$"), 0x24, 0xC0]) + b"cd\x0a"
+    payload = b"\xffWPC" + struct.pack("<I", 16) + b"\x00" * 8 + body
+    assert wpd_to_pages(payload)[0][1] == "abcd"
+
+
+def test_ppt_text_type_resets_per_slide():
+    """A slide whose first text atom has no TextHeaderAtom must default to
+    body type, not inherit the previous slide's title type."""
+    from zerox_spark.extract.legacy_office import ppt_to_pages
+    from zerox_spark.synth import _ppt_rec
+
+    s1 = _ppt_rec(0, 0, 0x03F3, bytes(20))
+    s1 += _ppt_rec(0, 0, 0x0F9F, struct.pack("<I", 0))  # title
+    s1 += _ppt_rec(0, 0, 0x0FA0, "T1".encode("utf-16-le"))
+    s2 = _ppt_rec(0, 0, 0x03F3, bytes(20))
+    s2 += _ppt_rec(0, 0, 0x0FA0, "plain".encode("utf-16-le"))  # no header
+    doc = _ppt_rec(0xF, 0, 0x03E8, _ppt_rec(0xF, 0, 0x0FF0, s1 + s2))
+    payload = write_cfb([("PowerPoint Document", doc)])
+    pages = ppt_to_pages(payload)
+    assert [md for _, md, _ in pages] == ["# T1", "plain"]

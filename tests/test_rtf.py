@@ -92,3 +92,19 @@ def test_rtf_strategy_registry():
     assert fn(b"{\\rtf1 hi\\par}", None)[0][1] == "hi"
     with pytest.raises(ValueError, match="not an RTF"):
         fn(b"plain", None)
+
+
+def test_rtf_par_inside_destination_does_not_split_visible_text():
+    """A \\par (or escaped CRLF) inside a skipped destination must not
+    flush/split the surrounding visible paragraph."""
+    payload = b"{\\rtf1 Hello {\\footnote note text\\par more}world\\par}"
+    pages = rtf_to_pages(payload)
+    assert [md for _, md, _ in pages] == ["Hello world"]
+    paged = b"{\\rtf1 one{\\header h\\page x}two\\par}"
+    assert [md for _, md, _ in rtf_to_pages(paged)] == ["onetwo"]
+
+
+def test_rtf_undefined_cp1252_raw_byte_degrades_not_crashes():
+    payload = b"{\\rtf1 a\x81b\\par}"
+    md = rtf_to_pages(payload)[0][1]
+    assert md.startswith("a") and md.endswith("b")

@@ -34,6 +34,10 @@ def test_sniff_delimiter_positive_and_negative():
     assert sniff_delimiter('x\ty\n"a,b"\tc\n') == "\t"
     # prose with incidental commas: inconsistent counts → not a table
     assert sniff_delimiter("One, two, and three.\nNo commas here.\n") is None
+    # two short prose lines with ONE comma each (equal counts!) must stay
+    # plain text — comma needs >=3 lines AND >=3 fields
+    assert sniff_delimiter("Dear John, hello\nSee you soon, bye\n") is None
+    assert sniff_delimiter("a,b\n1,2\n3,4\n5,6\n") is None  # 2-col comma
     # single line / single column → not detectable
     assert sniff_delimiter("a,b,c\n") is None
     assert sniff_delimiter("one\ntwo\nthree\n") is None
@@ -42,21 +46,23 @@ def test_sniff_delimiter_positive_and_negative():
 def test_csv_quoting_escaping_golden():
     """Quoted field with embedded delimiter + doubled quote — the
     csv-module escaping contract, pinned."""
-    payload = b'name,note\nr1,"says ""hi"", ok"\n'
+    payload = b'name,note,k\nr1,"says ""hi"", ok",1\nr2,plain,2\n'
     out = extract_document(payload, None, ExtractConfig(trust_text=False))
     assert out[0].status == "SUCCESS"
     assert out[0].markdown == (
-        '<table><tr><th>name</th><th>note</th></tr>'
-        '<tr><td>r1</td><td>says "hi", ok</td></tr></table>'
+        '<table><tr><th>name</th><th>note</th><th>k</th></tr>'
+        '<tr><td>r1</td><td>says "hi", ok</td><td>1</td></tr>'
+        '<tr><td>r2</td><td>plain</td><td>2</td></tr></table>'
     )
 
 
 def test_csv_crlf_and_empty_rows():
-    payload = b"h1,h2\r\n\r\na,b\r\n"
+    payload = b"h1,h2,h3\r\n\r\na,b,c\r\nd,e,f\r\n"
     out = extract_document(payload, None, ExtractConfig(trust_text=False))
     assert out[0].markdown == (
-        "<table><tr><th>h1</th><th>h2</th></tr>"
-        "<tr><td>a</td><td>b</td></tr></table>"
+        "<table><tr><th>h1</th><th>h2</th><th>h3</th></tr>"
+        "<tr><td>a</td><td>b</td><td>c</td></tr>"
+        "<tr><td>d</td><td>e</td><td>f</td></tr></table>"
     )
 
 

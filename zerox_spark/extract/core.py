@@ -376,13 +376,9 @@ def _generic_xml_page(src: str) -> tuple[int, str, list] | None:
     walk(root)
     if not paras:
         return None
-    markdown = "\n\n".join(paras)
-    spans, pos = [], 0
-    for i, p in enumerate(paras):
-        if i:
-            pos += 2
-        spans.append(("para", pos, pos + len(p), 1.0))
-        pos += len(p)
+    from zerox_spark.extract.markdown import Block, join_blocks
+
+    markdown, spans = join_blocks([Block("para", p) for p in paras])
     return (1, _finalize(markdown), spans)
 
 

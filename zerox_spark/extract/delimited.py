@@ -10,16 +10,18 @@ HTML table — the same serialization the %SHEET, xlsx and .xls paths emit
 produce the same ``<table>`` body.
 
 Sniffing is content-based (the engine has no filenames): a payload whose
-first lines parse to a CONSISTENT field count ≥ 2 under one delimiter is
-a table; anything else falls through to the plain-text path. csv.reader
-does the parsing, so quoted fields (embedded delimiters, doubled quotes)
-are handled; prose with incidental commas fails the consistent-count rule.
-Tab is probed before comma — a tsv whose fields contain commas must not
-be mis-split.
+first lines parse to a CONSISTENT field count under one delimiter is a
+table — tab at ≥ 2 lines × ≥ 2 fields, comma at ≥ 3 lines × ≥ 3 fields
+(asymmetric because tabs in prose are rare while two short prose lines
+can easily carry one comma each); anything else falls through to the
+plain-text path. csv.reader does the parsing, so quoted fields (embedded
+delimiters, doubled quotes) are handled. Tab is probed before comma — a
+tsv whose fields contain commas must not be mis-split.
 
-Conservative by design: a single-column csv is indistinguishable from
-plain lines of text and extracts as paragraphs (documented divergence —
-the reference keys on the .csv extension, which crawl payloads don't have).
+Conservative by design: a single-column csv — and a 1-2-column comma file
+— is indistinguishable from plain prose and extracts as paragraphs
+(documented divergence: the reference keys on the .csv extension, which
+crawl payloads don't have; mis-tabling prose is the worse failure).
 """
 
 from __future__ import annotations
@@ -31,18 +33,20 @@ from zerox_spark.extract.markdown import Block, join_blocks
 from zerox_spark.extract.sheets import sheet_to_table
 
 _SNIFF_LINES = 20
-_DELIMITERS = ("\t", ",")
 
 
 def sniff_delimiter(src: str) -> str | None:
-    """Return the delimiter if ``src`` looks like a delimited table:
-    ≥ 2 non-empty lines whose first _SNIFF_LINES all parse to the same
-    field count ≥ 2. None otherwise."""
+    """Return the delimiter if ``src`` looks like a delimited table: the
+    first _SNIFF_LINES non-empty lines all parse to the same field count.
+    Tab needs ≥ 2 lines × ≥ 2 fields (tabs in prose are rare); comma needs
+    ≥ 3 lines AND ≥ 3 fields — two short prose lines with one comma each
+    ("Dear John, hello" / "See you soon, bye") must stay on the plain-text
+    path. None otherwise."""
     lines = [ln for ln in src.split("\n") if ln.strip()]
-    if len(lines) < 2:
-        return None
     probe = lines[:_SNIFF_LINES]
-    for delim in _DELIMITERS:
+    for delim, min_lines, min_fields in (("\t", 2, 2), (",", 3, 3)):
+        if len(lines) < min_lines:
+            continue
         try:
             counts = [
                 len(row)
@@ -51,8 +55,8 @@ def sniff_delimiter(src: str) -> str | None:
         except csv.Error:
             continue
         if (
-            len(counts) >= 2
-            and counts[0] >= 2
+            len(counts) >= min_lines
+            and counts[0] >= min_fields
             and all(c == counts[0] for c in counts)
         ):
             return delim

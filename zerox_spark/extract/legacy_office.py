@@ -425,6 +425,7 @@ def ppt_to_pages(
                 walk(body, body + reclen, depth + 1)
             elif rectype == PPT_SLIDEPERSIST:
                 slides.append([])
+                tx_type[0] = 1  # text type never persists across slides
             elif rectype == PPT_TEXTHEADER:
                 if reclen >= 4:
                     tx_type[0] = struct.unpack_from("<I", stream, body)[0]
@@ -523,20 +524,24 @@ def wpd_to_pages(
         elif b == 0xA9:  # breakable hyphen
             cur.append("-")
             i += 1
-        elif 0xC0 <= b <= 0xFF and i + 4 <= n:
+        elif 0xD0 <= b <= 0xFF and i + 4 <= n:
             # variable-length function group: WP closes the group with the
             # opening code; its u16 size sits before that close. Honor the
             # trailing-size convention when it lands on a matching close
             # byte, else fall back to single-byte skip.
-            size = struct.unpack_from("<H", data, i + 2)[0] if b >= 0xD0 else 0
-            if (
-                b >= 0xD0
-                and 4 <= size <= n - i
-                and data[i + size - 1] == b
-            ):
+            size = struct.unpack_from("<H", data, i + 2)[0]
+            if 4 <= size <= n - i and data[i + size - 1] == b:
                 i += size
             else:
                 i += 1
+        elif 0xC0 <= b <= 0xCF:
+            # fixed-length multi-byte function: also closed by a repeat of
+            # the opening code (WP5.x convention, e.g. extended-character
+            # [C0, char, charset, C0]). Skip to the close within the
+            # documented max fixed size so the binary payload bytes never
+            # leak into text; mangled → single-byte skip.
+            close = data.find(bytes([b]), i + 1, i + 16)
+            i = close + 1 if close != -1 else i + 1
         else:
             i += 1  # control/function byte we don't model — drop
     end_para()

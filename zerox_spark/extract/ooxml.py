@@ -685,7 +685,13 @@ def _ods_grids(
     """office:spreadsheet → [(sheet_name, rows)] — the same grid contract
     as xlsx_to_grids/xls_to_grids, so ods joins the shared
     grids_to_pages page form (one workbook, three containers,
-    byte-identical pages — tested)."""
+    byte-identical pages — tested).
+
+    The OUTPUT budget is charged HERE, incrementally, before each repeat
+    materializes — grids_to_pages charges again before building tables,
+    but by then the repeated cell lists would already exist; repeats ×
+    cells can pointer-OOM an executor before any downstream cap fires."""
+    budget = OutputBudget()
     grids = []
     for tbl in spreadsheet.findall(f"{_TBL}table"):
         rows: list[list[str]] = []
@@ -695,6 +701,7 @@ def _ods_grids(
                 _ODS_MAX_REPEAT,
             )
             vals: list[str] = []
+            row_chars = 0
             for tc in tr.findall(f"{_TBL}table-cell"):
                 texts = [
                     _odt_text(p).strip() for p in tc.findall(f"{_T}p")
@@ -708,8 +715,11 @@ def _ods_grids(
                     int(tc.get(f"{_TBL}number-columns-repeated", "1") or "1"),
                     _ODS_MAX_REPEAT,
                 )
+                budget.charge(len(val) * col_rep)
+                row_chars += len(val) * col_rep
                 vals.extend([val] * col_rep)
             if vals:
+                budget.charge(row_chars * (row_rep - 1))
                 rows.extend([vals] * row_rep)
         grids.append((tbl.get(f"{_TBL}name", ""), rows))
     if not grids:

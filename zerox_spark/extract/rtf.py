@@ -143,7 +143,8 @@ def rtf_to_pages(
             elif c in b"-_:|":  # optional hyphen / subentry markers
                 i += 1
             elif c in (0x0D, 0x0A):  # \<CR/LF> = \par alias
-                end_para()
+                if not ignorable:
+                    end_para()
                 i += 1
             else:
                 m = _CW.match(data, i)
@@ -152,10 +153,15 @@ def rtf_to_pages(
                     continue
                 word, param = m.group(1), m.group(2)
                 i = m.end()
+                # break control words are gated on `ignorable` like emit():
+                # a \par inside a skipped destination (footnote, header)
+                # must not flush/split the surrounding visible paragraph
                 if word == b"par":
-                    end_para()
+                    if not ignorable:
+                        end_para()
                 elif word == b"page":
-                    end_page()
+                    if not ignorable:
+                        end_page()
                 elif word in (b"tab", b"line", b"emspace", b"enspace"):
                     emit(" ")
                 elif word == b"u":
@@ -191,7 +197,12 @@ def rtf_to_pages(
         elif b in (0x0D, 0x0A):
             i += 1  # source line breaks are markup whitespace
         else:
-            emit(chr(b) if b < 0x80 else bytes([b]).decode("cp1252"))
+            # "replace", not strict: 0x81/0x8D/0x8F/0x90/0x9D are undefined
+            # in cp1252 and a strict decode would ERROR the whole document,
+            # violating the degrade-don't-crash contract
+            emit(
+                chr(b) if b < 0x80 else bytes([b]).decode("cp1252", "replace")
+            )
             i += 1
 
     end_para()
