@@ -165,3 +165,19 @@ def test_corpus_mix_rollup_marginals(spark):
     assert out[("en", "s1")] == (1, 3)
     assert out[("en", None)] == (2, 5)   # lang marginal
     assert out[(None, None)] == (3, 6)   # grand total
+
+
+def test_injected_near_dup_short_doc_degrades_not_crashes(spark):
+    """A ≤2-word doc in the near-dup stratum must degrade to empty
+    injected text, not hit slice() with a negative length (a Spark
+    runtime error — the sequence(1,0) crash class)."""
+    from zerox_spark.operators.dedup import with_injected_duplicates
+
+    df = spark.createDataFrame(
+        [(3, "word"), (13, "two words"), (23, "a b c d")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.text for r in with_injected_duplicates(df).collect()}
+    assert rows[1000003] == ""
+    assert rows[1000013] == ""
+    assert rows[1000023] == "a b"

@@ -51,7 +51,13 @@ MERSENNE_PRIME = (1 << 31) - 1
 
 
 def with_injected_duplicates(docs: DataFrame) -> DataFrame:
-    """documents → corpus with deterministic exact + near duplicates."""
+    """documents → corpus with deterministic exact + near duplicates.
+
+    Precondition: max(doc_id) < DUP_NEAR_OFFSET (1M) — the injected ids are
+    base + offset, so larger id spaces would collide and doc_id would stop
+    being a key (silently, since the oracle applies the same derivation).
+    The sandbox tables satisfy this; a production corpus would derive the
+    offsets from max(doc_id) instead of constants."""
     base = docs.select("doc_id", "text")
     exact = (
         base.filter(F.col("doc_id") % DUP_EXACT_MOD == DUP_EXACT_EQ)
@@ -65,7 +71,18 @@ def with_injected_duplicates(docs: DataFrame) -> DataFrame:
         .select(
             (F.col("doc_id") + DUP_NEAR_OFFSET).alias("doc_id"),
             F.array_join(
-                F.slice(words, 1, F.size(words) - DUP_NEAR_DROP_WORDS), " "
+                # greatest(…, 0): a ≤2-word doc would give slice a NEGATIVE
+                # length — a Spark runtime error (the sequence(1,0) crash
+                # class); it degrades to empty text instead, mirrored by
+                # greatest() in the oracle's list_slice
+                F.slice(
+                    words,
+                    1,
+                    F.greatest(
+                        F.size(words) - DUP_NEAR_DROP_WORDS, F.lit(0)
+                    ),
+                ),
+                " ",
             ).alias("text"),
         )
     )
@@ -93,19 +110,26 @@ def dedup_exact(corpus: DataFrame) -> DataFrame:
 # n-gram Jaccard
 
 
-def _shingles(text_col: Column) -> Column:
-    """Distinct word-n-gram shingles of a text column (JVM-side only:
-    split + transform + slice — no Python). Documents with fewer than n
-    words yield an EMPTY array — the n_sh >= 1 guard matters because
+def _shingles(
+    text_col: Column, n: int = NGRAM_N, distinct: bool = True
+) -> Column:
+    """Word-n-gram shingles of a text column (JVM-side only: split +
+    transform + slice — no Python); distinct by default (the dedup
+    contract), per-occurrence with ``distinct=False`` (the corpus-count
+    sweep, textstats.ngram_counts). Documents with fewer than n words
+    yield an EMPTY array — the n_sh >= 1 guard matters because
     F.sequence(1, 0) is the DESCENDING [1, 0], whose transform would call
-    slice(words, 0, n), a runtime error."""
+    slice(words, 0, n), a runtime error. This is THE one n-gram
+    generator; don't re-derive the guard elsewhere."""
     words = F.split(text_col, " ")
-    n_sh = F.size(words) - (NGRAM_N - 1)
+    n_sh = F.size(words) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, NGRAM_N), " "),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
     )
-    return F.when(n_sh >= 1, F.array_distinct(grams)).otherwise(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(n_sh >= 1, grams).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -383,8 +407,11 @@ def dedup_simhash_pairs(corpus: DataFrame, max_hamming: int = 7) -> DataFrame:
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE distinct: band collisions between unrelated hashes
+        # (p≈1/256 per band) make most candidates fail the hamming cut —
+        # the dedup shuffle should only carry the survivors
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs
 
@@ -407,10 +434,18 @@ def dedup_lines(
     whose every line was boilerplate drop out.
 
     Plan (100 TB shape): posexplode lines → distinct-doc count per line
-    (one map-side-combined agg) → join back on the line → re-assemble with
-    a sort-free array_sort agg. Two shuffles, both on the line/key hash;
-    no window over the full corpus, no driver-side state. Empty lines are
-    structure (block separators) and are never counted or removed.
+    (one map-side-combined agg) → join back on the line → re-assemble.
+    Three shuffles (count agg, join, final groupBy), all on line/key
+    hashes; no window over the full corpus, no driver-side state. Empty
+    lines are structure (block separators) and are never counted or
+    removed.
+
+    Cost note: the boiler-count branch and the join branch BOTH evaluate
+    the ``pages`` lineage (the filters differ, so the exchanges don't
+    dedupe) — when the input is an expensive subtree (a full extraction),
+    materialize it to a staged table first and run this operator over the
+    scan; that is the intended production consumption (SCALE.md's staged
+    layout), and exactly what a corpus pipeline does anyway.
     """
     lines = pages.select(
         key_col,

@@ -30,7 +30,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from zerox_spark.extract.core import ExtractConfig, extract_document
@@ -164,4 +164,18 @@ def extract_pages(
     )
     return needed.mapInPandas(
         lambda it: _extract_iter(it, config), schema=RAW_EXTRACTED_SCHEMA
+    )
+
+
+def pages_join_expr(delim: str):
+    """THE doc-assembly aggregate: markdown pages joined in page order
+    (array_sort on (page_no, markdown) structs → deterministic regardless
+    of partitioning). Shared by the doc-agg query, keyword matching and
+    structured extraction so the ordering/null contract lives once."""
+    per_page = F.struct("page_no", "markdown")
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(per_page)), lambda s: s.markdown
+        ),
+        delim,
     )

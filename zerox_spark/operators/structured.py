@@ -112,14 +112,10 @@ def extract_structured(
         )
 
     if doc_schema["properties"]:
-        per_page = F.struct("page_no", "markdown")
+        from zerox_spark.operators.extract import pages_join_expr
+
         doc = extracted.groupBy("url").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(per_page)), lambda s: s.markdown
-                ),
-                PAGE_DELIM,
-            ).alias("doc_markdown"),
+            pages_join_expr(PAGE_DELIM).alias("doc_markdown"),
             F.count(F.lit(1)).alias("n_pages"),
         )
         for key, spec in doc_schema["properties"].items():

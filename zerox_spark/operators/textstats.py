@@ -370,21 +370,13 @@ def ngram_counts(docs: DataFrame, n: int = 2, k: int = 100) -> DataFrame:
     once. The final top-k is a single-partition sort of the (tiny)
     aggregated table, not of the corpus. Ties break lexicographically for
     cross-engine determinism."""
-    words = _words(F.col("text"))
-    n_sh = F.size(words) - (n - 1)
-    # n_sh >= 1 guard: F.sequence(1, 0) is the DESCENDING [1, 0] and its
-    # transform would call slice(words, 0, n) — a runtime error on any doc
-    # with fewer than n words (same guard as dedup._shingles)
-    grams = F.when(
-        n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from zerox_spark.operators.dedup import _shingles
+
+    # the shared n-gram generator (guards live there), per-occurrence:
     # ONE explode computes both counts (count_distinct doc_id = doc
     # frequency) — a second array_distinct explode would double the
     # dominant tokenize+shuffle cost of the corpus sweep
+    grams = _shingles(F.col("text"), n=n, distinct=False)
     exploded = docs.select("doc_id", F.explode(grams).alias("ngram"))
     counts = exploded.groupBy("ngram").agg(
         F.count_distinct("doc_id").alias("n_docs"),

@@ -74,17 +74,13 @@ def q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_doc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 aggregation: per-document markdown artifact (pages joined \\n\\n in
     page order, node-zerox/src/index.ts:564-568) + page count + length."""
+    from zerox_spark.operators.extract import pages_join_expr
+
     ex = _extracted(spark, sf_dir, maintain_format=True)
-    per_page = F.struct("page_no", "markdown")
     return (
         ex.groupBy("url")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(per_page)), lambda s: s.markdown
-                ),
-                "\n\n",
-            ).alias("doc_markdown"),
+            pages_join_expr("\n\n").alias("doc_markdown"),
             F.count(F.lit(1)).alias("n_pages"),
         )
         .select(
@@ -216,10 +212,13 @@ def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 compareKeywords analog: is 'document <id>' contained
     (case-insensitive) in the document's joined markdown?"""
+    from zerox_spark.operators.extract import pages_join_expr
+
     ex = _extracted(spark, sf_dir, maintain_format=True)
-    doc = ex.groupBy("url").agg(
-        F.array_join(F.collect_list("markdown"), "\n\n").alias("md")
-    )
+    # page-ordered join (not a bare collect_list): contains() is
+    # order-invariant today, but a nondeterministic md column is a trap
+    # for any future positional use of this aggregate
+    doc = ex.groupBy("url").agg(pages_join_expr("\n\n").alias("md"))
     doc_id = F.regexp_extract("url", r"/(\d+)$", 1)
     kw = F.concat(F.lit("document "), doc_id)
     return doc.select(
@@ -323,9 +322,14 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-hashed floor for the SimHash family (the ann_recall pattern):
     recall of the 8-band blocking vs the EXACT hamming-≤7 self-join over
     the same signatures, floor-clamped at 100. Pigeonhole guarantees the
-    banding misses nothing at radius 7, so the true value IS 100 — any
-    banding/signature regression drops it and fails the driver's hash
-    check. The exact self-join is the declared test-scale ground truth
+    banding misses nothing at radius 7, so the true value IS 100 — a
+    BANDING regression (wrong chunks, dropped bands, broken bucket join)
+    drops it and fails the driver's hash check. Scope honestly stated:
+    both sides derive from the same simhash() output, so a regression in
+    the signature computation itself cancels out here — that half is
+    covered by the pytest recall/precision assertions against exact
+    text-level near-dups (do not delete those on the strength of this
+    oracle). The exact self-join is the declared test-scale ground truth
     (all-pairs on the (doc_id, int64) signature table only — never on
     text), mirroring dedup_ngram's role."""
     from zerox_spark.operators.dedup import simhash
@@ -753,7 +757,8 @@ WITH corpus AS (
   SELECT doc_id + 1000000 AS doc_id,
          array_to_string(
            list_slice(string_split(text, ' '), 1,
-                      len(string_split(text, ' ')) - 2), ' ') AS text
+                      greatest(len(string_split(text, ' ')) - 2, 0)), ' ')
+           AS text
   FROM documents WHERE doc_id % 10 = 3
 )
 """
