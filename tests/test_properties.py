@@ -119,3 +119,63 @@ def test_truncated_real_cfb_contained(cut: bytes, at: int):
     mangled = base[: at % (len(base) + 1)] + cut
     pages = extract_document(mangled, None, ExtractConfig(trust_text=False))
     assert pages and all(p.status in ("SUCCESS", "ERROR") for p in pages)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_rtf_payloads_never_raise_in_ignore_mode(tail: bytes):
+    """Arbitrary bytes after the RTF magic: degrade or contain, never an
+    uncontained raise (control words, escapes, groups all attacker-shaped)."""
+    pages = extract_document(b"{\\rtf1" + tail, None, ExtractConfig(trust_text=False))
+    for p in pages:
+        assert p.status in ("SUCCESS", "ERROR")
+        # emitted markdown must round-trip through strict UTF-8 (no lone
+        # surrogates escaping the sanitizer into Arrow)
+        p.markdown.encode("utf-8")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_wpd_payloads_never_raise_in_ignore_mode(tail: bytes):
+    pages = extract_document(b"\xffWPC" + tail, None, ExtractConfig(trust_text=False))
+    for p in pages:
+        assert p.status in ("SUCCESS", "ERROR")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400))
+def test_xml_decl_payloads_never_raise_in_ignore_mode(tail: bytes):
+    pages = extract_document(b'<?xml version="1.0"?>' + tail, None, ExtractConfig(trust_text=False))
+    for p in pages:
+        assert p.status in ("SUCCESS", "ERROR")
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="ab,\t\"'x", max_size=8), max_size=5),
+        max_size=8,
+    )
+)
+def test_delimited_roundtrip_never_raises(rows):
+    """Arbitrary comma/tab/quote soup through the sniff + parse path."""
+    src = "\n".join(",".join(cells) for cells in rows)
+    pages = extract_document(
+        src.encode("utf-8"), None, ExtractConfig(trust_text=False)
+    )
+    for p in pages:
+        assert p.status in ("SUCCESS", "ERROR")
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=300), st.integers(min_value=0, max_value=299))
+def test_truncated_real_pptx_contained(junk: bytes, at: int):
+    """A real pptx truncated/corrupted mid-container: SUCCESS or contained
+    ERROR, never an uncontained raise."""
+    from zerox_spark.synth import render_pptx
+
+    base = render_pptx(5, "alpha beta gamma")
+    mangled = base[: at % len(base)] + junk
+    pages = extract_document(mangled, None, ExtractConfig(trust_text=False))
+    for p in pages:
+        assert p.status in ("SUCCESS", "ERROR")
