@@ -181,3 +181,26 @@ def test_injected_near_dup_short_doc_degrades_not_crashes(spark):
     assert rows[1000003] == ""
     assert rows[1000013] == ""
     assert rows[1000023] == "a b"
+
+
+def test_asof_join_semantics(spark):
+    """Latest build row at-or-before probe ts wins; equal ts matches;
+    probes with no earlier build row drop; keys don't cross."""
+    from zerox_spark.operators.events import asof_join
+
+    probe = spark.createDataFrame(
+        [("a", 5, "p1"), ("a", 9, "p2"), ("a", 1, "p0"), ("b", 7, "p3")],
+        ["k", "t", "tag"],
+    )
+    build = spark.createDataFrame(
+        [("a", 2, 100), ("a", 9, 200), ("b", 8, 300)],
+        ["k", "t2", "m"],
+    )
+    out = {
+        r.tag: r.matched.m
+        for r in asof_join(probe, build, "k", "t", "t2").collect()
+    }
+    # p0 (t=1): no build <= 1 → dropped; p1 (t=5) → snapshot t=2;
+    # p2 (t=9) → the EQUAL-ts snapshot t=9; p3 (b,7): b's only build is
+    # t=8 > 7 → dropped
+    assert out == {"p1": 100, "p2": 200}

@@ -50,6 +50,57 @@ def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+) -> DataFrame:
+    """As-of join — Spark has no native one: each probe row gets the build
+    row with the LARGEST build_ts ≤ probe_ts in its key (the ``a.ts >=
+    b.ts`` ASOF convention; probe rows with no earlier build row drop —
+    inner semantics).
+
+    NOT the bucketize-and-range-filter shape: this is the single-shuffle
+    formulation — union both sides tagged probe/build, ONE window per key
+    ordered by (ts, side) with ``last(build_payload, ignorenulls)`` carrying
+    the latest build row forward, then keep probe rows. Cost = one hash
+    shuffle of probe+build on the key, no range explosion, no per-group
+    Python. Build rows sort BEFORE probe rows at equal ts, so a snapshot
+    at exactly probe_ts matches.
+
+    Build columns come back under a ``matched`` struct. ``build`` must be
+    unique per (key, build_ts) — equal-ts build duplicates would make the
+    carried row frame-order-dependent."""
+    bcols = [c for c in build.columns if c != key]
+    b = build.select(
+        F.col(key).alias("_k"),
+        F.col(build_ts).alias("_ts"),
+        F.struct(*bcols).alias("_r"),
+        F.lit(0).alias("_side"),
+    )
+    pcols = [c for c in probe.columns if c != key]
+    p = probe.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).alias("_ts"),
+        F.lit(None).cast(b.schema["_r"].dataType).alias("_r"),
+        F.lit(1).alias("_side"),
+        *pcols,
+    )
+    u = p.unionByName(b.select("*"), allowMissingColumns=True)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("matched", F.last("_r", ignorenulls=True).over(w))
+        .filter((F.col("_side") == 1) & F.col("matched").isNotNull())
+        .select(F.col("_k").alias(key), *pcols, "matched")
+    )
+
+
 def event_type_rollup(events: DataFrame) -> DataFrame:
     """Rollup counts over (event_type, high_value) incl. subtotals and the
     grand total — the grouping-sets shape. high_value buckets on value≥50."""

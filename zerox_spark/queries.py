@@ -513,6 +513,34 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_type_rollup(_events(spark, sf_dir))
 
 
+SNAP_MOD = 20
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively, implemented as the
+    single-shuffle carry-forward window — operators/events.asof_join):
+    each document row joins the LATEST site-metadata snapshot at or before
+    its time. Integer times (doc_id IS the clock) keep the comparison free
+    of cross-engine timestamp semantics; the oracle is DuckDB's native
+    ASOF JOIN — a genuinely independent second implementation."""
+    from zerox_spark.operators.events import asof_join
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pages = docs.select(
+        "doc_id", (F.col("doc_id") % 97).alias("site")
+    )
+    snaps = (
+        docs.filter(F.col("doc_id") % SNAP_MOD == 0)
+        .select(
+            (F.col("doc_id") % 97).alias("site"),
+            F.col("doc_id").alias("snap_ts"),
+            F.col("doc_id").alias("snap_id"),
+        )
+    )
+    out = asof_join(pages, snaps, key="site", probe_ts="doc_id", build_ts="snap_ts")
+    return out.select("doc_id", F.col("matched.snap_id").alias("snap_id"))
+
+
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship training-data pipeline: quality gate → exact dedup →
     near-dup removal → token accounting, one lazy plan."""
@@ -652,6 +680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "curation": q_curation,
+    "asof_join": q_asof_join,
     "stratified_sample": q_stratified_sample,
     "corpus_mix": q_corpus_mix,
     "events_sessionize": q_events_sessionize,
@@ -1471,6 +1500,13 @@ losers AS (
 )
 SELECT doc_id, ws_tokens, bpe_tokens, quality
 FROM g WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+""",
+    "asof_join": f"""
+WITH p AS (SELECT doc_id, doc_id % 97 AS site FROM documents),
+s AS (SELECT doc_id AS snap_id, doc_id % 97 AS site, doc_id AS snap_ts
+      FROM documents WHERE doc_id % {SNAP_MOD} = 0)
+SELECT p.doc_id, s.snap_id
+FROM p ASOF JOIN s ON p.site = s.site AND p.doc_id >= s.snap_ts
 """,
     "stratified_sample": f"""
 SELECT doc_id, lang FROM documents
