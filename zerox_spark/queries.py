@@ -584,6 +584,45 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+PIVOT_LANGS = ["en", "de", "fr", "es", "zz"]
+
+
+def q_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact document-length quantiles per lang (linear interpolation —
+    Spark `percentile` and DuckDB `quantile_cont` agree bit-for-bit after
+    round(6)) — the corpus-profiling sweep a partition-sizing or filter-
+    threshold decision reads. One map-side-combined agg."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.percentile(F.length("text"), F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile(F.length("text"), F.lit(0.9)), 6).alias("p90"),
+            F.round(F.percentile(F.length("text"), F.lit(0.99)), 6).alias("p99"),
+        )
+    )
+
+
+def q_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc counts per source PIVOTed by lang (explicit value list — the
+    two-pass inferred pivot is a driver round trip the plan doesn't need);
+    nulls → 0 so the hash compare is engine-stable."""
+    piv = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .pivot("lang", PIVOT_LANGS)
+        .count()
+    )
+    return piv.select(
+        "source",
+        *[
+            F.coalesce(F.col(lang), F.lit(0)).cast("bigint").alias(lang)
+            for lang in PIVOT_LANGS
+        ],
+    )
+
+
 def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher document-quality rule battery (word-count/mean-word-length
     bounds, symbol ratio, alphabetic-word fraction, stop-word floor) —
@@ -689,6 +728,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
     "gopher_filter": q_gopher_filter,
+    "corpus_quantiles": q_corpus_quantiles,
+    "lang_pivot": q_lang_pivot,
     "token_counts": q_token_counts,
     "redact_pii": q_redact_pii,
     "repetition": q_repetition,
@@ -1566,6 +1607,22 @@ SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio, punct_ratio,
        round(least(1.0, n_words / 100.0) * 0.4 + stopword_ratio * 0.4
              + (1.0 - punct_ratio) * 0.2, 6) AS quality
 FROM feats
+""",
+    "corpus_quantiles": """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(length(text), 0.5), 6) AS p50,
+       round(quantile_cont(length(text), 0.9), 6) AS p90,
+       round(quantile_cont(length(text), 0.99), 6) AS p99
+FROM documents GROUP BY lang
+""",
+    "lang_pivot": """
+SELECT source,
+  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS en,
+  CAST(count(CASE WHEN lang = 'de' THEN 1 END) AS BIGINT) AS de,
+  CAST(count(CASE WHEN lang = 'fr' THEN 1 END) AS BIGINT) AS fr,
+  CAST(count(CASE WHEN lang = 'es' THEN 1 END) AS BIGINT) AS es,
+  CAST(count(CASE WHEN lang = 'zz' THEN 1 END) AS BIGINT) AS zz
+FROM documents GROUP BY source
 """,
     "gopher_filter": """
 WITH feats AS (
