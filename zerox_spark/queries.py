@@ -309,10 +309,21 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/FineWeb-style cross-document boilerplate-line removal over the
     extracted corpus: any non-empty markdown line appearing in ≥2 distinct
     urls is stripped from every page (repeated list items, shared code
-    fences — what survives per-document extraction)."""
+    fences — what survives per-document extraction).
+
+    The extraction is STAGED to parquet first — dedup_lines' two branches
+    (boiler count, join-back) would otherwise each evaluate the expensive
+    extract lineage (see its docstring); running over the staged scan is
+    the operator's intended production consumption."""
+    import tempfile
+
     from zerox_spark.operators.dedup import dedup_lines
 
-    ex = _extracted(spark, sf_dir, maintain_format=True)
+    staged = tempfile.mkdtemp(prefix="zx_line_dedup_") + "/extracted"
+    _extracted(spark, sf_dir, maintain_format=True).select(
+        "url", "page_no", "markdown"
+    ).write.mode("overwrite").parquet(staged)
+    ex = spark.read.parquet(staged)
     return dedup_lines(ex, min_docs=2).select(
         "url", "page_no", "clean_md", "n_removed"
     )
