@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap = argparse.ArgumentParser(prog="zerox-spark-job")
     ap.add_argument("--input", help="pages parquet path or iceberg table name")
+    ap.add_argument(
+        "--input-warc",
+        help="raw *.warc(.gz) dir/glob — ingest Common-Crawl archives "
+        "directly into the pages schema (zerox_spark/warc.py)",
+    )
     ap.add_argument("--synth-sf-dir", help="synthesize pages from this TESTDATA dir")
     ap.add_argument("--output", required=True, help="sink root dir (parquet mode)")
     ap.add_argument("--iceberg", action="store_true", help="treat --input/--output as iceberg tables")
@@ -76,12 +81,18 @@ def main(argv: list[str] | None = None) -> int:
         from zerox_spark.synth import synth_pages
 
         pages = synth_pages(spark, args.synth_sf_dir)
+    elif args.input_warc:
+        from zerox_spark.warc import read_warc
+
+        pages = read_warc(spark, args.input_warc)
     elif args.iceberg:
         pages = spark.read.table(args.input)
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:
-        raise SystemExit("one of --input / --synth-sf-dir is required")
+        raise SystemExit(
+            "one of --input / --input-warc / --synth-sf-dir is required"
+        )
 
     select_pages = (
         [int(p) for p in args.select_pages.split(",")] if args.select_pages else None
