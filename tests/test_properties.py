@@ -179,3 +179,37 @@ def test_truncated_real_pptx_contained(junk: bytes, at: int):
     pages = extract_document(mangled, None, ExtractConfig(trust_text=False))
     for p in pages:
         assert p.status in ("SUCCESS", "ERROR")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=500))
+def test_warc_parser_total_on_arbitrary_bytes(blob: bytes):
+    """parse_warc must be total: arbitrary bytes (optionally smelling like
+    gzip or WARC) yield a finite record list, never an exception."""
+    from zerox_spark.warc import parse_warc
+
+    for url, ts, payload in parse_warc(blob):
+        assert url and isinstance(payload, bytes)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200), st.integers(min_value=0, max_value=400))
+def test_warc_mangled_real_archive_keeps_prefix_records(junk: bytes, at: int):
+    from zerox_spark.synth import doc_ts, doc_url, render_html
+    from zerox_spark.warc import parse_warc, write_warc
+
+    recs = [
+        (
+            doc_url(i, "s"),
+            doc_ts(i).replace(tzinfo=None),
+            render_html(i, "a b c", "en", "s"),
+        )
+        for i in (2, 4)
+    ]
+    plain = write_warc(recs, compress=False)
+    mangled = plain[: at % len(plain)] + junk
+    got = list(parse_warc(mangled))
+    # whatever parses must be a prefix-consistent subset of real records
+    # (possibly with the last payload/url altered by the junk splice) —
+    # the invariant under test is totality + no crash + bounded output
+    assert len(got) <= len(recs) + 1
