@@ -204,3 +204,22 @@ def test_asof_join_semantics(spark):
     # p2 (t=9) → the EQUAL-ts snapshot t=9; p3 (b,7): b's only build is
     # t=8 > 7 → dropped
     assert out == {"p1": 100, "p2": 200}
+
+
+def test_minhash_max_bucket_drops_viral_buckets_only(spark):
+    """The viral-bucket knob: a family of N identical docs fills its band
+    buckets with N members; max_bucket < N drops those buckets (the
+    boilerplate family vanishes from the near-dup pairs) while small
+    legitimate pairs survive."""
+    from zerox_spark.operators.dedup import dedup_minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    viral = [(100 + i, "spam " * 3 + "boilerplate footer text here now ok") for i in range(8)]
+    pair = [(1, base), (2, base + " extra")]
+    df = spark.createDataFrame(pair + viral, ["doc_id", "text"])
+    # default: viral family produces C(8,2)=28 pairs plus the real pair
+    full = dedup_minhash_pairs(df).count()
+    assert full >= 29
+    capped = dedup_minhash_pairs(df, max_bucket=4)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(1, 2)}

@@ -263,7 +263,9 @@ def minhash_signatures_map(corpus: DataFrame) -> DataFrame:
 
 
 def dedup_minhash_pairs(
-    corpus: DataFrame, threshold: float = JACCARD_THRESHOLD
+    corpus: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-banded candidate generation + exact-Jaccard verification.
 
@@ -276,6 +278,15 @@ def dedup_minhash_pairs(
     self-join on the candidate-restricted corpus and then joined back to
     candidates, putting the 128-hash signature computation in the lineage of
     THREE consumers — Spark recomputed it three times per action.)
+
+    ``max_bucket`` is the 10^12-scale skew knob (FineWeb-style): a band
+    bucket shared by B docs yields B² candidate pairs, and VIRAL buckets
+    (boilerplate-dominated signatures) turn the self-join quadratic on one
+    key. When set, buckets larger than ``max_bucket`` are dropped before
+    the join (one cheap count over the band table) — a document family
+    that near-duplicates thousands of times is boilerplate by definition
+    and is better handled by line/exact dedup anyway. None (default) keeps
+    the exact test-scale contract the oracle checks.
     """
     sigs = minhash_signatures(corpus)
     bands = sigs.select(
@@ -294,6 +305,14 @@ def dedup_minhash_pairs(
             )
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig_hash")
+    if max_bucket is not None:
+        small_buckets = (
+            bands.groupBy("band", "sig_hash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "sig_hash")
+        )
+        bands = bands.join(small_buckets, ["band", "sig_hash"], "left_semi")
     left = bands.alias("l")
     right = bands.alias("r")
     candidates = (
