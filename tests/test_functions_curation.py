@@ -223,3 +223,29 @@ def test_minhash_max_bucket_drops_viral_buckets_only(spark):
     capped = dedup_minhash_pairs(df, max_bucket=4)
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got == {(1, 2)}
+
+
+def test_embedding_max_bucket_knob(spark):
+    """The embedding-LSH viral-bucket cap: identical vectors flood their
+    buckets; capping drops that family while distinct near-dups survive."""
+    from zerox_spark.operators.similarity import embedding_dup_pairs
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [0.99] + [0.14] + [0.0] * (dim - 2)
+    other = [0.0] * (dim - 1) + [1.0]
+    rows = [(1, base), (2, near), (3, other)]
+    rows += [(100 + i, [0.5] * dim) for i in range(8)]  # viral family
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    full = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(df, dim, threshold=0.9).collect()
+    }
+    assert (1, 2) in full and len(full) >= 1 + 28
+    capped = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            df, dim, threshold=0.9, max_bucket=4
+        ).collect()
+    }
+    assert capped == {(1, 2)}

@@ -144,6 +144,7 @@ def embedding_dup_pairs(
     dim: int,
     threshold: float = 0.9,
     brute_force: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold) — the vector-space member of the dedup family
@@ -153,7 +154,14 @@ def embedding_dup_pairs(
     candidates, exact cosine verifies them. At threshold ≥0.9 the per-pair
     LSH miss probability is ≈(1-p_bit^PLANES)^TABLES < 1e-8 (p_bit =
     1-θ/π ≥ 0.93), so the verified output matches brute force.
-    ``brute_force=True`` is the O(N²) oracle baseline for tests."""
+    ``brute_force=True`` is the O(N²) oracle baseline for tests.
+
+    ``max_bucket`` is the same viral-bucket skew knob as
+    dedup_minhash_pairs: a hash bucket holding B vectors yields B²
+    candidates, and a degenerate embedding cluster (e.g. the zero-ish
+    vectors a broken encoder emits) pins the self-join on one key — over
+    the cap the bucket is dropped before the join. Off by default (the
+    exact contract the oracle checks)."""
     a = embeddings.select(
         F.col("vec_id").alias("id_a"), _as_double("embedding").alias("va")
     )
@@ -164,6 +172,14 @@ def embedding_dup_pairs(
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         buckets = lsh_buckets(embeddings, dim)
+        if max_bucket is not None:
+            small = (
+                buckets.groupBy("table", "bucket")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") <= max_bucket)
+                .select("table", "bucket")
+            )
+            buckets = buckets.join(small, ["table", "bucket"], "left_semi")
         l, r = buckets.alias("l"), buckets.alias("r")
         pairs = (
             l.join(
