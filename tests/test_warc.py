@@ -84,3 +84,63 @@ def test_read_warc_to_extraction_end_to_end(spark, tmp_path):
         for page_no, md in expected_markdown_pages(i, text, "src0"):
             expected[(doc_url(i, "src0"), page_no)] = md
     assert got == expected
+
+
+def test_warc_http_status_filtering_and_encodings():
+    """Real-crawl record shapes: non-2xx dropped; chunked bodies
+    de-framed; gzip bodies decompressed; +05:00 dates normalized to UTC."""
+    import gzip as _gzip
+    import io as _io
+
+    def rec(headers_http, body, url="https://x.example/a", date="2026-01-01T12:00:00+05:00"):
+        http = headers_http + b"\r\n\r\n" + body
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {url}\r\n".encode()
+            + f"WARC-Date: {date}\r\n".encode()
+            + f"Content-Length: {len(http)}\r\n\r\n".encode()
+            + http
+            + b"\r\n\r\n"
+        )
+
+    # 404 dropped
+    assert list(parse_warc(rec(b"HTTP/1.1 404 Not Found", b"<html>no</html>"))) == []
+    # 301 dropped
+    assert list(parse_warc(rec(b"HTTP/1.1 301 Moved\r\nLocation: /x", b"stub"))) == []
+    # chunked de-framed
+    chunked = b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    got = list(parse_warc(rec(
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked", chunked)))
+    assert got[0][2] == b"hello world"
+    # gzip body decompressed
+    buf = _io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(b"<html>gz body</html>")
+    got = list(parse_warc(rec(
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip", buf.getvalue())))
+    assert got[0][2] == b"<html>gz body</html>"
+    # +05:00 is 07:00 UTC — naive-stripped it would read 12:00
+    assert got[0][1].hour == 7
+    # a body with NO HTTP envelope passes through whole even if it
+    # contains a blank line
+    raw = b"plain\r\n\r\ncontent"
+    r = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example/raw\r\n"
+        + f"Content-Length: {len(raw)}\r\n\r\n".encode()
+        + raw + b"\r\n\r\n"
+    )
+    assert list(parse_warc(r))[0][2] == raw
+
+
+def test_snapshot_ids_survive_deleted_snapshots(tmp_path):
+    """next id = max(existing)+1, never the file COUNT — deleting an old
+    snapshot must not make a new id collide with rows already on disk."""
+    from zerox_spark.sinks import ParquetSnapshotSink
+
+    sink = ParquetSnapshotSink(str(tmp_path))
+    for _ in range(3):
+        sink.commit_snapshot("job", {})
+    assert sink.next_snapshot_id() == 3
+    (tmp_path / "_snapshots" / "snap-000001.json").unlink()
+    assert sink.next_snapshot_id() == 3  # count would say 2 → collision

@@ -50,6 +50,22 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 MERSENNE_PRIME = (1 << 31) - 1
 
 
+def drop_viral_buckets(
+    df: DataFrame, keys: list[str], max_bucket: int
+) -> DataFrame:
+    """THE viral-bucket skew guard shared by every LSH candidate family
+    (minhash bands, embedding hash buckets): groups of ``keys`` larger
+    than ``max_bucket`` are dropped before a self-join would go quadratic
+    on them. One map-side-combined count + a semi-join."""
+    small = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_bucket)
+        .select(*keys)
+    )
+    return df.join(small, keys, "left_semi")
+
+
 def with_injected_duplicates(docs: DataFrame) -> DataFrame:
     """documents → corpus with deterministic exact + near duplicates.
 
@@ -306,13 +322,7 @@ def dedup_minhash_pairs(
         ).alias("bs"),
     ).select("doc_id", "bs.band", "bs.sig_hash")
     if max_bucket is not None:
-        small_buckets = (
-            bands.groupBy("band", "sig_hash")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") <= max_bucket)
-            .select("band", "sig_hash")
-        )
-        bands = bands.join(small_buckets, ["band", "sig_hash"], "left_semi")
+        bands = drop_viral_buckets(bands, ["band", "sig_hash"], max_bucket)
     left = bands.alias("l")
     right = bands.alias("r")
     candidates = (

@@ -103,12 +103,18 @@ def asof_join(
 
 def event_type_rollup(events: DataFrame) -> DataFrame:
     """Rollup counts over (event_type, high_value) incl. subtotals and the
-    grand total — the grouping-sets shape. high_value buckets on value≥50."""
+    grand total — the grouping-sets shape. high_value buckets on value≥50.
+    ``gid`` is the standard grouping bitmask (event_type bit 1, high_value
+    bit 0): without it a subtotal row's NULLs are indistinguishable from
+    aggregates of genuinely-NULL data."""
     bucketed = events.withColumn(
         "high_value", (F.col("value") >= 50).cast("int")
     )
     return (
         bucketed.rollup("event_type", "high_value")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("event_type", "high_value", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select("event_type", "high_value", "gid", "n")
     )

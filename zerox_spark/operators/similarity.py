@@ -173,13 +173,11 @@ def embedding_dup_pairs(
     else:
         buckets = lsh_buckets(embeddings, dim)
         if max_bucket is not None:
-            small = (
-                buckets.groupBy("table", "bucket")
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .filter(F.col("_n") <= max_bucket)
-                .select("table", "bucket")
+            from zerox_spark.operators.dedup import drop_viral_buckets
+
+            buckets = drop_viral_buckets(
+                buckets, ["table", "bucket"], max_bucket
             )
-            buckets = buckets.join(small, ["table", "bucket"], "left_semi")
         l, r = buckets.alias("l"), buckets.alias("r")
         pairs = (
             l.join(
@@ -206,10 +204,21 @@ def ann_topk_lsh(
     queries: DataFrame,
     dim: int,
     k: int = DEFAULT_K,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing any (table, bucket)
-    with the query, then exact cosine + window top-k on candidates only."""
+    with the query, then exact cosine + window top-k on candidates only.
+    ``max_bucket`` is the shared viral-bucket cap (dedup.drop_viral_buckets)
+    — a degenerate embedding cluster hashing into one bucket would
+    otherwise make every query exact-score ~the whole corpus over one hot
+    join key."""
     all_buckets = lsh_buckets(embeddings, dim)
+    if max_bucket is not None:
+        from zerox_spark.operators.dedup import drop_viral_buckets
+
+        all_buckets = drop_viral_buckets(
+            all_buckets, ["table", "bucket"], max_bucket
+        )
     q_ids = queries.select(F.col("vec_id").alias("query_id"))
     q_buckets = all_buckets.join(
         q_ids, all_buckets["vec_id"] == q_ids["query_id"], "inner"

@@ -1596,7 +1596,9 @@ SELECT user_id, CAST(rank AS INTEGER) AS rank, event_id FROM (
 WHERE rank <= 3
 """,
     "events_rollup": """
-SELECT event_type, CAST(high_value AS INTEGER) AS high_value, count(*) AS n
+SELECT event_type, CAST(high_value AS INTEGER) AS high_value,
+       CAST(GROUPING(event_type, high_value) AS INTEGER) AS gid,
+       count(*) AS n
 FROM (SELECT event_type, CASE WHEN value >= 50 THEN 1 ELSE 0 END AS high_value
       FROM events)
 GROUP BY ROLLUP (event_type, high_value)

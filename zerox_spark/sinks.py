@@ -71,11 +71,12 @@ class ParquetSnapshotSink:
                 self.extracted_path
             )
             return
-        versioned.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
+        # per-WRITE option, not a session conf set: mutating the shared
+        # session's partitionOverwriteMode would silently leak dynamic
+        # semantics into every later overwrite in the same session
         (
             versioned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("partition_id")
             .parquet(self.extracted_path)
         )
@@ -122,15 +123,27 @@ class ParquetSnapshotSink:
             .drop("_rn")
         )
 
-    def next_snapshot_id(self) -> int:
+    def _max_snap_id(self) -> int:
+        """Highest committed snapshot id, -1 if none. max()+1 — NOT a
+        file count: deleting/compacting an old snapshot file must never
+        make a new id collide with rows already on disk."""
         if not os.path.isdir(self.snap_dir):
-            return 0
-        return len(os.listdir(self.snap_dir))
+            return -1
+        best = -1
+        for name in os.listdir(self.snap_dir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[5:-5]))
+                except ValueError:
+                    continue
+        return best
+
+    def next_snapshot_id(self) -> int:
+        return self._max_snap_id() + 1
 
     def commit_snapshot(self, job_id: str, meta: dict) -> str:
         os.makedirs(self.snap_dir, exist_ok=True)
-        existing = sorted(os.listdir(self.snap_dir))
-        snap_id = len(existing)
+        snap_id = self._max_snap_id() + 1
         path = os.path.join(self.snap_dir, f"snap-{snap_id:06d}.json")
         payload = {"snapshot": snap_id, "job_id": job_id,
                    "ts": int(time.time() * 1000), **meta}
@@ -163,16 +176,17 @@ def export_markdown_files(extracted: DataFrame, out_dir: str) -> int:
     overwrite each other, exactly as two equal input file names would."""
     from zerox_spark.extract.fences import sanitize_filename
 
+    from zerox_spark.operators.extract import pages_join_expr
+
     os.makedirs(out_dir, exist_ok=True)
-    per_page = F.struct("page_no", "markdown")
     docs = extracted.groupBy("url").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(per_page)), lambda s: s.markdown
-            ),
-            "\n\n",
-        ).alias("doc_markdown")
+        pages_join_expr("\n\n").alias("doc_markdown")
     )
+    # count from the DataFrame, not len(listdir): a pre-existing out_dir
+    # (or a non-shared fs where the driver can't see executor writes)
+    # would make the directory listing lie about how many docs exported
+    docs = docs.persist()
+    n_docs = docs.count()
 
     def write_part(rows) -> None:
         for row in rows:
@@ -182,7 +196,8 @@ def export_markdown_files(extracted: DataFrame, out_dir: str) -> int:
                 fh.write(row.doc_markdown)
 
     docs.foreachPartition(write_part)
-    return len(os.listdir(out_dir))
+    docs.unpersist()
+    return n_docs
 
 
 class IcebergSink:

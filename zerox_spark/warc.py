@@ -69,10 +69,67 @@ def _decompress_members(data: bytes, budget: int = MAX_ARCHIVE_BYTES) -> bytes:
     return b"".join(out)
 
 
+def _http_payload(body: bytes) -> bytes | None:
+    """HTTP response → decoded body, or None for non-2xx statuses.
+
+    Real crawl archives need three things a naive CRLFCRLF split gets
+    wrong: (1) only bodies that START with an HTTP status line have
+    headers to strip — arbitrary content containing a blank line must
+    pass through whole; (2) 404/301/5xx bodies are error/stub boilerplate
+    and must be dropped, not ingested as pages; (3) Transfer-Encoding:
+    chunked framing and Content-Encoding: gzip must be decoded or the
+    "html" column carries framed/compressed garbage."""
+    if not body.startswith(b"HTTP/"):
+        return body  # no HTTP envelope: the record body IS the payload
+    head_end = body.find(_CRLF2)
+    if head_end == -1:
+        return None
+    head_lines = body[:head_end].split(b"\r\n")
+    status_parts = head_lines[0].split()
+    try:
+        status = int(status_parts[1])
+    except (IndexError, ValueError):
+        return None
+    if not 200 <= status < 300:
+        return None
+    headers = {}
+    for line in head_lines[1:]:
+        k, sep, v = line.partition(b":")
+        if sep:
+            headers[k.strip().lower()] = v.strip().lower()
+    payload = body[head_end + 4 :]
+    if b"chunked" in headers.get(b"transfer-encoding", b""):
+        payload = _dechunk(payload)
+    if headers.get(b"content-encoding", b"") in (b"gzip", b"x-gzip"):
+        payload = _decompress_members(payload, MAX_RECORD_BYTES)
+    return payload
+
+
+def _dechunk(data: bytes) -> bytes:
+    """Un-frame HTTP chunked transfer encoding; a malformed chunk header
+    returns what was assembled so far (degrade, never crash)."""
+    out, pos, n = [], 0, len(data)
+    while pos < n:
+        line_end = data.find(b"\r\n", pos)
+        if line_end == -1:
+            break
+        size_field = data[pos:line_end].split(b";")[0].strip()
+        try:
+            size = int(size_field, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        chunk_at = line_end + 2
+        out.append(data[chunk_at : chunk_at + size])
+        pos = chunk_at + size + 2  # skip the chunk's trailing CRLF
+    return b"".join(out)
+
+
 def parse_warc(data: bytes):
-    """Yield (url, ts, payload) per ``WARC-Type: response`` record. The
-    payload is the HTTP body (headers stripped at the first blank line;
-    records with no HTTP header block yield their whole body)."""
+    """Yield (url, ts, payload) per 2xx ``WARC-Type: response`` record,
+    with the HTTP envelope stripped and chunked/gzip bodies decoded
+    (_http_payload); non-response and non-2xx records are skipped."""
     raw = _decompress_members(data)
     pos, n = 0, len(raw)
     while pos < n:
@@ -101,20 +158,26 @@ def parse_warc(data: bytes):
         if length <= MAX_RECORD_BYTES and (
             headers.get("warc-type", "").lower() == "response"
         ):
-            body = raw[body_at : body_at + length]
-            http_end = body.find(_CRLF2)
-            payload = body[http_end + 4 :] if http_end != -1 else body
+            payload = _http_payload(raw[body_at : body_at + length])
             url = headers.get("warc-target-uri", "")
             ts = None
             date = headers.get("warc-date", "")
             if date:
                 try:
-                    ts = _dt.datetime.fromisoformat(
+                    # normalize to UTC BEFORE dropping tzinfo — a +05:00
+                    # date naively stripped would sort after a later Z
+                    # date and corrupt the incremental warc_ts watermark.
+                    # (astimezone only when aware: on a naive datetime it
+                    # would interpret the value as machine-local time)
+                    parsed = _dt.datetime.fromisoformat(
                         date.replace("Z", "+00:00")
-                    ).replace(tzinfo=None)
+                    )
+                    if parsed.tzinfo is not None:
+                        parsed = parsed.astimezone(_dt.timezone.utc)
+                    ts = parsed.replace(tzinfo=None)
                 except ValueError:
                     ts = None
-            if url:
+            if url and payload is not None:
                 yield url, ts, payload
         pos = body_at + length
         if raw.startswith(_CRLF2, pos):
@@ -161,20 +224,24 @@ def read_warc(spark: SparkSession, path: str, lang: str = "") -> DataFrame:
 
     def batches(it):
         for pdf in it:
-            rows = []
+            # one output frame PER ARCHIVE FILE, not per Arrow batch:
+            # a 1 GiB-budget archive already holds raw + decompressed +
+            # payload copies in memory — accumulating several files'
+            # records on top of that before yielding would OOM at exactly
+            # the archive sizes this reader targets
             for content in pdf["content"]:
-                for url, ts, payload in parse_warc(bytes(content)):
-                    rows.append(
-                        {
-                            "url": url,
-                            "warc_ts": ts,
-                            "html": payload,
-                            "text": "",
-                            "lang": lang,
-                        }
-                    )
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"]
-            )
+                rows = [
+                    {
+                        "url": url,
+                        "warc_ts": ts,
+                        "html": payload,
+                        "text": "",
+                        "lang": lang,
+                    }
+                    for url, ts, payload in parse_warc(bytes(content))
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "html", "text", "lang"]
+                )
 
     return raw.select("content").mapInPandas(batches, schema=PAGES_SCHEMA)
