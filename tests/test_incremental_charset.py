@@ -93,10 +93,35 @@ def test_incremental_recrawl_latest_wins(spark, tmp_path):
         spark.createDataFrame([_page("https://r/1", 40, "version two")], PAGES_SCHEMA)
     )
     pipe.run(spark, recrawl, sink, job_id="d2", incremental=True)
-    # both versions exist physically; the latest view resolves to v2
-    assert sink.read_extracted(spark).filter("url='https://r/1'").count() == 2
+    # both versions exist physically (the >= watermark boundary also
+    # re-appends d1's boundary row — split-second deliveries must never be
+    # LOST, and the latest-version dedupe absorbs the re-emission); the
+    # latest view resolves to exactly v2
+    assert sink.read_extracted(spark).filter("url='https://r/1'").count() >= 2
     latest = sink.read_extracted_latest(spark).filter("url='https://r/1'").collect()
     assert len(latest) == 1 and "version two" in latest[0].markdown
+
+
+def test_incremental_boundary_split_second_not_lost(spark, tmp_path):
+    """Rows delivered LATE with warc_ts EQUAL to the committed watermark
+    (split crawl deliveries at second granularity) must still be
+    processed — the strict > filter would drop them forever."""
+    sink = ParquetSnapshotSink(str(tmp_path / "s3"))
+    pipe = ExtractionPipeline(
+        PipelineConfig(num_partitions=2, num_buckets=4, dedupe_latest_warc_ts=False)
+    )
+    first = spark.createDataFrame([_page("https://b/1", 10, "early half")], PAGES_SCHEMA)
+    pipe.run(spark, first, sink, job_id="d1", incremental=True)
+    late = first.unionByName(
+        spark.createDataFrame(
+            [_page("https://b/2", 10, "late half same second")], PAGES_SCHEMA
+        )
+    )
+    pipe.run(spark, late, sink, job_id="d2", incremental=True)
+    urls = {
+        r.url for r in sink.read_extracted_latest(spark).select("url").collect()
+    }
+    assert urls == {"https://b/1", "https://b/2"}
 
 
 def test_streaming_job_cli_drains_and_checkpoint_resumes(spark, tmp_path):

@@ -75,7 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.streaming:
         if not args.input:
             raise SystemExit("--streaming requires --input (a stream dir)")
-        return _run_streaming(spark, args)
+        return _run_streaming(spark, args, named_extractor)
 
     if args.synth_sf_dir:
         from zerox_spark.synth import synth_pages
@@ -118,14 +118,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.export_md:
         from zerox_spark.sinks import export_markdown_files
 
+        # latest versions only: read_extracted would export every _snap
+        # version of an incrementally re-crawled page into one .md
         stats["md_files"] = export_markdown_files(
-            sink.read_extracted(spark), args.export_md
+            sink.read_extracted_latest(spark), args.export_md
         )
     print(json.dumps(stats))
     return 0
 
 
-def _run_streaming(spark, args) -> int:
+def _run_streaming(spark, args, named_extractor=None) -> int:
     """Streaming mode: file-source stream → extract → parquet sink with a
     checkpoint (resume-on-restart comes from the checkpoint; rerunning
     after a crash reprocesses only unconsumed files — the streaming analog
@@ -135,16 +137,29 @@ def _run_streaming(spark, args) -> int:
     from zerox_spark.extract.core import ExtractConfig
     from zerox_spark.streaming import read_pages_stream, stream_extract
 
-    out_dir = os.path.join(args.output, "extracted")
+    # extracted_stream, NOT the batch sink's extracted/: the batch layout
+    # is partition_id-directory-partitioned with a _snap column — mixing
+    # flat streaming part-files into it corrupts both readers
+    out_dir = os.path.join(args.output, "extracted_stream")
     ckpt_dir = os.path.join(args.output, "_checkpoint")
     stream = read_pages_stream(spark, args.input)
+    select_pages = (
+        [int(p) for p in args.select_pages.split(",")]
+        if args.select_pages
+        else None
+    )
+    cfg = ExtractConfig(
+        maintain_format=args.maintain_format,
+        error_mode=args.error_mode,
+        select_pages=select_pages,
+    )
+    if named_extractor is not None:
+        cfg.extractor = named_extractor
     q = stream_extract(
         stream,
         out_dir,
         ckpt_dir,
-        config=ExtractConfig(
-            maintain_format=args.maintain_format, error_mode=args.error_mode
-        ),
+        config=cfg,
         num_buckets=args.buckets,
         available_now=True,
     )

@@ -56,12 +56,26 @@ class ExtractionPipeline:
         if cfg.dedupe_latest_warc_ts:
             # duplicate urls at different warc_ts: keep the newest crawl.
             # max_by aggregates in one shuffle (vs window+filter's
-            # shuffle+sort); ties broken deterministically by payload.
+            # shuffle+sort). The ORDERING struct matters twice over:
+            # - null warc_ts (real archives with missing WARC-Date) must
+            #   coalesce to a floor — max_by IGNORES rows whose ordering
+            #   key is null, which would null the whole payload struct and
+            #   silently destroy the document;
+            # - html is the tie-break, so equal-warc_ts duplicates resolve
+            #   to the same row on every replay/partitioning (the lineage
+            #   checksum contract requires bitwise-stable output).
+            order = F.struct(
+                F.coalesce(
+                    F.col("warc_ts"),
+                    F.lit("1900-01-01 00:00:00").cast("timestamp"),
+                ).alias("ts"),
+                F.col("html").alias("tie"),
+            )
             pages = (
                 pages.groupBy("url")
                 .agg(
                     F.max_by(
-                        F.struct("warc_ts", "html", "text", "lang"), "warc_ts"
+                        F.struct("warc_ts", "html", "text", "lang"), order
                     ).alias("_r")
                 )
                 .select("url", "_r.warc_ts", "_r.html", "_r.text", "_r.lang")
@@ -80,17 +94,34 @@ class ExtractionPipeline:
         job_id: str | None = None,
         incremental: bool = False,
     ) -> dict:
-        """``incremental=True`` processes only rows newer than the last
-        committed high watermark (max warc_ts) — the delta-extraction mode
-        for recurring crawls. The warc_ts predicate is pushed to the scan
-        (row-group stats prune old files), so a daily delta over a 100 TB
-        table reads ~one day of data."""
+        """Two distinct resume mechanisms, deliberately NOT combined:
+
+        - ``incremental=True``: the delta mode for RECURRING crawls —
+          processes only rows at-or-after the committed high watermark
+          (max warc_ts; the predicate is pushed to the scan, so a daily
+          delta over a 100 TB table reads ~one day of data). Bucket
+          resume is OFF here: a reused job_id's committed buckets would
+          silently anti-join every new day's rows away. ``>=`` (not
+          ``>``) at the boundary: second-granularity crawl deliveries can
+          split one warc_ts across runs, and a strictly-newer filter
+          would lose the late half forever — the boundary rows re-extract
+          as new versions and the latest-version dedupe keeps the table
+          idempotent.
+        - bucket resume (non-incremental): a job_id names ONE input
+          snapshot; re-running it finishes the uncommitted buckets of
+          THAT input. New data needs a new job_id — or incremental mode.
+        """
         job_id = job_id or uuid.uuid4().hex[:12]
         watermark = sink.last_watermark() if incremental else None
         if watermark is not None:
-            pages = pages.filter(F.col("warc_ts") > F.lit(watermark).cast("timestamp"))
+            pages = pages.filter(
+                F.col("warc_ts") >= F.lit(watermark).cast("timestamp")
+            )
         lineage_prev = sink.read_lineage(spark)
-        committed = committed_buckets(lineage_prev, job_id)
+        if incremental:
+            committed = committed_buckets(lineage_prev, job_id).limit(0)
+        else:
+            committed = committed_buckets(lineage_prev, job_id)
         todo = filter_uncommitted(pages, committed, self.config.num_buckets)
         raw = self.transform(todo)
         # elapsed_ms is persisted with the rows so lineage can be computed
@@ -101,9 +132,41 @@ class ExtractionPipeline:
         sink.write_extracted(
             raw, snap_id=sink.next_snapshot_id(), append=incremental
         )
-        lineage = lineage_rows(sink.read_extracted_latest(spark), job_id)
-        sink.write_lineage(lineage)
-        stats = summary(sink.read_extracted_latest(spark)).collect()[0].asDict()
+        # the latest-version table feeds THREE consumers (lineage write,
+        # summary, and implicitly the watermark); persist it across those
+        # actions instead of re-running the full-table window per consumer
+        latest = sink.read_extracted_latest(spark).persist()
+        try:
+            # lineage attribution: only buckets this run could have
+            # written carry this job_id — tagging the whole table would
+            # claim other jobs' buckets (wrong metrics, and it would feed
+            # the committed-bucket set buckets this job never processed)
+            if incremental:
+                from zerox_spark.operators.repartition import partition_bucket
+
+                touched = todo.select(
+                    partition_bucket(self.config.num_buckets).alias(
+                        "partition_id"
+                    )
+                ).distinct()
+                lineage_src = latest.join(
+                    F.broadcast(touched), "partition_id", "left_semi"
+                )
+            else:
+                lineage_src = latest.join(
+                    F.broadcast(
+                        committed.withColumnRenamed(
+                            "bucket", "partition_id"
+                        )
+                    ),
+                    "partition_id",
+                    "left_anti",
+                )
+            lineage = lineage_rows(lineage_src, job_id)
+            sink.write_lineage(lineage)
+            stats = summary(latest).collect()[0].asDict()
+        finally:
+            latest.unpersist()
         # incremental watermark: max over the (tiny) lineage table — a
         # per-bucket max(warc_ts) carried through the extract's output rows
         # (operators/extract.py RAW_EXTRACTED_SCHEMA) — NOT a second scan of

@@ -116,7 +116,13 @@ class ParquetSnapshotSink:
         from pyspark.sql import Window
 
         df = self.read_extracted(spark)
-        w = Window.partitionBy("url", "page_no").orderBy(F.col("_snap").desc())
+        # warc_ts tie-break after _snap: one snapshot can legitimately
+        # carry two versions of a url (the >= watermark boundary re-emits
+        # rows, and dedupe_latest_warc_ts=False keeps input duplicates) —
+        # the newest crawl must win inside a snapshot too
+        w = Window.partitionBy("url", "page_no").orderBy(
+            F.col("_snap").desc(), F.col("warc_ts").desc_nulls_last()
+        )
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -240,7 +246,13 @@ class IcebergSink:
         from pyspark.sql import Window
 
         df = self.read_extracted(spark)
-        w = Window.partitionBy("url", "page_no").orderBy(F.col("_snap").desc())
+        # warc_ts tie-break after _snap: one snapshot can legitimately
+        # carry two versions of a url (the >= watermark boundary re-emits
+        # rows, and dedupe_latest_warc_ts=False keeps input duplicates) —
+        # the newest crawl must win inside a snapshot too
+        w = Window.partitionBy("url", "page_no").orderBy(
+            F.col("_snap").desc(), F.col("warc_ts").desc_nulls_last()
+        )
         return (
             df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -70,51 +70,74 @@ ASSEMBLED_SCHEMA = "url string, n_pages int, doc_markdown string"
 _ASSEMBLE_STATE_SCHEMA = "pages_json string"
 
 
-def _assemble_doc_fn(key, pdfs, state):
+def _make_assemble_fn(ttl_ms: int | None):
     """Custom stateful operator body (applyInPandasWithState): accumulate a
     url's pages across micro-batches, re-emit the assembled document (A1
-    join in page order + maintainFormat fold) whenever new pages arrive."""
-    import json
+    join in page order + maintainFormat fold) whenever new pages arrive.
+    With a TTL, an idle url's state times out and is REMOVED (its last
+    emitted document already reflects every page seen — eviction loses
+    nothing downstream)."""
 
-    import pandas as pd
+    def fn(key, pdfs, state):
+        import json
 
-    from zerox_spark.operators.fold import apply_maintain_format
+        import pandas as pd
 
-    if state.exists:
-        pages = {int(k): v for k, v in json.loads(state.get[0]).items()}
-    else:
-        pages = {}
-    for pdf in pdfs:
-        for page_no, markdown in zip(pdf["page_no"], pdf["markdown"]):
-            pages[int(page_no)] = markdown
-    state.update((json.dumps({str(k): v for k, v in pages.items()}),))
-    ordered = [(no, pages[no], "SUCCESS") for no in sorted(pages)]
-    folded = apply_maintain_format(ordered)
-    doc = "\n\n".join(md for _, md, _ in folded)
-    yield pd.DataFrame(
-        {"url": [key[0]], "n_pages": [len(pages)], "doc_markdown": [doc]}
-    )
+        from zerox_spark.operators.fold import apply_maintain_format
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            pages = {int(k): v for k, v in json.loads(state.get[0]).items()}
+        else:
+            pages = {}
+        for pdf in pdfs:
+            for page_no, markdown in zip(pdf["page_no"], pdf["markdown"]):
+                pages[int(page_no)] = markdown
+        state.update((json.dumps({str(k): v for k, v in pages.items()}),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        ordered = [(no, pages[no], "SUCCESS") for no in sorted(pages)]
+        folded = apply_maintain_format(ordered)
+        doc = "\n\n".join(md for _, md, _ in folded)
+        yield pd.DataFrame(
+            {"url": [key[0]], "n_pages": [len(pages)], "doc_markdown": [doc]}
+        )
+
+    return fn
 
 
-def stream_assemble_documents(extracted_stream: DataFrame) -> DataFrame:
+def stream_assemble_documents(
+    extracted_stream: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Cross-batch document assembly — the engine's custom stateful
     streaming operator (``applyInPandasWithState``): pages of a url may
     arrive in different micro-batches (multi-part crawl fetches); per-url
     state accumulates them and each update emits the current assembled,
     fold-consistent document. State is partitioned by url (same key as
-    every other per-document operation) so it scales with distinct in-flight
-    urls, not with throughput."""
+    every other per-document operation) so it scales with distinct
+    IN-FLIGHT urls — which is only true if idle urls leave the store:
+    pass ``ttl_ms`` for any CONTINUOUS deployment (ProcessingTimeTimeout
+    evicts a url's state after that idle period; its last emitted doc is
+    already complete, so eviction loses nothing). The None default keeps
+    bounded availableNow drains — the sandbox/batch-drain mode — simple."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         extracted_stream.select("url", "page_no", "markdown")
         .groupBy("url")
         .applyInPandasWithState(
-            _assemble_doc_fn,
+            _make_assemble_fn(ttl_ms),
             outputStructType=ASSEMBLED_SCHEMA,
             stateStructType=_ASSEMBLE_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 
