@@ -315,3 +315,45 @@ def test_stream_stateful_document_assembly(spark, tmp_path):
     assert final.doc_markdown == (
         t1 + "\n\n" + "<table><tr><th>h</th></tr><tr><td>2</td></tr></table>"
     )
+
+
+def test_first_heading_anchored_not_midline(spark):
+    """'# ' mid-line (C#, item # 5) must not masquerade as the title."""
+    from zerox_spark.operators.structured import extract_structured
+
+    df = spark.createDataFrame(
+        [("u1", 1, "Pricing info # 42 today\n\n# Real Heading\n\nbody", [])],
+        "url string, page_no int, markdown string, spans array<struct<kind:string,start:int,end:int,score:double>>",
+    )
+    schema = {
+        "type": "object",
+        "properties": {"title": {"x-selector": "first_heading"}},
+    }
+    out = extract_structured(df, schema, ["title"]).collect()
+    assert [r.value for r in out] == ["Real Heading"]
+
+
+def test_regex_selector_without_group_uses_whole_match(spark):
+    """A groupless regex selector must extract the whole match at plan
+    time, not die mid-task with a group-index error."""
+    from zerox_spark.operators.structured import extract_structured
+
+    df = spark.createDataFrame(
+        [("u1", 1, "order ref abc99 here", [])],
+        "url string, page_no int, markdown string, spans array<struct<kind:string,start:int,end:int,score:double>>",
+    )
+    schema = {
+        "type": "object",
+        "properties": {"ref": {"x-selector": "regex:abc[0-9]+"}},
+    }
+    out = extract_structured(df, schema, ["ref"]).collect()
+    assert [r.value for r in out] == ["abc99"]
+    # invalid pattern fails at plan time (validate-at-init), not mid-task
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid regex"):
+        extract_structured(
+            df,
+            {"type": "object", "properties": {"x": {"x-selector": "regex:(["}}},
+            ["x"],
+        )

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from zerox_spark.extract.core import ExtractConfig, PageResult, extract_document
 from zerox_spark.extract.fences import sanitize_filename
 from zerox_spark.extract.pages import join_document
-from zerox_spark.operators.fold import apply_maintain_format
+from zerox_spark.operators.fold import refold_page_results
 
 
 @dataclass
@@ -53,11 +53,13 @@ def zerox(
     maintainFormat fold → optional ``{output_dir}/{file_name}.md`` artifact
     (index.ts:564-568) → result assembly (index.ts:577-607)."""
     t0 = time.monotonic()
-    if content is None:
-        if file_path is None:
-            raise ValueError("file_path or content is required")
+    if content is None and file_path is not None:
         with open(file_path, "rb") as fh:
             content = fh.read()
+    if content is None and text is None:
+        # text-only extraction is a first-class path (the trusted-text
+        # fast route) — only a fully-empty call is an error
+        raise ValueError("file_path, content, or text is required")
     name = sanitize_filename(file_path or "document") or "document"
 
     config = ExtractConfig(
@@ -67,14 +69,7 @@ def zerox(
     )
     pages = extract_document(content, text, config)
     if maintain_format and len(pages) > 1:
-        folded = apply_maintain_format(
-            [(p.page_no, p.markdown, p.status) for p in pages]
-        )
-        by_no = {no: (md, st) for no, md, st in folded}
-        pages = [p for p in pages if p.page_no in by_no]
-        for p in pages:
-            p.markdown, p.status = by_no[p.page_no]
-            p.content_length = len(p.markdown)
+        pages = refold_page_results(pages)
 
     successful = sum(1 for p in pages if p.status == "SUCCESS")
     out = ZeroxOutput(

@@ -55,8 +55,8 @@ def chunk_blocks(
             if not later:
                 break
             cut = min(later, key=lambda c: (abs(c - target), c))
-            if cuts and cut == cuts[-1]:
-                continue
+            # (no duplicate-cut guard needed: later only holds candidates
+            # ≥ prev + min_gap and prev == cuts[-1], so cut > cuts[-1])
         if cut <= prev or cut >= total:
             continue
         cuts.append(cut)

@@ -34,18 +34,13 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from zerox_spark.extract.core import ExtractConfig, extract_document
-from zerox_spark.schema import SPAN_TYPE
+from zerox_spark.schema import EXTRACTED_SCHEMA
 
-# extract output + lineage carrier columns
+# extract output = the canonical per-page schema (schema.py, derived — not
+# re-declared, so the two can't drift) + lineage carrier columns
 RAW_EXTRACTED_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType(), False),
-        T.StructField("page_no", T.IntegerType(), False),
-        T.StructField("markdown", T.StringType(), False),
-        T.StructField("content_length", T.IntegerType(), False),
-        T.StructField("status", T.StringType(), False),
-        T.StructField("error", T.StringType(), True),
-        T.StructField("spans", T.ArrayType(SPAN_TYPE), True),
+    list(EXTRACTED_SCHEMA.fields)
+    + [
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("elapsed_ms", T.LongType(), False),
         # crawl-provenance carrier: lets lineage compute the incremental
@@ -61,7 +56,7 @@ _COLS = [f.name for f in RAW_EXTRACTED_SCHEMA.fields]
 def _extract_iter(
     batches: Iterator[pd.DataFrame], config: ExtractConfig
 ) -> Iterator[pd.DataFrame]:
-    from zerox_spark.operators.fold import apply_maintain_format
+    from zerox_spark.operators.fold import refold_page_results
 
     for pdf in batches:
         t0 = time.monotonic()
@@ -85,14 +80,7 @@ def _extract_iter(
             if config.maintain_format and len(pages) > 1:
                 # zero-shuffle inline fold: all pages of this document are
                 # right here in this task (see operators/fold.py rationale)
-                folded = apply_maintain_format(
-                    [(p.page_no, p.markdown, p.status) for p in pages]
-                )
-                by_no = {no: (md, st) for no, md, st in folded}
-                pages = [p for p in pages if p.page_no in by_no]
-                for p in pages:
-                    p.markdown, p.status = by_no[p.page_no]
-                    p.content_length = len(p.markdown)
+                pages = refold_page_results(pages)
             pid = int(pid)
             for page in pages:
                 c_url.append(url)

@@ -125,3 +125,19 @@ def maintain_format_fold(
         return _fold_pdf(pdf, mode)
 
     return extracted.groupBy("url").applyInPandas(fold, schema=schema)
+
+
+def refold_page_results(pages):
+    """The inline maintainFormat fold over PageResult objects — THE shared
+    block for the vectorized extract UDF and the single-doc api.zerox
+    path: fold, drop pages the node mode removed, update markdown/status/
+    content_length in place. Returns the kept list."""
+    folded = apply_maintain_format(
+        [(p.page_no, p.markdown, p.status) for p in pages]
+    )
+    by_no = {no: (md, st) for no, md, st in folded}
+    kept = [p for p in pages if p.page_no in by_no]
+    for p in kept:
+        p.markdown, p.status = by_no[p.page_no]
+        p.content_length = len(p.markdown)
+    return kept

@@ -34,7 +34,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from zerox_spark.extract.pages import PAGE_DELIM
 
-_HEADING_RE = r"#{1,6} ([^\n]*)"
+# (?m)^ anchor: an unanchored '#{1,6} ' matches mid-line ("item # 5",
+# "C# rocks") and would return non-heading text as the title
+_HEADING_RE = r"(?m)^#{1,6} ([^\n]*)"
 
 
 def split_schema(
@@ -69,7 +71,18 @@ def _compile_selector(
         return F.when(v != "", v)
     if selector.startswith("regex:"):
         pattern = selector[len("regex:") :]
-        v = F.regexp_extract(markdown, pattern, 1)
+        # validate-at-plan-time: a groupless pattern with index 1 is a
+        # RUNTIME IllegalArgumentException that kills the whole job, and
+        # an invalid pattern should fail before submit, not mid-task
+        import re as _re
+
+        try:
+            n_groups = _re.compile(pattern).groups
+        except _re.error as exc:
+            raise ValueError(
+                f"invalid regex selector {pattern!r}: {exc}"
+            ) from exc
+        v = F.regexp_extract(markdown, pattern, 1 if n_groups else 0)
         return F.when(v != "", v)
     if selector.startswith("span_count:"):
         kind = selector[len("span_count:") :]
@@ -97,18 +110,34 @@ def extract_structured(
     is the union of the two scopes)."""
     page_schema, doc_schema = split_schema(schema, extract_per_page)
 
+    # ONE pass per scope, not one select per property: the upstream
+    # extraction subtree is expensive (mapInPandas over the corpus) and
+    # Catalyst does not reuse subplans across union branches — a
+    # k-property schema would re-run the whole extraction k times.
+    # All properties of a scope compile into a single (key, value)
+    # struct array exploded in one projection.
     outputs: list[DataFrame] = []
-    for key, spec in page_schema["properties"].items():
-        value = _compile_selector(
-            spec, F.col("markdown"), F.col("spans"), None
+    if page_schema["properties"]:
+        kvs = F.array(
+            *[
+                F.struct(
+                    F.lit(key).alias("key"),
+                    _compile_selector(
+                        spec, F.col("markdown"), F.col("spans"), None
+                    ).alias("value"),
+                )
+                for key, spec in page_schema["properties"].items()
+            ]
         )
         outputs.append(
-            extracted.select(
+            extracted.select("url", "page_no", F.explode(kvs).alias("kv"))
+            .select(
                 "url",
-                F.lit(key).alias("key"),
+                F.col("kv.key").alias("key"),
                 F.col("page_no"),
-                value.alias("value"),
-            ).filter(F.col("value").isNotNull())
+                F.col("kv.value").alias("value"),
+            )
+            .filter(F.col("value").isNotNull())
         )
 
     if doc_schema["properties"]:
@@ -118,18 +147,27 @@ def extract_structured(
             pages_join_expr(PAGE_DELIM).alias("doc_markdown"),
             F.count(F.lit(1)).alias("n_pages"),
         )
-        for key, spec in doc_schema["properties"].items():
-            value = _compile_selector(
-                spec, F.col("doc_markdown"), None, F.col("n_pages")
-            )
-            outputs.append(
-                doc.select(
-                    "url",
+        kvs_doc = F.array(
+            *[
+                F.struct(
                     F.lit(key).alias("key"),
-                    F.lit(0).cast("int").alias("page_no"),
-                    value.alias("value"),
-                ).filter(F.col("value").isNotNull())
+                    _compile_selector(
+                        spec, F.col("doc_markdown"), None, F.col("n_pages")
+                    ).alias("value"),
+                )
+                for key, spec in doc_schema["properties"].items()
+            ]
+        )
+        outputs.append(
+            doc.select("url", F.explode(kvs_doc).alias("kv"))
+            .select(
+                "url",
+                F.col("kv.key").alias("key"),
+                F.lit(0).cast("int").alias("page_no"),
+                F.col("kv.value").alias("value"),
             )
+            .filter(F.col("value").isNotNull())
+        )
 
     if not outputs:
         raise ValueError("schema has no properties")

@@ -1126,7 +1126,8 @@ FROM expected GROUP BY url
 taxo AS (SELECT url AS turl, doc_id FROM docs)
 SELECT url, key, CAST(page_no AS INTEGER) AS page_no, value FROM (
   SELECT url, 'title' AS key, page_no,
-         regexp_extract(markdown, '#{1,6} ([^' || chr(10) || ']*)', 1) AS value
+         regexp_extract(markdown, '(?m)^#{1,6} ([^' || chr(10) || ']*)', 1)
+           AS value
   FROM expected
   UNION ALL
   SELECT e.url, 'n_checkboxes', e.page_no,

@@ -52,9 +52,6 @@ EXTRACTED_SCHEMA = T.StructType(
     ]
 )
 
-# arrow-friendly field list for mapInPandas (same order as EXTRACTED_SCHEMA)
-EXTRACTED_COLUMNS = [f.name for f in EXTRACTED_SCHEMA.fields]
-
 # ---------------------------------------------------------------------------
 # per-partition lineage/metrics (SURVEY.md §4.3; FIXTURES.md §4)
 LINEAGE_SCHEMA = T.StructType(

@@ -70,8 +70,8 @@ def _parse_local_cores(master: str) -> int | None:
     """``local[8]`` -> 8; ``local[*]`` -> os cpu count; else None."""
     if not master.startswith("local"):
         return None
-    if "[" not in master:
-        return 1
+    if "[" not in master or "]" not in master:
+        return 1 if "[" not in master else None  # malformed: let Spark err
     inside = master[master.index("[") + 1 : master.rindex("]")]
     if inside == "*":
         return os.cpu_count() or 8
