@@ -144,3 +144,34 @@ def test_cfb_contained_error():
     out = extract_document(bytes([0xD0, 0xCF, 0x11, 0xE0]) + b"\x00" * 16, None)
     assert out[0].status == "ERROR"
     assert "CFB" in out[0].error
+
+
+def test_layout_corrupt_float_directive_skipped_not_fatal():
+    """'[\\d.]+' admits '1.2.3'; the directive must be skipped, not kill
+    the whole document."""
+    payload = (
+        b"%PDF-SYNTH 1.0\n"
+        b"%%page no=1 w=612.0 h=792.0\n"
+        b"%%line y=1.2.3 x=72.0 size=10.0 text=corrupt line\n"
+        b"%%line y=700.0 x=72.0 size=10.0 text=good line\n"
+    )
+    out = extract_document(payload, None)
+    assert out[0].status == "SUCCESS"
+    assert "good line" in out[0].markdown
+    assert "corrupt" not in out[0].markdown
+
+
+def test_select_pages_with_gapped_numbering():
+    """Empty sheets are skipped (gapped page numbers); selecting a page
+    past the gap must work, and selecting the gap itself errors."""
+    import pytest as _pytest
+
+    from zerox_spark.extract.pages import (
+        PageNumberOutOfBoundError,
+        select_and_renumber,
+    )
+
+    pages = [(1, "one", []), (3, "three", [])]  # page 2 was empty
+    assert select_and_renumber(pages, [3]) == [(3, "three", [])]
+    with _pytest.raises(PageNumberOutOfBoundError):
+        select_and_renumber(pages, [2])

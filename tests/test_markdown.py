@@ -150,3 +150,50 @@ def test_svg_accessibility_text_not_content():
     )
     assert "chart icon" not in out and "fallback" not in out
     assert "real content" in out
+
+
+def test_unquoted_href_trailing_slash_not_self_closing():
+    """HTML5: '/' ends an unquoted attr VALUE, it is not the self-closing
+    flag — <a href=http://x.com/>text</a> must keep its anchor text and
+    the slash in the href."""
+    from zerox_spark.html.dom import parse
+
+    nodes = parse("<div><a href=http://x.example/>Example</a> after</div>")
+    a = next(n for n in nodes if n.tag == "a")
+    assert a.attrs["href"] == "http://x.example/"
+    texts = [nodes[c].text for c in a.children if nodes[c].tag is None]
+    assert texts == ["Example"]
+    # explicit self-closing forms still work
+    nodes2 = parse('<p><img src="x"/>tail<br/>more</p>')
+    img = next(n for n in nodes2 if n.tag == "img")
+    assert img.attrs["src"] == "x"
+
+
+def test_rawtext_close_requires_name_boundary():
+    """'</scripty>' inside a JS string must NOT close the <script>."""
+    md, _ = html_to_markdown(
+        '<article><script>var s = "</scripty>";</script>'
+        "<p>real content paragraph here</p></article>"
+    )
+    assert md == "real content paragraph here"
+
+
+def test_pre_code_with_highlighter_spans_keeps_tokens():
+    """Syntax-highlighted code (every token in a <span>) must keep all
+    its text in the fence."""
+    md, _ = html_to_markdown(
+        '<article><pre><code class="language-python">'
+        '<span class="k">def</span> <span class="nf">f</span>():'
+        "</code></pre></article>"
+    )
+    assert md == "```python\ndef f():\n```"
+
+
+def test_selected_root_not_dropped_by_own_negative_hint():
+    """A chosen <article> with a negative class token must still emit its
+    content — the root was selected AS content; only children re-test."""
+    md, _ = html_to_markdown(
+        '<article class="promo"><p>thirty characters of real body text'
+        " right here</p></article>"
+    )
+    assert "real body text" in md

@@ -357,3 +357,17 @@ def test_regex_selector_without_group_uses_whole_match(spark):
             {"type": "object", "properties": {"x": {"x-selector": "regex:(["}}},
             ["x"],
         )
+
+
+def test_sheet_data_row_starting_with_percent_kept():
+    """Only the two container directives are skipped — a data row whose
+    first cell starts with '%' must survive."""
+    payload = (
+        b"%SHEET csv 1.0\n%%sheet name=s\n"
+        b"% complete,Q1\n95,3\n"
+    )
+    out = extract_document(payload, None, ExtractConfig(trust_text=False))
+    assert out[0].markdown == (
+        "<table><tr><th>% complete</th><th>Q1</th></tr>"
+        "<tr><td>95</td><td>3</td></tr></table>"
+    )

@@ -199,6 +199,15 @@ def extract_document(
         selected = select_and_renumber(raw_pages, config.select_pages)
         out = []
         for page_no, markdown, spans in selected:
+            # spans are computed on the PRE-finalize markdown; NFC
+            # composition or a whole-page fence unwrap can shrink the
+            # string (identity on ASCII content). Clamp so the
+            # [start, end) ⊆ [0, len) invariant holds for consumers —
+            # offsets into mutated regions are best-effort by contract.
+            n = len(markdown)
+            spans = [
+                (k, min(s, n), min(e, n), sc) for k, s, e, sc in spans
+            ]
             out.append(
                 PageResult(
                     page_no=page_no,

@@ -81,21 +81,29 @@ def parse_pdf(payload: bytes) -> list[LayoutPage]:
     for raw in text.split("\n"):
         m = _PAGE_RE.match(raw)
         if m:
-            pages.append(
-                LayoutPage(int(m.group(1)), float(m.group(2)), float(m.group(3)))
-            )
+            try:
+                pages.append(
+                    LayoutPage(
+                        int(m.group(1)), float(m.group(2)), float(m.group(3))
+                    )
+                )
+            except ValueError:
+                pass  # [\d.]+ admits '1.2.3' — skip the directive, not the doc
             continue
         m = _LINE_RE.match(raw)
         if m and pages:
-            pages[-1].lines.append(
-                LayoutLine(
-                    y=float(m.group(1)),
-                    x=float(m.group(2)),
-                    size=float(m.group(3)),
-                    kind=m.group(4) or "",
-                    text=m.group(5),
+            try:
+                pages[-1].lines.append(
+                    LayoutLine(
+                        y=float(m.group(1)),
+                        x=float(m.group(2)),
+                        size=float(m.group(3)),
+                        kind=m.group(4) or "",
+                        text=m.group(5),
+                    )
                 )
-            )
+            except ValueError:
+                pass  # same: one corrupt line must not kill the document
     return pages
 
 

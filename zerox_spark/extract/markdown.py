@@ -97,7 +97,11 @@ def emit_blocks(
         if node.tag is None:
             pending_inline.append(node.text)
             return
-        if is_boilerplate(nodes, stats, idx):
+        # the ROOT was explicitly selected as the content container
+        # (select_content_root) — re-testing it against the boilerplate
+        # hints would let a negative class token on e.g. the chosen
+        # <article> empty the whole document
+        if idx != root and is_boilerplate(nodes, stats, idx):
             return
         tag = node.tag
         if tag in _HEADINGS:
@@ -368,6 +372,43 @@ def _emit_dl(nodes: list[Node], node: Node) -> str:
     return "\n".join(lines)
 
 
+def grid_table(rows: list[list[str]]) -> str:
+    """THE canonical first-row-<th> grid serialization (attr-free,
+    single-line) — the one byte format shared by the %SHEET, xlsx, xls,
+    ods and csv/tsv paths (sheets.py / ooxml.py / delimited.py wrap
+    this). layout._table_block differs BY DESIGN (its header rule is the
+    per-line kind attribute, not first-row). Change the canonical form
+    here and every grid path moves together."""
+    parts = ["<table>"]
+    for i, row in enumerate(rows):
+        tag = "th" if i == 0 else "td"
+        parts.append("<tr>")
+        for cell in row:
+            parts.append(f"<{tag}>{cell}</{tag}>")
+        parts.append("</tr>")
+    parts.append("</table>")
+    return "".join(parts)
+
+
+def _subtree_text(nodes: list[Node], node: Node) -> str:
+    """Raw concatenation of EVERY descendant text node in document order,
+    no whitespace collapse — pre/code content must keep its formatting
+    even when a syntax highlighter wrapped each token in <span>s (direct
+    children alone would drop all highlighted tokens)."""
+    parts: list[str] = []
+
+    def walk(n: Node) -> None:
+        for c in n.children:
+            child = nodes[c]
+            if child.tag is None:
+                parts.append(child.text)
+            else:
+                walk(child)
+
+    walk(node)
+    return "".join(parts)
+
+
 def _emit_pre(nodes: list[Node], node: Node) -> Block:
     # language from a nested <code class="language-x"|"x">
     lang = ""
@@ -381,12 +422,10 @@ def _emit_pre(nodes: list[Node], node: Node) -> Block:
                     break
                 if cls and not lang:
                     lang = cls
-            raw = "".join(
-                nodes[gc].text for gc in child.children if nodes[gc].tag is None
-            )
+            raw = _subtree_text(nodes, child)
             break
     if raw is None:
-        raw = "".join(nodes[c].text for c in node.children if nodes[c].tag is None)
+        raw = _subtree_text(nodes, node)
     code = raw.strip("\n")
     return Block("code", f"```{lang}\n{code}\n```")
 

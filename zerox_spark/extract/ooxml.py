@@ -250,17 +250,11 @@ def _xlsx_grids(zf: zipfile.ZipFile) -> list[tuple[str, list[list[str]]]]:
 
 
 def _grid_table(rows: list[list[str]]) -> str:
-    """First row <th> (file.ts:246-249), attr-free single-line form (the
-    engine's canonical table serialization, markdown.py)."""
-    parts = ["<table>"]
-    for i, row in enumerate(rows):
-        tag = "th" if i == 0 else "td"
-        parts.append("<tr>")
-        for cell in row:
-            parts.append(f"<{tag}>{cell}</{tag}>")
-        parts.append("</tr>")
-    parts.append("</table>")
-    return "".join(parts)
+    """First row <th> (file.ts:246-249) — the canonical grid serialization,
+    defined once in markdown.grid_table."""
+    from zerox_spark.extract.markdown import grid_table
+
+    return grid_table(rows)
 
 
 def grids_to_pages(

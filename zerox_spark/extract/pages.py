@@ -48,11 +48,17 @@ def select_and_renumber(
     """
     if select_pages is None:
         return [(i + 1, md, spans) for i, (_, md, spans) in enumerate(pages)]
-    total = len(pages)
-    for p in select_pages:
-        if p > total:
-            raise PageNumberOutOfBoundError(f"page {p} > total {total}")
+    # membership check against the ACTUAL page numbers, not len(pages):
+    # extractors may legitimately emit gapped numbering (empty sheets are
+    # skipped, %%page no= values are source-controlled) — a count-based
+    # bound both false-errors on real pages past a gap and KeyErrors on
+    # the gap itself
     by_no = {no: (md, spans) for no, md, spans in pages}
+    for p in select_pages:
+        if p not in by_no:
+            raise PageNumberOutOfBoundError(
+                f"page {p} not in document (pages: {sorted(by_no)})"
+            )
     return [(p, by_no[p][0], by_no[p][1]) for p in select_pages]
 
 

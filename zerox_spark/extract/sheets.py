@@ -40,25 +40,21 @@ def parse_sheet_payload(payload: bytes) -> list[tuple[str, list[list[str]]]]:
         if raw.startswith("%%sheet"):
             name = raw.split("name=", 1)[1].strip() if "name=" in raw else ""
             sheets.append((name, []))
-        elif raw.startswith("%"):
-            continue  # magic/header line
+        elif raw.startswith(("%SHEET", "%%")):
+            continue  # container directives only — a DATA row may
+            # legitimately start with '%' ('% complete,Q1,...') and must
+            # not silently vanish
         elif sheets and raw.strip():
             sheets[-1][1].append([c.strip() for c in raw.split(",")])
     return sheets
 
 
 def sheet_to_table(rows: list[list[str]]) -> str:
-    """First row as <th> (file.ts:246-249 semantics), canonical attr-free
-    single-line serialization matching the DOM emitter's table form."""
-    parts = ["<table>"]
-    for i, row in enumerate(rows):
-        tag = "th" if i == 0 else "td"
-        parts.append("<tr>")
-        for cell in row:
-            parts.append(f"<{tag}>{cell}</{tag}>")
-        parts.append("</tr>")
-    parts.append("</table>")
-    return "".join(parts)
+    """First row as <th> (file.ts:246-249 semantics) — the canonical grid
+    serialization, defined once in markdown.grid_table."""
+    from zerox_spark.extract.markdown import grid_table
+
+    return grid_table(rows)
 
 
 def sheets_to_pages(

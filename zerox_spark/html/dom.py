@@ -71,9 +71,6 @@ def parse(src: str) -> list[Node]:
     nodes: list[Node] = [Node(0, "#root", -1)]
     stack: list[int] = [0]  # open-element indices
 
-    def open_tags() -> list[str]:
-        return [nodes[i].tag or "" for i in stack[1:]]
-
     # positional unpacking + bound methods: this loop runs once per token of
     # every document on the cluster
     implied = _IMPLIED_CLOSERS.get

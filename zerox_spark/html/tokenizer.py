@@ -92,7 +92,13 @@ _SCANNER = re.compile(
 # 'İ' U+0130 → 2 chars), which would misalign indices found in the lowered
 # copy against the original
 _RAWTEXT_CLOSE = {
-    tag: re.compile("</" + "".join(f"[{c}{c.upper()}]" for c in tag))
+    # the close-tag NAME must end at a boundary char (HTML5 script-data
+    # end-tag-open state): '</scripty>' inside a JS string must NOT close
+    # the <script> — a bare-prefix match would leak script text into
+    # document content
+    tag: re.compile(
+        "</" + "".join(f"[{c}{c.upper()}]" for c in tag) + r"(?=[\s/>]|\Z)"
+    )
     for tag in RAWTEXT_ELEMENTS
 }
 
@@ -117,9 +123,26 @@ def tokenize(src: str) -> Iterator[tuple]:
                 attrs = None
                 self_closing = False
             else:
-                self_closing = attr_src.rstrip().endswith("/")
+                stripped = attr_src.rstrip()
+                self_closing = stripped.endswith("/")
                 if self_closing:
-                    attr_src = attr_src.rstrip()[:-1]
+                    # HTML5 unquoted-attribute-value state CONSUMES '/':
+                    # <a href=http://x.com/> is NOT self-closing and the
+                    # slash belongs to the value. Only a solidus preceded
+                    # by whitespace, a closing quote, or nothing is the
+                    # self-closing flag.
+                    before = stripped[:-1]
+                    toks = before.split()
+                    last = toks[-1] if toks else ""
+                    if (
+                        before
+                        and before[-1] not in " \t\n\r\f\"'"
+                        and "=" in last
+                        and not last.endswith("=")
+                    ):
+                        self_closing = False  # slash is part of the value
+                    else:
+                        attr_src = before
                 attrs = _parse_attrs(attr_src) if attr_src.strip() else None
             yield (
                 "start", tag, attrs, "", self_closing or tag in VOID_ELEMENTS
