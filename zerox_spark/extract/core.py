@@ -322,8 +322,27 @@ def _extract_raw(
         if not pages:
             raise ValueError("OOXML payload with no pages")
         return [(no, _finalize(md), spans) for no, md, spans in pages]
+    # binary/media guard (round-3 What's-wrong #1): a crawl is full of
+    # image/font/archive/audio payloads; none may reach the latin-1-total
+    # decode below and extract as SUCCESS mojibake. Recognized images get a
+    # distinct reason (the reference's image inputs exist to be OCR'd,
+    # node-zerox/src/index.ts:171-182 — a deterministic engine's honest
+    # outcome is a contained ERROR, same contract as image-only PDFs).
+    from zerox_spark.extract.sniff import IMAGE_KINDS, sniff_binary
+
+    bin_kind = sniff_binary(html)
+    if bin_kind is not None:
+        if bin_kind in IMAGE_KINDS:
+            raise ValueError(
+                f"image payload ({bin_kind}) has no text layer — no OCR"
+            )
+        raise ValueError(f"binary/media payload ({bin_kind})")
     src = _decode_payload(html)
     src = src.replace("\r\n", "\n").replace("\r", "\n")
+    if _looks_binary(src):
+        # magic-less binary (raw compressed fragments, truncated media):
+        # control-character density no real text document has
+        raise ValueError("binary payload (unprintable content)")
     if not src.lstrip().startswith("<"):
         # csv/tsv structured fast path (README.md:506-507): a consistent
         # delimited grid extracts as one first-row-<th> table page, the
@@ -430,6 +449,25 @@ def _decode_payload(html: bytes) -> str:
 
 _PARA_SPLIT = re.compile(r"\n\s*\n")
 _WS_RUN = re.compile(r"\s+")
+
+# C0 controls that never appear in text (tab/newline/CR/formfeed excluded),
+# C1 controls (the latin-1-total fallback maps bytes 0x80-0x9f there; real
+# text never carries them — even mislabeled cp1252 smart quotes stay rare),
+# plus the replacement char a lying-charset decode leaves behind
+_BINARYISH = re.compile("[\x00-\x08\x0b\x0e-\x1f\x7f\x80-\x9f�]")
+_BINARY_RATIO = 0.02
+_BINARY_MIN_LEN = 24
+
+
+def _looks_binary(src: str) -> bool:
+    """Printable-ratio guard: text whose control-char/replacement density
+    exceeds any real document's is binary that slipped past the magic table.
+    Probes a bounded prefix so the check is O(1) per row."""
+    probe = src[:65536]
+    if len(probe) < _BINARY_MIN_LEN:
+        return False
+    hits = len(_BINARYISH.findall(probe))
+    return hits / len(probe) > _BINARY_RATIO
 
 
 def _plain_text_page(src: str) -> tuple[int, str, list]:

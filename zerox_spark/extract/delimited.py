@@ -29,10 +29,17 @@ from __future__ import annotations
 import csv
 import io
 
+import re
+
 from zerox_spark.extract.markdown import Block, join_blocks
 from zerox_spark.extract.sheets import sheet_to_table
 
 _SNIFF_LINES = 20
+# no real delimited table carries C0 controls (beyond \t) or replacement
+# chars in its first rows — binary whose bytes happen to contain commas
+# must not qualify (round-3 What's-wrong #1: a JPEG sniffed as csv)
+_UNTEXTY = re.compile("[\x00-\x08\x0b-\x1f\x7f�]")
+_MAX_CELL = 500
 
 
 def sniff_delimiter(src: str) -> str | None:
@@ -44,20 +51,26 @@ def sniff_delimiter(src: str) -> str | None:
     path. None otherwise."""
     lines = [ln for ln in src.split("\n") if ln.strip()]
     probe = lines[:_SNIFF_LINES]
+    if any(_UNTEXTY.search(ln) for ln in probe):
+        return None  # control chars → not a table, whatever the commas say
     for delim, min_lines, min_fields in (("\t", 2, 2), (",", 3, 3)):
         if len(lines) < min_lines:
             continue
         try:
-            counts = [
-                len(row)
-                for row in csv.reader(io.StringIO("\n".join(probe)), delimiter=delim)
-            ]
+            rows = list(
+                csv.reader(io.StringIO("\n".join(probe)), delimiter=delim)
+            )
         except csv.Error:
             continue
+        counts = [len(row) for row in rows]
         if (
             len(counts) >= min_lines
             and counts[0] >= min_fields
             and all(c == counts[0] for c in counts)
+            and all(len(c) <= _MAX_CELL for row in rows for c in row)
+            # a real table's header/cells are word-like: require every
+            # probe row to carry at least one alphanumeric character
+            and all(any(ch.isalnum() for ch in "".join(row)) for row in rows)
         ):
             return delim
     return None

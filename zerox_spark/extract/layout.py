@@ -1,13 +1,18 @@
-"""pdfminer-style layout pass over pseudo-PDF payloads.
+"""pdfminer-style layout pass over PDF payloads — two grammars, one model.
 
 ~3% of Common-Crawl-style rows in the corpus carry a ``%PDF`` magic-byte
-binary (FIXTURES.md §1). Real PDF rasterization/OCR is the reference's domain
-(convertPdfToImages, node-zerox/src/utils/file.ts:153-207); this sandbox has
-no poppler, so the corpus uses a deterministic structured text layout — page
-boxes + positioned lines — and this module is the layout-analysis stage that
-turns it into reading-order blocks.
+binary (FIXTURES.md §1). Two front-ends feed the SAME ``LayoutPage`` →
+valley-segmentation → classification pipeline:
 
-Payload grammar (produced by synth.py; one directive per line):
+1. **Born-digital real PDFs** (``%PDF-1.x``) — extract/pdf.py: stdlib COS
+   parse, FlateDecode, ToUnicode CMaps, content-stream interpretation into
+   positioned text runs (the reference's #1 input type; its conversion
+   pipeline ``node-zerox/src/utils/file.ts:153-207`` exists to consume
+   these, via rasterize+OCR — we read the text layer directly).
+2. **Synthetic layout grammar** (``%PDF-SYNTH``) — the deterministic corpus
+   format below, kept as the oracle-friendly second grammar.
+
+Synthetic payload grammar (produced by synth.py; one directive per line):
 
     %PDF-SYNTH 1.0
     %%page no=<int> w=<float> h=<float>
@@ -37,6 +42,7 @@ from dataclasses import dataclass, field
 from zerox_spark.extract.markdown import Block, join_blocks
 
 PDF_MAGIC = b"%PDF"
+SYNTH_MAGIC = b"%PDF-SYNTH"
 
 VALLEY_GAP = 32.0  # points; > one blank line of 10pt text with leading
 H1_SIZE = 18.0
@@ -74,8 +80,14 @@ def is_pdf(payload: bytes) -> bool:
 
 
 def parse_pdf(payload: bytes) -> list[LayoutPage]:
-    """Parse the pseudo-PDF grammar into pages. Unknown lines are ignored
-    (error tolerance — a corrupt directive must not kill a 10^12-row job)."""
+    """Parse a PDF payload into LayoutPages: real ``%PDF-1.x`` documents go
+    through the born-digital parser (extract/pdf.py); the ``%PDF-SYNTH``
+    grammar parses below. Unknown directives are ignored (error tolerance —
+    a corrupt line must not kill a 10^12-row job)."""
+    if is_pdf(payload) and not payload.startswith(SYNTH_MAGIC):
+        from zerox_spark.extract.pdf import parse_real_pdf
+
+        return parse_real_pdf(payload)
     pages: list[LayoutPage] = []
     text = payload.decode("utf-8", errors="replace")
     for raw in text.split("\n"):
@@ -163,6 +175,10 @@ def pdf_to_pages(
     payload: bytes,
 ) -> list[tuple[int, str, list[tuple[str, int, int, float]]]]:
     """Full layout pass: payload → [(page_no, markdown, spans)] in page order."""
+    if is_pdf(payload) and not payload.startswith(SYNTH_MAGIC):
+        from zerox_spark.extract.pdf import real_pdf_to_pages
+
+        return real_pdf_to_pages(payload)
     out = []
     for page in parse_pdf(payload):
         markdown, spans = join_blocks(segment_page(page))

@@ -1,0 +1,1161 @@
+"""Born-digital PDF text extraction — stdlib-only, error-tolerant.
+
+The reference's #1 input type is real PDF (``/root/reference/README.md:489``;
+its whole conversion pipeline ``node-zerox/src/utils/file.ts:153-207`` exists
+to consume them, and 30+ of its 36 corpus inputs are PDFs). The reference
+rasterizes via graphicsmagick and OCRs with an LLM; a deterministic columnar
+engine instead reads the born-digital *text layer* directly: COS object
+parse → page tree → FlateDecode (stdlib zlib) → content-stream interpreter
+(``BT/ET Tf Td/TD/Tm/T* Tj/TJ/'/"``) → positioned text runs → the existing
+``LayoutLine`` model, so valley segmentation, heading sizing and
+``<page_number>`` classification (layout.py) apply unchanged.
+
+Everything here derives from the public PDF 1.7 spec (ISO 32000-1):
+  §7.3  COS objects (names, strings, arrays, dicts, streams, refs)
+  §7.4  filters (FlateDecode + PNG predictors, ASCIIHex/ASCII85/RunLength/LZW)
+  §7.5  file structure — we use a *linear object scan* instead of strict xref
+        chasing (error tolerance: a truncated/garbled xref must not kill a
+        10^12-row job; Acrobat itself rebuilds xref by scanning), plus
+        §7.5.7 object streams (ObjStm) so PDF 1.5+ compressed catalogs work
+  §9.4  text objects and showing operators
+  §9.10 ToUnicode CMaps (bfchar/bfrange)
+  Annex D / Adobe Glyph List (subset) for /Differences glyph names
+
+Scale notes: runs per-row inside the extraction mapInPandas (no extra
+shuffle); work is bounded by the payload cap upstream plus the per-stream
+decompression budget here (zip-bomb guard, same policy as ooxml._read_member).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+
+# --------------------------------------------------------------------------
+# budgets (error containment / bomb guards)
+
+MAX_STREAM_BYTES = 64 * 1024 * 1024  # one decompressed stream
+MAX_TOTAL_DECOMPRESSED = 256 * 1024 * 1024  # whole document
+MAX_PAGES = 5000
+MAX_FORM_DEPTH = 8
+MAX_OBJECTS = 200_000
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+
+
+class PdfError(ValueError):
+    """Raised for unrecoverable document-level problems; callers route it
+    into the contained-ERROR path (core.extract_document)."""
+
+
+# --------------------------------------------------------------------------
+# COS object model
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int
+
+
+class Name(str):
+    """A /Name. Subclasses str so dict keys compare naturally."""
+
+    __slots__ = ()
+
+
+class Stream:
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+
+_KEYWORD_RE = re.compile(rb"[A-Za-z'\"*]+")
+_NUMBER_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+class Lexer:
+    """Tokenizer/parser over raw PDF bytes. One class serves both the file
+    body (indirect objects) and content streams (operands + operators)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WHITESPACE:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                nl = data.find(b"\n", self.pos)
+                self.pos = n if nl < 0 else nl + 1
+            else:
+                return
+
+    def peek(self) -> int:
+        return self.data[self.pos] if self.pos < len(self.data) else -1
+
+    # -- object parsing ----------------------------------------------------
+
+    def parse_object(self):
+        """Parse one COS object at the cursor. Raises PdfError on totally
+        unparseable input (one bad object is skipped by the scanner, not
+        fatal to the document)."""
+        self.skip_ws()
+        c = self.peek()
+        if c < 0:
+            raise PdfError("EOF")
+        ch = bytes((c,))
+        if ch == b"/":
+            return self._parse_name()
+        if ch == b"(":
+            return self._parse_literal_string()
+        if ch == b"<":
+            if self.data[self.pos : self.pos + 2] == b"<<":
+                return self._parse_dict_or_stream()
+            return self._parse_hex_string()
+        if ch == b"[":
+            return self._parse_array()
+        if ch == b"]":
+            raise PdfError("stray ]")
+        if ch in b"+-." or ch.isdigit():
+            return self._parse_number_or_ref()
+        m = _KEYWORD_RE.match(self.data, self.pos)
+        if m:
+            kw = m.group()
+            self.pos = m.end()
+            if kw == b"true":
+                return True
+            if kw == b"false":
+                return False
+            if kw == b"null":
+                return None
+            return Keyword(kw)
+        raise PdfError(f"unexpected byte {ch!r}")
+
+    def _parse_name(self) -> Name:
+        self.pos += 1  # '/'
+        out = bytearray()
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WHITESPACE or c in _DELIMS:
+                break
+            if c == 0x23 and self.pos + 2 < n:  # '#xx' escape
+                try:
+                    out.append(int(data[self.pos + 1 : self.pos + 3], 16))
+                    self.pos += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            self.pos += 1
+        return Name(out.decode("latin-1"))
+
+    def _parse_literal_string(self) -> bytes:
+        self.pos += 1  # '('
+        out = bytearray()
+        depth = 1
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = data[self.pos]
+                self.pos += 1
+                if e == 0x6E:
+                    out.append(0x0A)
+                elif e == 0x72:
+                    out.append(0x0D)
+                elif e == 0x74:
+                    out.append(0x09)
+                elif e == 0x62:
+                    out.append(0x08)
+                elif e == 0x66:
+                    out.append(0x0C)
+                elif e in b"()\\":
+                    out.append(e)
+                elif e in b"01234567":  # octal, up to 3 digits
+                    oct_s = bytes((e,))
+                    while (
+                        len(oct_s) < 3
+                        and self.pos < n
+                        and data[self.pos] in b"01234567"
+                    ):
+                        oct_s += bytes((data[self.pos],))
+                        self.pos += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                elif e == 0x0A:
+                    pass  # line continuation
+                elif e == 0x0D:
+                    if self.pos < n and data[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    self.pos += 1
+                    return bytes(out)
+            out.append(c)
+            self.pos += 1
+        return bytes(out)  # unterminated: tolerate
+
+    def _parse_hex_string(self) -> bytes:
+        self.pos += 1  # '<'
+        end = self.data.find(b">", self.pos)
+        if end < 0:
+            end = len(self.data)
+        hexpart = re.sub(rb"[^0-9A-Fa-f]", b"", self.data[self.pos : end])
+        self.pos = end + 1
+        if len(hexpart) % 2:
+            hexpart += b"0"
+        try:
+            return bytes.fromhex(hexpart.decode("ascii"))
+        except ValueError:
+            return b""
+
+    def _parse_array(self) -> list:
+        self.pos += 1  # '['
+        out = []
+        while True:
+            self.skip_ws()
+            c = self.peek()
+            if c < 0:
+                return out  # unterminated: tolerate
+            if c == 0x5D:
+                self.pos += 1
+                return out
+            out.append(self.parse_object())
+
+    def _parse_dict_or_stream(self):
+        self.pos += 2  # '<<'
+        d: dict = {}
+        while True:
+            self.skip_ws()
+            if self.data[self.pos : self.pos + 2] == b">>":
+                self.pos += 2
+                break
+            if self.peek() < 0:
+                break  # unterminated: tolerate
+            if self.peek() != 0x2F:
+                # junk key — try to resync by skipping one object
+                try:
+                    self.parse_object()
+                except PdfError:
+                    self.pos += 1
+                continue
+            key = self._parse_name()
+            d[key] = self.parse_object()
+        # stream?
+        save = self.pos
+        self.skip_ws()
+        if self.data[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            if self.data[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.data[self.pos : self.pos + 1] in (b"\n", b"\r"):
+                self.pos += 1
+            return self._finish_stream(d)
+        self.pos = save
+        return d
+
+    def _finish_stream(self, d: dict) -> Stream:
+        start = self.pos
+        length = d.get(Name("Length"))
+        raw = None
+        if isinstance(length, int) and 0 <= length <= len(self.data) - start:
+            cand_end = start + length
+            tail = self.data[cand_end : cand_end + 20].lstrip(_WHITESPACE)
+            if tail.startswith(b"endstream"):
+                raw = self.data[start:cand_end]
+                self.pos = cand_end
+        if raw is None:
+            # /Length indirect or wrong (common in the wild): scan for the
+            # closing keyword — 9 specific bytes, vanishingly unlikely inside
+            # deflate data
+            end = self.data.find(b"endstream", start)
+            if end < 0:
+                end = len(self.data)
+            raw = self.data[start:end].rstrip(b"\r\n")
+            self.pos = end
+        self.skip_ws()
+        if self.data[self.pos : self.pos + 9] == b"endstream":
+            self.pos += 9
+        return Stream(d, raw)
+
+    def _parse_number_or_ref(self):
+        m = _NUMBER_RE.match(self.data, self.pos)
+        if not m:
+            raise PdfError("bad number")
+        self.pos = m.end()
+        tok = m.group()
+        if b"." in tok:
+            return float(tok)
+        value = int(tok)
+        # lookahead for "<int> <gen> R"
+        save = self.pos
+        self.skip_ws()
+        m2 = _NUMBER_RE.match(self.data, self.pos)
+        if m2 and b"." not in m2.group():
+            pos2 = m2.end()
+            k = Lexer(self.data, pos2)
+            k.skip_ws()
+            if (
+                k.data[k.pos : k.pos + 1] == b"R"
+                and not _KEYWORD_RE.match(k.data, k.pos + 1)
+            ):
+                self.pos = k.pos + 1
+                return Ref(value, int(m2.group()))
+        self.pos = save
+        return value
+
+
+class Keyword(bytes):
+    """A bare keyword token (content-stream operator, 'obj', 'R', ...)."""
+
+    __slots__ = ()
+
+
+# --------------------------------------------------------------------------
+# filters
+
+
+def _flate(data: bytes) -> bytes:
+    try:
+        out = zlib.decompress(data, bufsize=64 * 1024)
+    except zlib.error:
+        d = zlib.decompressobj()
+        try:
+            out = d.decompress(data, MAX_STREAM_BYTES) + d.flush()
+        except zlib.error:
+            # raw deflate (missing zlib header) — seen in the wild
+            d = zlib.decompressobj(-15)
+            try:
+                out = d.decompress(data, MAX_STREAM_BYTES) + d.flush()
+            except zlib.error as exc:
+                raise PdfError(f"flate: {exc}") from exc
+    if len(out) > MAX_STREAM_BYTES:
+        raise PdfError("stream decompression budget exceeded")
+    return out
+
+
+def _ascii_hex(data: bytes) -> bytes:
+    data = data.split(b">")[0]
+    hexpart = re.sub(rb"[^0-9A-Fa-f]", b"", data)
+    if len(hexpart) % 2:
+        hexpart += b"0"
+    return bytes.fromhex(hexpart.decode("ascii"))
+
+
+def _ascii85(data: bytes) -> bytes:
+    import base64
+
+    data = re.sub(rb"\s", b"", data)
+    if data.startswith(b"<~"):
+        data = data[2:]
+    if data.endswith(b"~>"):
+        data = data[:-2]
+    try:
+        return base64.a85decode(data)
+    except ValueError as exc:
+        raise PdfError(f"ascii85: {exc}") from exc
+
+
+def _runlength(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            if i < n:
+                out += bytes((data[i],)) * (257 - l)
+                i += 1
+        if len(out) > MAX_STREAM_BYTES:
+            raise PdfError("runlength budget exceeded")
+    return bytes(out)
+
+
+def _lzw(data: bytes) -> bytes:
+    """LZW per spec §7.4.4.2 (early-change variant, the PDF default)."""
+    out = bytearray()
+    table: list[bytes] = [bytes((i,)) for i in range(256)] + [b"", b""]
+    code_len = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= code_len:
+            code = (acc >> (nbits - code_len)) & ((1 << code_len) - 1)
+            nbits -= code_len
+            if code == 256:  # clear
+                table = table[:258]
+                code_len = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table) and table[code]:
+                entry = table[code]
+            else:
+                entry = prev + prev[:1]
+            out += entry
+            if len(out) > MAX_STREAM_BYTES:
+                raise PdfError("lzw budget exceeded")
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + 1 >= (1 << code_len) and code_len < 12:
+                code_len += 1
+    return bytes(out)
+
+
+def _png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (colors * bpc * columns + 7) // 8
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i + 1 <= n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + rowlen
+        if ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _as_list(v):
+    if v is None:
+        return []
+    return v if isinstance(v, list) else [v]
+
+
+class Document:
+    """Parsed PDF: object map + resolver + decoded-stream cache."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.objects: dict[int, object] = {}
+        self._decoded: dict[int, bytes] = {}
+        self._budget = MAX_TOTAL_DECOMPRESSED
+        self._scan()
+        self._expand_object_streams()
+
+    # -- structure ---------------------------------------------------------
+
+    def _scan(self) -> None:
+        """Linear object scan (the xref-rebuild strategy): every
+        ``N G obj`` not inside a previously-parsed stream becomes an object;
+        later definitions win (incremental-update semantics, spec §7.5.6)."""
+        next_ok = 0
+        count = 0
+        for m in re.finditer(rb"(\d{1,9})\s+(\d{1,5})\s+obj\b", self.data):
+            if m.start() < next_ok:
+                continue
+            count += 1
+            if count > MAX_OBJECTS:
+                raise PdfError("object-count budget exceeded")
+            lex = Lexer(self.data, m.end())
+            try:
+                obj = lex.parse_object()
+            except PdfError:
+                continue
+            self.objects[int(m.group(1))] = obj
+            next_ok = lex.pos
+
+    def _expand_object_streams(self) -> None:
+        """§7.5.7: objects compressed inside /Type/ObjStm streams."""
+        for num in list(self.objects):
+            st = self.objects[num]
+            if not (
+                isinstance(st, Stream)
+                and st.dict.get(Name("Type")) == Name("ObjStm")
+            ):
+                continue
+            try:
+                body = self.stream_bytes(st)
+                n = self.resolve(st.dict.get(Name("N"))) or 0
+                first = self.resolve(st.dict.get(Name("First"))) or 0
+                head = Lexer(body[:first])
+                pairs = []
+                for _ in range(int(n)):
+                    onum = head.parse_object()
+                    off = head.parse_object()
+                    pairs.append((int(onum), int(off)))
+                for onum, off in pairs:
+                    if onum in self.objects:
+                        continue  # direct (later-position) object wins
+                    sub = Lexer(body, first + off)
+                    try:
+                        self.objects[onum] = sub.parse_object()
+                    except PdfError:
+                        continue
+            except (PdfError, TypeError, ValueError):
+                continue
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, Ref) and depth < 32:
+            obj = self.objects.get(obj.num)
+            depth += 1
+        return obj
+
+    # -- streams -----------------------------------------------------------
+
+    def stream_bytes(self, st: Stream) -> bytes:
+        key = id(st)
+        if key in self._decoded:
+            return self._decoded[key]
+        data = st.raw
+        filters = [
+            self.resolve(f) for f in _as_list(self.resolve(st.dict.get(Name("Filter"))))
+        ]
+        parms = [
+            self.resolve(p)
+            for p in _as_list(self.resolve(st.dict.get(Name("DecodeParms"))))
+        ]
+        while len(parms) < len(filters):
+            parms.append(None)
+        for f, p in zip(filters, parms):
+            if f == Name("FlateDecode") or f == Name("Fl"):
+                data = _flate(data)
+            elif f == Name("LZWDecode") or f == Name("LZW"):
+                data = _lzw(data)
+            elif f == Name("ASCIIHexDecode") or f == Name("AHx"):
+                data = _ascii_hex(data)
+            elif f == Name("ASCII85Decode") or f == Name("A85"):
+                data = _ascii85(data)
+            elif f == Name("RunLengthDecode") or f == Name("RL"):
+                data = _runlength(data)
+            elif f in (
+                Name("DCTDecode"),
+                Name("JPXDecode"),
+                Name("CCITTFaxDecode"),
+                Name("JBIG2Decode"),
+            ):
+                raise PdfError(f"image filter {f}")
+            elif f is None:
+                pass
+            else:
+                raise PdfError(f"unknown filter {f}")
+            if isinstance(p, dict):
+                pred = self.resolve(p.get(Name("Predictor"))) or 1
+                if isinstance(pred, int) and pred >= 10:
+                    data = _png_predictor(
+                        data,
+                        int(self.resolve(p.get(Name("Colors"))) or 1),
+                        int(self.resolve(p.get(Name("BitsPerComponent"))) or 8),
+                        int(self.resolve(p.get(Name("Columns"))) or 1),
+                    )
+        self._budget -= len(data)
+        if self._budget < 0:
+            raise PdfError("document decompression budget exceeded")
+        self._decoded[key] = data
+        return data
+
+    # -- page tree ---------------------------------------------------------
+
+    def pages(self) -> list[dict]:
+        """Page dicts in document order with inherited attributes resolved
+        (spec §7.7.3.4: Resources/MediaBox/Rotate inherit down the tree)."""
+        root = self._catalog_pages()
+        out: list[dict] = []
+        if root is not None:
+            self._walk_pages(root, {}, out, set(), 0)
+        if not out:
+            # fallback: any /Type/Page objects, in object-number order
+            for num in sorted(self.objects):
+                obj = self.resolve(self.objects[num])
+                if isinstance(obj, dict) and obj.get(Name("Type")) == Name("Page"):
+                    out.append(obj)
+        if len(out) > MAX_PAGES:
+            raise PdfError("page-count budget exceeded")
+        return out
+
+    def _catalog_pages(self):
+        # last catalog wins (incremental updates append)
+        best = None
+        for num in sorted(self.objects):
+            obj = self.resolve(self.objects[num])
+            if isinstance(obj, dict) and obj.get(Name("Type")) == Name("Catalog"):
+                pages = self.resolve(obj.get(Name("Pages")))
+                if isinstance(pages, dict):
+                    best = pages
+        return best
+
+    _INHERIT = ("Resources", "MediaBox", "Rotate")
+
+    def _walk_pages(self, node, inherited, out, seen, depth) -> None:
+        if depth > 64 or id(node) in seen or len(out) > MAX_PAGES:
+            return
+        seen.add(id(node))
+        if not isinstance(node, dict):
+            return
+        attrs = dict(inherited)
+        for k in self._INHERIT:
+            if Name(k) in node:
+                attrs[Name(k)] = node[Name(k)]
+        if node.get(Name("Type")) == Name("Page"):
+            merged = dict(attrs)
+            merged.update(node)
+            out.append(merged)
+            return
+        for kid in _as_list(self.resolve(node.get(Name("Kids")))):
+            kid = self.resolve(kid)
+            self._walk_pages(kid, attrs, out, seen, depth + 1)
+
+
+# --------------------------------------------------------------------------
+# fonts / text decoding
+
+# Adobe Glyph List subset: everything a /Differences array in ordinary
+# business documents uses. Single-letter names map to themselves below.
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "dagger": "†", "daggerdbl": "‡", "degree": "°",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    "cent": "¢", "sterling": "£", "yen": "¥",
+    "Euro": "€", "section": "§", "paragraph": "¶",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "adieresis": "ä", "eacute": "é", "egrave": "è",
+    "ecircumflex": "ê", "edieresis": "ë", "iacute": "í",
+    "oacute": "ó", "odieresis": "ö", "uacute": "ú",
+    "udieresis": "ü", "ntilde": "ñ", "ccedilla": "ç",
+}
+
+
+def _glyph_to_char(name: str) -> str:
+    if len(name) == 1:
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except ValueError:
+            pass
+    return ""  # unknown glyph → drop (never emit mojibake)
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEX_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]*>\s*)*)\]")
+
+
+def _utf16be(hexs: str) -> str:
+    try:
+        b = bytes.fromhex(hexs)
+        if len(b) % 2:
+            b += b"\x00"
+        return b.decode("utf-16-be", errors="ignore")
+    except ValueError:
+        return ""
+
+
+def parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """§9.10.3 ToUnicode CMap → {code: unicode}. Tolerant regex parse —
+    broken sections are skipped, never fatal."""
+    out: dict[int, str] = {}
+    for sect in _BFCHAR_RE.findall(cmap):
+        toks = re.findall(rb"<([0-9A-Fa-f]*)>", sect)
+        for i in range(0, len(toks) - 1, 2):
+            try:
+                src = int(toks[i], 16)
+            except ValueError:
+                continue
+            out[src] = _utf16be(toks[i + 1].decode("ascii"))
+    for sect in _BFRANGE_RE.findall(cmap):
+        pos = 0
+        while True:
+            m1 = re.compile(rb"<([0-9A-Fa-f]+)>").search(sect, pos)
+            if not m1:
+                break
+            m2 = re.compile(rb"<([0-9A-Fa-f]+)>").search(sect, m1.end())
+            if not m2:
+                break
+            pos = m2.end()
+            try:
+                lo = int(m1.group(1), 16)
+                hi = int(m2.group(1), 16)
+            except ValueError:
+                continue
+            if hi - lo > 65535:
+                continue
+            rest = sect[pos:].lstrip()
+            if rest.startswith(b"["):
+                end = rest.find(b"]")
+                arr = re.findall(rb"<([0-9A-Fa-f]*)>", rest[: end + 1])
+                for j, dest in enumerate(arr):
+                    out[lo + j] = _utf16be(dest.decode("ascii"))
+                pos += len(sect[pos:]) - len(rest) + end + 1
+            else:
+                m3 = re.compile(rb"<([0-9A-Fa-f]+)>").search(sect, pos)
+                if not m3:
+                    break
+                pos = m3.end()
+                base_hex = m3.group(1).decode("ascii")
+                base_str = _utf16be(base_hex)
+                if not base_str:
+                    continue
+                base_cp = ord(base_str[-1])
+                prefix = base_str[:-1]
+                for j in range(hi - lo + 1):
+                    out[lo + j] = prefix + chr(base_cp + j)
+    return out
+
+
+class Font:
+    """Per-font byte→unicode decoder: ToUnicode CMap first, then the
+    /Encoding (+/Differences) map, then cp1252 (≈WinAnsi) fallback."""
+
+    def __init__(self, doc: Document, fdict: dict):
+        self.two_byte = False
+        self.tounicode: dict[int, str] = {}
+        self.encmap: dict[int, str] = {}
+        subtype = doc.resolve(fdict.get(Name("Subtype")))
+        if subtype == Name("Type0"):
+            self.two_byte = True  # Identity-H/V two-byte CIDs (the common case)
+            enc = doc.resolve(fdict.get(Name("Encoding")))
+            if isinstance(enc, Name) and "Identity" not in str(enc):
+                # non-identity CMap encodings (CJK predefined) unsupported;
+                # ToUnicode still applies if present
+                pass
+        tu = doc.resolve(fdict.get(Name("ToUnicode")))
+        if isinstance(tu, Stream):
+            try:
+                self.tounicode = parse_tounicode(doc.stream_bytes(tu))
+            except PdfError:
+                self.tounicode = {}
+        enc = doc.resolve(fdict.get(Name("Encoding")))
+        base = None
+        diffs = None
+        if isinstance(enc, Name):
+            base = str(enc)
+        elif isinstance(enc, dict):
+            b = doc.resolve(enc.get(Name("BaseEncoding")))
+            base = str(b) if isinstance(b, Name) else None
+            diffs = doc.resolve(enc.get(Name("Differences")))
+        codec = {
+            "WinAnsiEncoding": "cp1252",
+            "MacRomanEncoding": "mac_roman",
+            "StandardEncoding": "cp1252",  # close enough for text mining
+            None: "cp1252",
+        }.get(base, "cp1252")
+        if not self.two_byte:
+            for c in range(32, 256):
+                ch = bytes((c,)).decode(codec, errors="ignore")
+                if ch:
+                    self.encmap[c] = ch
+        if isinstance(diffs, list):
+            code = 0
+            for item in diffs:
+                item = doc.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, Name):
+                    ch = _glyph_to_char(str(item))
+                    if ch:
+                        self.encmap[code] = ch
+                    else:
+                        self.encmap.pop(code, None)
+                    code += 1
+
+    def decode(self, bs: bytes) -> str:
+        out = []
+        if self.two_byte:
+            for i in range(0, len(bs) - 1, 2):
+                code = (bs[i] << 8) | bs[i + 1]
+                if code in self.tounicode:
+                    out.append(self.tounicode[code])
+                # no fallback for CIDs without ToUnicode: glyph ids are
+                # meaningless as text — drop rather than emit garbage
+        else:
+            for b in bs:
+                if b in self.tounicode:
+                    out.append(self.tounicode[b])
+                elif b in self.encmap:
+                    out.append(self.encmap[b])
+        return "".join(out)
+
+
+_DEFAULT_FONT: Font | None = None
+
+
+def _default_font() -> Font:
+    global _DEFAULT_FONT
+    if _DEFAULT_FONT is None:
+        f = Font.__new__(Font)
+        f.two_byte = False
+        f.tounicode = {}
+        f.encmap = {
+            c: bytes((c,)).decode("cp1252", errors="ignore") for c in range(32, 256)
+        }
+        f.encmap = {c: ch for c, ch in f.encmap.items() if ch}
+        _DEFAULT_FONT = f
+    return _DEFAULT_FONT
+
+
+# --------------------------------------------------------------------------
+# content-stream interpreter
+
+Matrix = tuple[float, float, float, float, float, float]
+_IDENTITY: Matrix = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1: Matrix, m2: Matrix) -> Matrix:
+    """Compose: apply m1 first, then m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _mat_apply(m: Matrix, x: float, y: float) -> tuple[float, float]:
+    return (m[0] * x + m[2] * y + m[4], m[1] * x + m[3] * y + m[5])
+
+
+@dataclass
+class Run:
+    x: float
+    y: float
+    size: float
+    text: str
+
+
+# a TJ kern more negative than this (thousandths of em) reads as a word gap
+_TJ_WORD_GAP = -180.0
+
+
+def _interpret(
+    doc: Document,
+    content: bytes,
+    resources: dict,
+    runs: list[Run],
+    base_ctm: Matrix,
+    depth: int,
+) -> None:
+    if depth > MAX_FORM_DEPTH:
+        return
+    fonts_raw = doc.resolve(resources.get(Name("Font"))) if resources else None
+    fonts: dict[str, Font] = {}
+    xobjects = doc.resolve(resources.get(Name("XObject"))) if resources else None
+
+    def get_font(name) -> Font:
+        key = str(name)
+        if key not in fonts:
+            fd = doc.resolve(fonts_raw.get(name)) if isinstance(fonts_raw, dict) else None
+            fonts[key] = Font(doc, fd) if isinstance(fd, dict) else _default_font()
+        return fonts[key]
+
+    ctm = base_ctm
+    gs_stack: list[Matrix] = []
+    tm: Matrix = _IDENTITY
+    tlm: Matrix = _IDENTITY
+    font: Font = _default_font()
+    size = 0.0
+    leading = 0.0
+    stack: list = []
+    lex = Lexer(content)
+
+    def emit(raw) -> None:
+        if not isinstance(raw, bytes):
+            return
+        text = font.decode(raw)
+        if not text:
+            return
+        m = _mat_mul(tm, ctm)
+        x, y = m[4], m[5]
+        eff = abs(size) * (m[2] * m[2] + m[3] * m[3]) ** 0.5 or abs(size)
+        runs.append(Run(x, y, eff, text))
+
+    while True:
+        try:
+            lex.skip_ws()
+            if lex.peek() < 0:
+                return
+            obj = lex.parse_object()
+        except PdfError:
+            lex.pos += 1  # resync: skip the offending byte
+            continue
+        if not isinstance(obj, Keyword):
+            stack.append(obj)
+            if len(stack) > 64:
+                del stack[:-16]
+            continue
+        op = bytes(obj)
+        try:
+            if op == b"q":
+                gs_stack.append(ctm)
+            elif op == b"Q":
+                if gs_stack:
+                    ctm = gs_stack.pop()
+            elif op == b"cm" and len(stack) >= 6:
+                m = tuple(float(v) for v in stack[-6:])
+                ctm = _mat_mul(m, ctm)  # type: ignore[arg-type]
+            elif op == b"BT":
+                tm = tlm = _IDENTITY
+            elif op == b"ET":
+                pass
+            elif op == b"Tf" and len(stack) >= 2:
+                size = float(stack[-1])
+                font = get_font(stack[-2])
+            elif op == b"TL" and stack:
+                leading = float(stack[-1])
+            elif op == b"Td" and len(stack) >= 2:
+                tlm = _mat_mul(
+                    (1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm
+                )
+                tm = tlm
+            elif op == b"TD" and len(stack) >= 2:
+                leading = -float(stack[-1])
+                tlm = _mat_mul(
+                    (1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm
+                )
+                tm = tlm
+            elif op == b"Tm" and len(stack) >= 6:
+                tm = tlm = tuple(float(v) for v in stack[-6:])  # type: ignore
+            elif op == b"T*":
+                tlm = _mat_mul((1, 0, 0, 1, 0.0, -leading), tlm)
+                tm = tlm
+            elif op == b"Tj" and stack:
+                emit(stack[-1])
+            elif op == b"'" and stack:
+                tlm = _mat_mul((1, 0, 0, 1, 0.0, -leading), tlm)
+                tm = tlm
+                emit(stack[-1])
+            elif op == b'"' and len(stack) >= 3:
+                tlm = _mat_mul((1, 0, 0, 1, 0.0, -leading), tlm)
+                tm = tlm
+                emit(stack[-1])
+            elif op == b"TJ" and stack and isinstance(stack[-1], list):
+                parts: list[str] = []
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        parts.append(font.decode(el))
+                    elif isinstance(el, (int, float)) and el < _TJ_WORD_GAP:
+                        if parts and not parts[-1].endswith(" "):
+                            parts.append(" ")
+                joined = "".join(parts)
+                if joined:
+                    m = _mat_mul(tm, ctm)
+                    eff = abs(size) * (m[2] * m[2] + m[3] * m[3]) ** 0.5 or abs(
+                        size
+                    )
+                    runs.append(Run(m[4], m[5], eff, joined))
+            elif op == b"Do" and stack:
+                name = stack[-1]
+                xo = (
+                    doc.resolve(xobjects.get(name))
+                    if isinstance(xobjects, dict) and isinstance(name, Name)
+                    else None
+                )
+                if (
+                    isinstance(xo, Stream)
+                    and doc.resolve(xo.dict.get(Name("Subtype"))) == Name("Form")
+                ):
+                    sub_res = doc.resolve(xo.dict.get(Name("Resources"))) or resources
+                    mtx = doc.resolve(xo.dict.get(Name("Matrix")))
+                    sub_ctm = ctm
+                    if isinstance(mtx, list) and len(mtx) == 6:
+                        sub_ctm = _mat_mul(
+                            tuple(float(v) for v in mtx), ctm  # type: ignore
+                        )
+                    try:
+                        _interpret(
+                            doc,
+                            doc.stream_bytes(xo),
+                            sub_res if isinstance(sub_res, dict) else {},
+                            runs,
+                            sub_ctm,
+                            depth + 1,
+                        )
+                    except PdfError:
+                        pass  # a broken form XObject drops, page survives
+            elif op == b"BI":
+                # inline image: binary payload would derail the lexer — skip
+                # to the EI delimiter (whitespace-bounded, spec §8.9.7)
+                m = re.compile(rb"\sEI(?=[\s\x00]|$)").search(
+                    content, lex.pos
+                )
+                lex.pos = m.end() if m else len(content)
+        except (TypeError, ValueError, IndexError):
+            pass  # malformed operand run — skip the operator, keep going
+        stack.clear()
+
+
+# --------------------------------------------------------------------------
+# run → line assembly
+
+_LINE_Y_TOL = 2.5  # points: runs within this vertical distance share a line
+# gap wider than this × size between runs on one baseline reads as a space
+_RUN_GAP_FACTOR = 0.25
+# crude advance estimate (no width tables): average glyph ≈ 0.5 em
+_EST_GLYPH_WIDTH = 0.5
+
+
+def runs_to_lines(runs: list[Run]):
+    """Positioned runs → LayoutLine list: cluster by baseline y, order by x,
+    join with a space when the x-gap implies one. Deterministic: stable
+    sorts, fixed tolerances."""
+    from zerox_spark.extract.layout import LayoutLine
+
+    lines: list[LayoutLine] = []
+    runs = sorted(runs, key=lambda r: (-r.y, r.x))
+    i, n = 0, len(runs)
+    while i < n:
+        j = i + 1
+        while j < n and abs(runs[j].y - runs[i].y) <= _LINE_Y_TOL:
+            j += 1
+        cluster = sorted(runs[i:j], key=lambda r: r.x)
+        text = cluster[0].text
+        for prev, cur in zip(cluster, cluster[1:]):
+            est_end = prev.x + _EST_GLYPH_WIDTH * prev.size * len(prev.text)
+            gap = cur.x - est_end
+            if (
+                gap > _RUN_GAP_FACTOR * max(prev.size, 1.0)
+                and not text.endswith(" ")
+                and not cur.text.startswith(" ")
+            ):
+                text += " "
+            text += cur.text
+        text = text.strip()
+        if text:
+            first = cluster[0]
+            lines.append(
+                LayoutLine(
+                    y=first.y,
+                    x=first.x,
+                    size=round(max(r.size for r in cluster), 2),
+                    kind="",
+                    text=text,
+                )
+            )
+        i = j
+    return lines
+
+
+# --------------------------------------------------------------------------
+# top-level
+
+_DEFAULT_MEDIABOX = [0.0, 0.0, 612.0, 792.0]
+
+
+def parse_real_pdf(payload: bytes):
+    """Real ``%PDF-1.x`` → LayoutPage list (the parse_pdf analog for the
+    born-digital grammar)."""
+    from zerox_spark.extract.layout import LayoutPage
+
+    doc = Document(payload)
+    pages_out = []
+    for idx, page in enumerate(doc.pages(), start=1):
+        mb = doc.resolve(page.get(Name("MediaBox"))) or _DEFAULT_MEDIABOX
+        try:
+            x0, y0, x1, y1 = (float(doc.resolve(v)) for v in mb[:4])
+            width, height = abs(x1 - x0), abs(y1 - y0)
+        except (TypeError, ValueError):
+            width, height = 612.0, 792.0
+        resources = doc.resolve(page.get(Name("Resources")))
+        if not isinstance(resources, dict):
+            resources = {}
+        content = b""
+        for c in _as_list(doc.resolve(page.get(Name("Contents")))):
+            c = doc.resolve(c)
+            if isinstance(c, Stream):
+                try:
+                    content += doc.stream_bytes(c) + b"\n"
+                except PdfError:
+                    continue  # one undecodable stream ≠ dead page
+        runs: list[Run] = []
+        if content:
+            _interpret(doc, content, resources, runs, _IDENTITY, 0)
+        lp = LayoutPage(idx, width or 612.0, height or 792.0, runs_to_lines(runs))
+        pages_out.append(lp)
+    return pages_out
+
+
+def real_pdf_to_pages(payload: bytes):
+    """Full layout pass for born-digital PDFs:
+    payload → [(page_no, markdown, spans)], reusing the shared valley
+    segmentation + classification (layout.segment_page). Pages whose text
+    layer is empty (scanned/image-only pages) yield no output rows; a
+    document with NO text layer at all raises → contained ERROR upstream
+    (the honest outcome: this engine does not OCR pixels)."""
+    from zerox_spark.extract.layout import segment_page
+    from zerox_spark.extract.markdown import join_blocks
+
+    out = []
+    for page in parse_real_pdf(payload):
+        if not page.lines:
+            continue
+        markdown, spans = join_blocks(segment_page(page))
+        if markdown:
+            out.append((page.no, markdown, spans))
+    if not out:
+        raise PdfError("PDF has no extractable text layer")
+    # renumber to a dense 1..n over text-bearing pages so downstream page
+    # arithmetic (select/renumber, \n\n join) sees the standard contract
+    return [(i + 1, md, spans) for i, (_, md, spans) in enumerate(out)]

@@ -36,10 +36,6 @@ MEDIA_META_SCHEMA = T.StructType(
 _MAGIC = [
     (b"%PDF", "pdf"),
     (b"%SHEET", "sheet"),
-    (b"\x89PNG", "png"),
-    (b"\xff\xd8\xff", "jpeg"),
-    (b"GIF8", "gif"),
-    (b"RIFF", "riff"),
     (b"<!DO", "html"),
     (b"<htm", "html"),
 ]
@@ -54,9 +50,19 @@ except ImportError:
 
 
 def sniff_kind(payload: bytes) -> str:
+    """Content-kind sniff: document prefixes first, then the shared
+    binary/media magic table (extract/sniff.py — incl. offset-based
+    ISO-BMFF ``ftyp`` brands, so HEIC/AVIF/MP4 actually route; the C2
+    convertHeicToJpeg analog's named format, file.ts:101-126)."""
     for magic, kind in _MAGIC:
         if payload[: len(magic)] == magic:
             return kind
+    from zerox_spark.extract.sniff import sniff_binary
+
+    riff_legacy = {"wav": "riff", "avi": "riff"}
+    b = sniff_binary(payload)
+    if b is not None:
+        return riff_legacy.get(b, b)
     return "bin"
 
 

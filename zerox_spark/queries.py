@@ -204,6 +204,47 @@ def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("url", "page_no", "status", "content_length")
 
 
+def q_extract_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENUINE born-digital %PDF-1.4 payloads (xref + FlateDecode +
+    WinAnsi/Differences/Type0+ToUnicode fonts, three variants by doc_id%3)
+    through the real PDF parser (extract/pdf.py) — the reference's #1 input
+    type (README.md:489), read from the text layer instead of rasterize+OCR
+    (node-zerox/src/utils/file.ts:153-207)."""
+    from zerox_spark.synth import synth_pdf_real_pages
+
+    pages = synth_pdf_real_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    return ex.select("url", "page_no", "markdown")
+
+
+def q_extract_binary_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary/media payloads (png/jpeg/gif/heic magics + magic-less
+    high-entropy bytes) must yield contained ERROR rows, never SUCCESS
+    mojibake (round-3 What's-wrong #1). ``kind`` is the guard's sniffed
+    reason, extracted from the contained error message."""
+    from zerox_spark.synth import synth_binary_pages
+
+    pages = synth_binary_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(), NUM_BUCKETS)
+    return ex.select(
+        "url",
+        "status",
+        F.regexp_extract("error", r"\((\w+)", 1).alias("kind"),
+        "content_length",
+    )
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_metadata over the binary corpus: offset-based ftyp brands
+    (heic) and prefix magics route to typed media kinds — the C2
+    convertHeicToJpeg analog's sniffing, now firing on its named format."""
+    from zerox_spark.synth import synth_binary_pages
+
+    return media_metadata(synth_binary_pages(spark, sf_dir)).select(
+        "url", "n_bytes", "media_kind"
+    )
+
+
 def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: the ZeroxOutput.summary analog over the whole corpus."""
     return summary(_extracted(spark, sf_dir, maintain_format=True))
@@ -713,6 +754,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_rtf": q_extract_rtf,
     "extract_misc": q_extract_misc,
     "extract_errors": q_extract_errors,
+    "extract_pdf_real": q_extract_pdf_real,
+    "extract_binary_guard": q_extract_binary_guard,
+    "media_sniff": q_media_sniff,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
     "lineage_metrics": q_lineage_metrics,
@@ -1335,6 +1379,52 @@ FROM (SELECT * FROM csv_md UNION ALL SELECT * FROM tsv_md)
 """,
     # poison corpus: the MD CTE restricted to the valid docs, plus one
     # closed-form ERROR row per corrupt doc (doc_id % 3 == 0)
+    # real-PDF contract: the closed-form markdown synth.render_pdf_real's
+    # layout produces through the born-digital parser + valley segmentation
+    # (the second, independent statement of expected_pdf_real_pages)
+    "extract_pdf_real": f"""
+WITH docs AS (
+  SELECT doc_id, text, source, {_URL} AS url FROM documents
+)
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown FROM (
+  SELECT url, 1 AS page_no,
+    '# Document ' || doc_id || {_NL2} || text || {_NL2} ||
+    '<page_number>1</page_number>' AS markdown
+  FROM docs
+  UNION ALL
+  SELECT url, 2 AS page_no,
+    '## Section ' || doc_id || {_NL2} ||
+    array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+    || {_NL2} || '<page_number>2</page_number>' AS markdown
+  FROM docs
+)
+""",
+    # binary-guard contract: every payload kind maps to a contained ERROR
+    # with the guard's sniffed reason and zero content
+    "extract_binary_guard": f"""
+WITH docs AS (
+  SELECT doc_id, source, {_URL} AS url FROM documents
+)
+SELECT url, 'ERROR' AS status,
+  CASE doc_id % 5
+    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+    WHEN 3 THEN 'heic' ELSE 'unprintable' END AS kind,
+  0 AS content_length
+FROM docs
+""",
+    "media_sniff": f"""
+WITH docs AS (
+  SELECT doc_id, source, {_URL} AS url FROM documents
+)
+SELECT url,
+  CAST(CASE doc_id % 5
+    WHEN 0 THEN 264 WHEN 1 THEN 260 WHEN 2 THEN 262
+    WHEN 3 THEN 268 ELSE 258 END AS BIGINT) AS n_bytes,
+  CASE doc_id % 5
+    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+    WHEN 3 THEN 'heic' ELSE 'bin' END AS media_kind
+FROM docs
+""",
     "extract_errors": _MD_CTE.replace(
         "FROM documents", "FROM documents WHERE doc_id % 3 <> 0"
     )

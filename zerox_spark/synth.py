@@ -884,6 +884,221 @@ def render_ppt(doc_id: int, text: str) -> bytes:
     return write_cfb([("PowerPoint Document", doc)])
 
 
+# ---------------------------------------------------------------------------
+# REAL born-digital PDF synthesis (%PDF-1.4, spec-conformant: xref table,
+# FlateDecode streams, WinAnsi + Type0/ToUnicode fonts). Three variants per
+# doc_id % 3 exercise the distinct parser paths in extract/pdf.py, all
+# producing the SAME expected markdown so one closed-form oracle covers all:
+#   0: uncompressed content, Td/T* line motion, literal (…) strings
+#   1: FlateDecode content, TD leading, TJ arrays (kern word-gaps) + hex
+#      strings, an /Encoding dict with /Differences
+#   2: FlateDecode content, Tm positioning, Type0/Identity-H font with
+#      2-byte hex strings decoded through a ToUnicode CMap
+import zlib as _zlib
+
+
+def _pdf_esc(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _pdf_hex_1byte(s: str) -> str:
+    return "<" + s.encode("cp1252", errors="replace").hex() + ">"
+
+
+def _pdf_hex_2byte(s: str) -> str:
+    return "<" + "".join(f"{ord(c):04x}" for c in s) + ">"
+
+
+def _pdf_real_layout(doc_id: int, text: str):
+    """The shared page/line layout: [(page, [(x, y, size, text), ...])].
+    Geometry chosen against layout.py's constants: heading→body gap 40 >
+    VALLEY_GAP(32) splits blocks; 14-pt line step keeps a paragraph one
+    block; footer y=40 < FOOTER_Y(60) + digits → <page_number>."""
+    words = text.split(" ")
+    body1 = [
+        " ".join(words[i : i + PDF_WORDS_PER_LINE])
+        for i in range(0, len(words), PDF_WORDS_PER_LINE)
+    ]
+    sect = words[:SECTION_WORDS]
+    body2 = [" ".join(sect[:5]), " ".join(sect[5:])]
+    body2 = [b for b in body2 if b]
+    pages = []
+    for no, (head, hsize, body) in enumerate(
+        (
+            (f"Document {doc_id}", 20.0, body1),
+            (f"Section {doc_id}", 15.0, body2),
+        ),
+        start=1,
+    ):
+        lines = [(72.0, 720.0, hsize, head)]
+        y = 680.0
+        for ln in body:
+            lines.append((72.0, y, 11.0, ln))
+            y -= 14.0
+        lines.append((306.0, 40.0, 9.0, str(no)))
+        pages.append(lines)
+    return pages
+
+
+def _pdf_content_v0(lines) -> bytes:
+    ops = []
+    for x, y, size, txt in lines:
+        ops.append(
+            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_esc(txt)}) Tj ET"
+        )
+    return "\n".join(ops).encode("cp1252", errors="replace")
+
+
+def _pdf_content_v1(lines) -> bytes:
+    # TJ arrays: words as alternating literal/hex strings with -250 kern
+    # word gaps (no space chars at all — the parser's gap rule supplies
+    # them); TD sets leading for multi-line bodies
+    ops = []
+    for x, y, size, txt in lines:
+        parts = []
+        for i, w in enumerate(txt.split(" ")):
+            if i:
+                parts.append("-250")
+            parts.append(
+                _pdf_hex_1byte(w) if i % 2 else f"({_pdf_esc(w)})"
+            )
+        ops.append(
+            f"BT /F1 {size:g} Tf {x:g} {y:g} TD [{' '.join(parts)}] TJ ET"
+        )
+    return "\n".join(ops).encode("cp1252", errors="replace")
+
+
+def _pdf_content_v2(lines) -> bytes:
+    ops = []
+    for x, y, size, txt in lines:
+        ops.append(
+            f"BT /F1 {size:g} Tf 1 0 0 1 {x:g} {y:g} Tm"
+            f" {_pdf_hex_2byte(txt)} Tj ET"
+        )
+    return "\n".join(ops).encode("ascii")
+
+
+def _tounicode_cmap(chars: set[str]) -> bytes:
+    """Identity ToUnicode CMap (code == codepoint) over the chars used:
+    the printable-ASCII bfrange plus one bfchar per non-ASCII char."""
+    extra = sorted(c for c in chars if ord(c) > 0x7E)
+    bfchars = "\n".join(f"<{ord(c):04x}> <{ord(c):04x}>" for c in extra)
+    body = f"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <ffff>
+endcodespacerange
+1 beginbfrange
+<0020> <007e> <0020>
+endbfrange
+{len(extra)} beginbfchar
+{bfchars}
+endbfchar
+endcmap
+end
+end"""
+    return body.encode("ascii")
+
+
+def render_pdf_real(doc_id: int, text: str) -> bytes:
+    """A genuine, spec-conformant %PDF-1.4 document (2 pages)."""
+    variant = doc_id % 3
+    layout = _pdf_real_layout(doc_id, text)
+    objs: dict[int, bytes] = {}
+    n_pages = len(layout)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    if variant == 2:
+        chars = {c for lines in layout for _, _, _, t in lines for c in t}
+        cmap = _tounicode_cmap(chars)
+        comp = _zlib.compress(cmap)
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID"
+            b" /Encoding /Identity-H /DescendantFonts [8 0 R]"
+            b" /ToUnicode 9 0 R >>"
+        )
+        objs[8] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthCID"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> >>"
+        )
+        objs[9] = (
+            f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+            + comp
+            + b"\nendstream"
+        )
+    elif variant == 1:
+        # /Differences that RESTATE WinAnsi codes (parser must apply them
+        # on top of the base encoding without disturbing the rest)
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [ 65 /A 97 /a 48 /zero ] >> >>"
+        )
+    else:
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+    content_fn = (_pdf_content_v0, _pdf_content_v1, _pdf_content_v2)[variant]
+    for i, lines in enumerate(layout):
+        pnum, cnum = page_nums[i], page_nums[i] + 1
+        objs[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            f" /Resources << /Font << /F1 3 0 R >> >>"
+            f" /Contents {cnum} 0 R >>".encode()
+        )
+        raw = content_fn(lines)
+        if variant:
+            comp = _zlib.compress(raw)
+            objs[cnum] = (
+                f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            objs[cnum] = (
+                f"<< /Length {len(raw)} >>\nstream\n".encode()
+                + raw
+                + b"\nendstream"
+            )
+    # assemble with a correct xref table
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    maxnum = max(objs)
+    xref_pos = len(out)
+    out += f"xref\n0 {maxnum + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, maxnum + 1):
+        if num in offsets:
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        else:
+            out += b"0000000000 65535 f \n"
+    out += (
+        f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def expected_pdf_real_pages(doc_id: int, text: str) -> list[tuple[int, str]]:
+    """Closed-form expected markdown for render_pdf_real — the Python
+    statement of the extract_pdf_real oracle contract."""
+    sect = " ".join(text.split(" ")[:SECTION_WORDS])
+    return [
+        (1, f"# Document {doc_id}\n\n{text}\n\n<page_number>1</page_number>"),
+        (2, f"## Section {doc_id}\n\n{sect}\n\n<page_number>2</page_number>"),
+    ]
+
+
 def _row_taxonomy(doc_id: int, text: str, lang: str, source: str):
     return render_payload(doc_id, text, lang, source), (
         text if is_fast(doc_id) else ""
@@ -934,10 +1149,34 @@ def _row_pres(doc_id: int, text: str, lang: str, source: str):
     ), ""
 
 
+def _row_pdf_real(doc_id: int, text: str, lang: str, source: str):
+    return render_pdf_real(doc_id, text), ""
+
+
 def _row_poison(doc_id: int, text: str, lang: str, source: str):
     if doc_id % 3 == 0:
         return b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64, ""
     return _row_taxonomy(doc_id, text, lang, source)
+
+
+def _row_binary(doc_id: int, text: str, lang: str, source: str):
+    """Binary/media payloads that must NEVER extract as SUCCESS: image
+    magics (png/jpeg/gif), an offset-magic ISO-BMFF heic, and magic-less
+    high-entropy bytes (the printable-ratio guard's case)."""
+    import hashlib as _hl
+
+    filler = _hl.sha256(f"bin{doc_id}".encode()).digest() * 8  # 256 bytes
+    v = doc_id % 5
+    if v == 0:
+        return b"\x89PNG\r\n\x1a\n" + filler, ""
+    if v == 1:
+        return b"\xff\xd8\xff\xe0" + filler, ""
+    if v == 2:
+        return b"GIF89a" + filler, ""
+    if v == 3:
+        return b"\x00\x00\x00\x18ftypheic" + filler, ""
+    # \x01\x02 prefix pins this off every magic in the sniff table
+    return b"\x01\x02" + filler, ""
 
 
 def _pages_from_docs(
@@ -1044,6 +1283,25 @@ def synth_pres_pages(
     (pptx zip+XML for even doc_ids, legacy .ppt CFB for odd) — exercises
     the slide-per-page extraction paths end to end."""
     return _pages_from_docs(spark, sf_dir, _row_pres, num_partitions)
+
+
+def synth_pdf_real_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are GENUINE %PDF-1.4 files
+    (xref, FlateDecode, WinAnsi/Differences/Type0+ToUnicode fonts across
+    doc_id % 3 variants) — exercises the born-digital PDF parser
+    (extract/pdf.py) end to end."""
+    return _pages_from_docs(spark, sf_dir, _row_pdf_real, num_partitions)
+
+
+def synth_binary_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are binary/media bytes
+    (png/jpeg/gif/heic magics + magic-less high-entropy) — the corpus that
+    locks the dispatch's binary guard (round-3 What's-wrong #1)."""
+    return _pages_from_docs(spark, sf_dir, _row_binary, num_partitions)
 
 
 def synth_poison_pages(
