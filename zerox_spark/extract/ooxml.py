@@ -703,15 +703,20 @@ def _ods_grids(
                 val = " ".join(x for x in texts if x)
                 if not val:
                     val = tc.get(f"{_O}value", "")
-                if val == "":
-                    continue  # gap — skipped like the xlsx sparse path
                 col_rep = min(
                     int(tc.get(f"{_TBL}number-columns-repeated", "1") or "1"),
                     _ODS_MAX_REPEAT,
                 )
                 budget.charge(len(val) * col_rep)
                 row_chars += len(val) * col_rep
+                # interior empty cells stay as "" so later columns keep
+                # their position (parity with the xlsx explicit-empty <c>);
+                # the repeat cap also bounds the classic 16384-wide padding
                 vals.extend([val] * col_rep)
+            # ODF pads row ends with empty repeated cells — strip them so a
+            # padded ods row equals the sparse xlsx row of the same grid
+            while vals and vals[-1] == "":
+                vals.pop()
             if vals:
                 budget.charge(row_chars * (row_rep - 1))
                 rows.extend([vals] * row_rep)

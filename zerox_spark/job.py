@@ -44,7 +44,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap.add_argument("--error-mode", choices=["IGNORE", "THROW"], default="IGNORE")
     ap.add_argument("--select-pages", default=None, help="comma-separated 1-indexed page list")
     ap.add_argument("--export-md", default=None, help="also write one .md artifact per document to this dir (the reference's primary sink)")
-    ap.add_argument("--extractor", default=None, help="named extractor strategy (auto|readability|layout|sheets|ooxml|legacy_office) instead of magic-byte auto-routing")
+    from zerox_spark.extract.core import EXTRACTORS
+
+    ap.add_argument(
+        "--extractor",
+        default=None,
+        choices=sorted(EXTRACTORS),
+        help="named extractor strategy instead of magic-byte auto-routing",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument(
         "--streaming",

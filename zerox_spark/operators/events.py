@@ -73,6 +73,12 @@ def asof_join(
     Build columns come back under a ``matched`` struct. ``build`` must be
     unique per (key, build_ts) — equal-ts build duplicates would make the
     carried row frame-order-dependent."""
+    reserved = {"_k", "_ts", "_side", "_r", "matched"}
+    clash = reserved & (set(probe.columns) | set(build.columns))
+    if clash - {key}:
+        raise ValueError(
+            f"asof_join reserved column names in input: {sorted(clash - {key})}"
+        )
     bcols = [c for c in build.columns if c != key]
     b = build.select(
         F.col(key).alias("_k"),

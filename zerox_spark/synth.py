@@ -671,10 +671,14 @@ def render_ods(doc_id: int) -> bytes:
         )
         return f'<table:table table:name="{name}">{trs}</table:table>'
 
+    # every 4th workbook ships as an .ots TEMPLATE (README.md:495-513 lists
+    # ots/ott/otp as first-class input types): same body, template mimetype —
+    # routing is body-element based so pages are identical (oracle unchanged)
+    suffix = "-template" if doc_id % 4 == 0 else ""
     return _odf_doc(
         "spreadsheet",
         sheet("data", data) + sheet("summary", summary),
-        "application/vnd.oasis.opendocument.spreadsheet",
+        "application/vnd.oasis.opendocument.spreadsheet" + suffix,
     )
 
 
@@ -706,8 +710,9 @@ def render_odt(doc_id: int, text: str) -> bytes:
         f'<text:h text:outline-level="2">Section {doc_id}</text:h>'
         f"<text:p>{_xesc(first10)}</text:p>"
     )
+    suffix = "-template" if doc_id % 4 == 1 else ""  # .ott coverage
     return _odf_doc(
-        "text", body, "application/vnd.oasis.opendocument.text"
+        "text", body, "application/vnd.oasis.opendocument.text" + suffix
     )
 
 
@@ -747,9 +752,13 @@ def render_odp(doc_id: int, text: str) -> bytes:
         + page("page2", f"Section {doc_id}", first10)
         + "</office:presentation></office:body></office:document-content>"
     )
+    suffix = "-template" if doc_id % 4 == 0 else ""  # .otp coverage
     return _zip_bytes(
         [
-            ("mimetype", "application/vnd.oasis.opendocument.presentation"),
+            (
+                "mimetype",
+                "application/vnd.oasis.opendocument.presentation" + suffix,
+            ),
             ("content.xml", content),
         ]
     )
