@@ -131,6 +131,7 @@ def main() -> None:
         q_dedup_minhash,
         q_extract_doc_agg,
         q_extract_markdown,
+        q_extract_pdf_real,
         q_quality_score,
         q_token_counts,
     )
@@ -196,6 +197,7 @@ def main() -> None:
     query_list = [
         ("extract_markdown", q_extract_markdown),
         ("extract_doc_agg", q_extract_doc_agg),
+        ("extract_pdf_real", q_extract_pdf_real),
         ("dedup_minhash", q_dedup_minhash),
         ("curation", q_curation),
         ("ann_topk", q_ann_topk),

@@ -184,7 +184,7 @@ endbfchar
 
 
 class TestSynthRoundTrip:
-    @pytest.mark.parametrize("doc_id", [0, 1, 2, 33, 34, 35])
+    @pytest.mark.parametrize("doc_id", [0, 1, 2, 3, 32, 33, 34, 35])
     def test_variant_roundtrip(self, doc_id):
         payload = render_pdf_real(doc_id, TEXT)
         pages = extract_document(payload, None)
@@ -194,7 +194,7 @@ class TestSynthRoundTrip:
 
     def test_special_chars(self):
         text = "paren (x) back\\slash em—dash “q” naïve café w1 w2 w3 w4"
-        for doc_id in (0, 1, 2):
+        for doc_id in (0, 1, 2, 3):
             payload = render_pdf_real(doc_id, text)
             got = [(p.page_no, p.markdown) for p in extract_document(payload, None)]
             assert got == expected_pdf_real_pages(doc_id, text)
@@ -274,6 +274,97 @@ class TestSynthRoundTrip:
         pages = parse_real_pdf(pdf)
         assert len(pages) == 1
         assert pages[0].lines[0].text == "objstm text"
+
+
+# --------------------------------------------------------------------------
+# encryption (standard security handler, RC4, empty user password)
+
+
+def _encrypt_pdf(pdf: bytes, r: int, v: int, length: int) -> bytes:
+    """Independent test-side encryptor (spec Algorithms 1+2) rewriting every
+    stream of a synth PDF, splicing /Encrypt + /ID into the trailer."""
+    import hashlib
+    import re as _re
+
+    from zerox_spark.extract.pdf import _PAD, _rc4
+
+    O = bytes(range(32))
+    P = -44
+    fid = b"\x12\x34" * 8
+    n = max(5, length // 8)
+    h = hashlib.md5()
+    h.update(_PAD)
+    h.update(O)
+    h.update((P & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(fid)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+
+    def obj_key(num: int) -> bytes:
+        d = hashlib.md5(
+            key + (num & 0xFFFFFF).to_bytes(3, "little") + b"\x00\x00"
+        ).digest()
+        return d[: min(len(key) + 5, 16)]
+
+    out = bytearray()
+    pos = 0
+    for m in _re.finditer(rb"(\d+) 0 obj\n(.*?)\nendobj\n", pdf, _re.S):
+        num = int(m.group(1))
+        body = m.group(2)
+        sm = _re.search(rb"stream\n(.*?)\nendstream$", body, _re.S)
+        if sm:
+            enc = _rc4(obj_key(num), sm.group(1))
+            body = body[: sm.start(1)] + enc + body[sm.end(1) :]
+            body = _re.sub(
+                rb"/Length \d+", b"/Length %d" % len(enc), body, count=1
+            )
+        out += pdf[pos : m.start()] + b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        pos = m.end()
+    tail = pdf[pos:].replace(
+        b"trailer\n<< /Size",
+        b"trailer\n<< /Encrypt 90 0 R /ID [<%s> <%s>] /Size"
+        % (fid.hex().encode(), fid.hex().encode()),
+    )
+    encdict = (
+        b"90 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d /O <%s>"
+        b" /P %d >>\nendobj\n" % (v, r, length, O.hex().encode(), P)
+    )
+    return bytes(out) + encdict + tail
+
+
+class TestEncryptedPdf:
+    @pytest.mark.parametrize("r,v,length", [(2, 1, 40), (3, 2, 128)])
+    def test_rc4_empty_user_password_roundtrip(self, r, v, length):
+        pdf = render_pdf_real(1, TEXT)
+        epdf = _encrypt_pdf(pdf, r, v, length)
+        got = [(p.page_no, p.markdown) for p in extract_document(epdf, None)]
+        assert got == expected_pdf_real_pages(1, TEXT)
+
+    def test_aes_clear_contained_error(self):
+        pdf = render_pdf_real(1, TEXT)
+        aes = pdf.replace(
+            b"trailer\n<< /Size",
+            b"trailer\n<< /Encrypt 91 0 R /ID [<00> <00>] /Size",
+        ) + (
+            b"91 0 obj\n<< /Filter /Standard /V 4 /R 4 /O <00> /P -44 >>\n"
+            b"endobj\n"
+        )
+        p = extract_document(aes, None)[0]
+        assert p.status == "ERROR"
+        assert "AES" in (p.error or "")
+
+    def test_unknown_handler_contained(self):
+        pdf = render_pdf_real(0, TEXT)
+        weird = pdf.replace(
+            b"trailer\n<< /Size",
+            b"trailer\n<< /Encrypt 91 0 R /ID [<00> <00>] /Size",
+        ) + (b"91 0 obj\n<< /Filter /Custom /V 1 >>\nendobj\n")
+        p = extract_document(weird, None)[0]
+        assert p.status == "ERROR"
+        assert "security handler" in (p.error or "")
 
 
 # --------------------------------------------------------------------------

@@ -67,11 +67,13 @@ class Name(str):
 
 
 class Stream:
-    __slots__ = ("dict", "raw")
+    __slots__ = ("dict", "raw", "objnum", "gen")
 
     def __init__(self, d: dict, raw: bytes):
         self.dict = d
         self.raw = raw
+        self.objnum = 0  # set by the object scanner (encryption needs it)
+        self.gen = 0
 
 
 _KEYWORD_RE = re.compile(rb"[A-Za-z'\"*]+")
@@ -470,6 +472,83 @@ def _as_list(v):
     return v if isinstance(v, list) else [v]
 
 
+# --------------------------------------------------------------------------
+# encryption (spec §7.6: standard security handler, RC4 /V 1-2 with the
+# empty user password — the ubiquitous "owner-locked" crawl case; AES and
+# /V 4-5 raise a clear contained error instead of emitting garbage)
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+class _StandardCrypt:
+    """File-key derivation (Algorithm 2) + per-object RC4 keys
+    (Algorithm 1), empty user password."""
+
+    def __init__(self, enc: dict, first_id: bytes, resolve):
+        filt = resolve(enc.get(Name("Filter")))
+        if filt != Name("Standard"):
+            raise PdfError(f"unsupported security handler {filt}")
+        v = int(resolve(enc.get(Name("V"))) or 0)
+        r = int(resolve(enc.get(Name("R"))) or 2)
+        if v not in (1, 2):
+            raise PdfError(f"encrypted PDF (V={v} needs AES — unsupported)")
+        length = int(resolve(enc.get(Name("Length"))) or 40)
+        o_entry = resolve(enc.get(Name("O")))
+        p_entry = int(resolve(enc.get(Name("P"))) or -1)
+        if not isinstance(o_entry, bytes):
+            raise PdfError("encrypted PDF missing /O")
+        import hashlib
+
+        n = max(5, length // 8)
+        h = hashlib.md5()
+        h.update(_PAD)  # empty user password, padded
+        h.update(o_entry[:32])
+        h.update((p_entry & 0xFFFFFFFF).to_bytes(4, "little"))
+        h.update(first_id)
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        self.key = key[:n]
+
+    def object_key(self, num: int, gen: int) -> bytes:
+        import hashlib
+
+        h = hashlib.md5(
+            self.key
+            + (num & 0xFFFFFF).to_bytes(3, "little")
+            + (gen & 0xFFFF).to_bytes(2, "little")
+        ).digest()
+        return h[: min(len(self.key) + 5, 16)]
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        return _rc4(self.object_key(num, gen), data)
+
+
 class Document:
     """Parsed PDF: object map + resolver + decoded-stream cache."""
 
@@ -478,7 +557,9 @@ class Document:
         self.objects: dict[int, object] = {}
         self._decoded: dict[int, bytes] = {}
         self._budget = MAX_TOTAL_DECOMPRESSED
+        self.crypt: _StandardCrypt | None = None
         self._scan()
+        self._setup_encryption()  # BEFORE ObjStm (those streams are encrypted)
         self._expand_object_streams()
 
     # -- structure ---------------------------------------------------------
@@ -500,8 +581,44 @@ class Document:
                 obj = lex.parse_object()
             except PdfError:
                 continue
+            if isinstance(obj, Stream):
+                obj.objnum = int(m.group(1))
+                obj.gen = int(m.group(2))
             self.objects[int(m.group(1))] = obj
             next_ok = lex.pos
+
+    def _setup_encryption(self) -> None:
+        """Find /Encrypt via trailer dicts and XRef-stream dicts. RC4 V1/V2
+        with the empty user password decrypts; any other scheme raises a
+        clear PdfError here (→ contained ERROR upstream, never garbage)."""
+        enc = first_id = None
+        for m in re.finditer(rb"trailer", self.data):
+            try:
+                d = Lexer(self.data, m.end()).parse_object()
+            except PdfError:
+                continue
+            if isinstance(d, dict) and Name("Encrypt") in d:
+                enc = self.resolve(d.get(Name("Encrypt")))
+                ids = self.resolve(d.get(Name("ID")))
+                if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+                    first_id = ids[0]
+        if enc is None:
+            for obj in self.objects.values():
+                if (
+                    isinstance(obj, Stream)
+                    and obj.dict.get(Name("Type")) == Name("XRef")
+                    and Name("Encrypt") in obj.dict
+                ):
+                    enc = self.resolve(obj.dict.get(Name("Encrypt")))
+                    ids = self.resolve(obj.dict.get(Name("ID")))
+                    if (
+                        isinstance(ids, list)
+                        and ids
+                        and isinstance(ids[0], bytes)
+                    ):
+                        first_id = ids[0]
+        if isinstance(enc, dict):
+            self.crypt = _StandardCrypt(enc, first_id or b"", self.resolve)
 
     def _expand_object_streams(self) -> None:
         """§7.5.7: objects compressed inside /Type/ObjStm streams."""
@@ -546,6 +663,12 @@ class Document:
         if key in self._decoded:
             return self._decoded[key]
         data = st.raw
+        if (
+            self.crypt is not None
+            and st.objnum
+            and st.dict.get(Name("Type")) != Name("XRef")  # spec: never encrypted
+        ):
+            data = self.crypt.decrypt(st.objnum, st.gen, data)
         filters = [
             self.resolve(f) for f in _as_list(self.resolve(st.dict.get(Name("Filter"))))
         ]
@@ -764,12 +887,19 @@ def parse_tounicode(cmap: bytes) -> dict[int, str]:
 
 class Font:
     """Per-font byte→unicode decoder: ToUnicode CMap first, then the
-    /Encoding (+/Differences) map, then cp1252 (≈WinAnsi) fallback."""
+    /Encoding (+/Differences) map, then cp1252 (≈WinAnsi) fallback.
+    Also carries glyph widths (/Widths, or the descendant /W + /DW for
+    Type0) so the interpreter can track exact text advances — the
+    difference between reading "U N ITED" and "UNITED" out of a
+    letter-spaced embedded font."""
 
     def __init__(self, doc: Document, fdict: dict):
         self.two_byte = False
         self.tounicode: dict[int, str] = {}
         self.encmap: dict[int, str] = {}
+        self.widths: dict[int, float] = {}
+        self.default_width = 500.0
+        self.has_widths = False
         subtype = doc.resolve(fdict.get(Name("Subtype")))
         if subtype == Name("Type0"):
             self.two_byte = True  # Identity-H/V two-byte CIDs (the common case)
@@ -817,6 +947,73 @@ class Font:
                     else:
                         self.encmap.pop(code, None)
                     code += 1
+        self._load_widths(doc, fdict)
+
+    def _load_widths(self, doc: Document, fdict: dict) -> None:
+        if self.two_byte:
+            desc = _as_list(doc.resolve(fdict.get(Name("DescendantFonts"))))
+            d0 = doc.resolve(desc[0]) if desc else None
+            if not isinstance(d0, dict):
+                return
+            dw = doc.resolve(d0.get(Name("DW")))
+            if isinstance(dw, (int, float)):
+                self.default_width = float(dw)
+            else:
+                self.default_width = 1000.0
+            w = doc.resolve(d0.get(Name("W")))
+            if not isinstance(w, list):
+                return
+            # /W format (§9.7.4.3): c [w1 w2 ...]  |  c_first c_last w
+            i = 0
+            while i < len(w):
+                a = doc.resolve(w[i])
+                if not isinstance(a, (int, float)):
+                    break
+                if i + 1 < len(w) and isinstance(doc.resolve(w[i + 1]), list):
+                    for j, wv in enumerate(doc.resolve(w[i + 1])):
+                        wv = doc.resolve(wv)
+                        if isinstance(wv, (int, float)):
+                            self.widths[int(a) + j] = float(wv)
+                    i += 2
+                elif i + 2 < len(w):
+                    b = doc.resolve(w[i + 1])
+                    wv = doc.resolve(w[i + 2])
+                    if isinstance(b, (int, float)) and isinstance(
+                        wv, (int, float)
+                    ):
+                        span = min(int(b) - int(a), 65535)
+                        for c in range(int(a), int(a) + span + 1):
+                            self.widths[c] = float(wv)
+                    i += 3
+                else:
+                    break
+            self.has_widths = True  # /W present (possibly sparse + DW)
+            return
+        first = doc.resolve(fdict.get(Name("FirstChar")))
+        arr = doc.resolve(fdict.get(Name("Widths")))
+        if isinstance(first, (int, float)) and isinstance(arr, list) and arr:
+            for j, wv in enumerate(arr):
+                wv = doc.resolve(wv)
+                if isinstance(wv, (int, float)) and float(wv) > 0:
+                    self.widths[int(first) + j] = float(wv)
+            mw = None
+            fd = doc.resolve(fdict.get(Name("FontDescriptor")))
+            if isinstance(fd, dict):
+                mw = doc.resolve(fd.get(Name("MissingWidth")))
+            self.default_width = (
+                float(mw) if isinstance(mw, (int, float)) else 500.0
+            )
+            self.has_widths = bool(self.widths)
+
+    def width(self, code: int) -> float:
+        return self.widths.get(code, self.default_width)
+
+    def codes(self, bs: bytes):
+        if self.two_byte:
+            return [
+                (bs[i] << 8) | bs[i + 1] for i in range(0, len(bs) - 1, 2)
+            ]
+        return list(bs)
 
     def decode(self, bs: bytes) -> str:
         out = []
@@ -845,6 +1042,9 @@ def _default_font() -> Font:
         f = Font.__new__(Font)
         f.two_byte = False
         f.tounicode = {}
+        f.widths = {}
+        f.default_width = 500.0
+        f.has_widths = False
         f.encmap = {
             c: bytes((c,)).decode("cp1252", errors="ignore") for c in range(32, 256)
         }
@@ -884,6 +1084,9 @@ class Run:
     y: float
     size: float
     text: str
+    # device-space end of the run when the font carries real glyph widths
+    # (advance tracking); None → line assembly estimates instead
+    x_end: float | None = None
 
 
 # a TJ kern more negative than this (thousandths of em) reads as a word gap
@@ -918,19 +1121,41 @@ def _interpret(
     font: Font = _default_font()
     size = 0.0
     leading = 0.0
+    char_spacing = 0.0
+    word_spacing = 0.0
+    hscale = 1.0
     stack: list = []
     lex = Lexer(content)
 
+    def advance_of(raw: bytes) -> float:
+        """Text-space advance of a shown string (§9.4.4) — accurate only
+        when the font declares widths."""
+        total = 0.0
+        for code in font.codes(raw):
+            total += font.width(code) / 1000.0 * size + char_spacing
+            if not font.two_byte and code == 32:
+                total += word_spacing
+        return total * hscale
+
     def emit(raw) -> None:
+        """Show a string at the current position; with real glyph widths,
+        advance the text matrix and record the exact run end."""
+        nonlocal tm
         if not isinstance(raw, bytes):
             return
         text = font.decode(raw)
-        if not text:
-            return
-        m = _mat_mul(tm, ctm)
-        x, y = m[4], m[5]
-        eff = abs(size) * (m[2] * m[2] + m[3] * m[3]) ** 0.5 or abs(size)
-        runs.append(Run(x, y, eff, text))
+        adv = advance_of(raw) if font.has_widths else None
+        if text:
+            m = _mat_mul(tm, ctm)
+            x, y = m[4], m[5]
+            eff = abs(size) * (m[2] * m[2] + m[3] * m[3]) ** 0.5 or abs(size)
+            x_end = None
+            if adv is not None:
+                m2 = _mat_mul(_mat_mul((1, 0, 0, 1, adv, 0.0), tm), ctm)
+                x_end = m2[4]
+            runs.append(Run(x, y, eff, text, x_end))
+        if adv is not None:
+            tm = _mat_mul((1, 0, 0, 1, adv, 0.0), tm)
 
     while True:
         try:
@@ -965,6 +1190,12 @@ def _interpret(
                 font = get_font(stack[-2])
             elif op == b"TL" and stack:
                 leading = float(stack[-1])
+            elif op == b"Tc" and stack:
+                char_spacing = float(stack[-1])
+            elif op == b"Tw" and stack:
+                word_spacing = float(stack[-1])
+            elif op == b"Tz" and stack:
+                hscale = float(stack[-1]) / 100.0
             elif op == b"Td" and len(stack) >= 2:
                 tlm = _mat_mul(
                     (1, 0, 0, 1, float(stack[-2]), float(stack[-1])), tlm
@@ -988,24 +1219,68 @@ def _interpret(
                 tm = tlm
                 emit(stack[-1])
             elif op == b'"' and len(stack) >= 3:
+                word_spacing = float(stack[-3])
+                char_spacing = float(stack[-2])
                 tlm = _mat_mul((1, 0, 0, 1, 0.0, -leading), tlm)
                 tm = tlm
                 emit(stack[-1])
             elif op == b"TJ" and stack and isinstance(stack[-1], list):
-                parts: list[str] = []
-                for el in stack[-1]:
-                    if isinstance(el, bytes):
-                        parts.append(font.decode(el))
-                    elif isinstance(el, (int, float)) and el < _TJ_WORD_GAP:
-                        if parts and not parts[-1].endswith(" "):
-                            parts.append(" ")
-                joined = "".join(parts)
-                if joined:
-                    m = _mat_mul(tm, ctm)
-                    eff = abs(size) * (m[2] * m[2] + m[3] * m[3]) ** 0.5 or abs(
-                        size
-                    )
-                    runs.append(Run(m[4], m[5], eff, joined))
+                if font.has_widths:
+                    # exact mode, one Run per TJ: walk the array with a
+                    # TEXT-SPACE cursor (rotation-invariant), inserting a
+                    # space wherever the cursor gap between shown strings
+                    # exceeds the space threshold — letter-spacing kerns
+                    # stay merged, word gaps become spaces
+                    cursor = 0.0
+                    parts2: list[str] = []
+                    prev_end = None
+                    for el in stack[-1]:
+                        if isinstance(el, bytes):
+                            t = font.decode(el)
+                            if t:
+                                if (
+                                    parts2
+                                    and prev_end is not None
+                                    and cursor - prev_end
+                                    > _EXACT_GAP_FACTOR * max(abs(size), 1.0)
+                                    and not parts2[-1].endswith(" ")
+                                ):
+                                    parts2.append(" ")
+                                parts2.append(t)
+                            cursor += advance_of(el)
+                            prev_end = cursor
+                        elif isinstance(el, (int, float)):
+                            cursor -= float(el) / 1000.0 * size * hscale
+                    joined2 = "".join(parts2)
+                    if joined2:
+                        m = _mat_mul(tm, ctm)
+                        eff = abs(size) * (
+                            m[2] * m[2] + m[3] * m[3]
+                        ) ** 0.5 or abs(size)
+                        m2 = _mat_mul(
+                            _mat_mul((1, 0, 0, 1, cursor, 0.0), tm), ctm
+                        )
+                        runs.append(Run(m[4], m[5], eff, joined2, m2[4]))
+                    tm = _mat_mul((1, 0, 0, 1, cursor, 0.0), tm)
+                else:
+                    # estimate mode (no widths): join in place, inserting a
+                    # space at kern adjustments large enough to be word gaps
+                    parts: list[str] = []
+                    for el in stack[-1]:
+                        if isinstance(el, bytes):
+                            parts.append(font.decode(el))
+                        elif (
+                            isinstance(el, (int, float)) and el < _TJ_WORD_GAP
+                        ):
+                            if parts and not parts[-1].endswith(" "):
+                                parts.append(" ")
+                    joined = "".join(parts)
+                    if joined:
+                        m = _mat_mul(tm, ctm)
+                        eff = abs(size) * (
+                            m[2] * m[2] + m[3] * m[3]
+                        ) ** 0.5 or abs(size)
+                        runs.append(Run(m[4], m[5], eff, joined))
             elif op == b"Do" and stack:
                 name = stack[-1]
                 xo = (
@@ -1053,14 +1328,19 @@ def _interpret(
 _LINE_Y_TOL = 2.5  # points: runs within this vertical distance share a line
 # gap wider than this × size between runs on one baseline reads as a space
 _RUN_GAP_FACTOR = 0.25
+# with EXACT run ends (width tracking) word spaces are narrower than the
+# estimate threshold — a typical space glyph is ~0.25 em, letter-spacing
+# kerns are well under 0.15 em
+_EXACT_GAP_FACTOR = 0.15
 # crude advance estimate (no width tables): average glyph ≈ 0.5 em
 _EST_GLYPH_WIDTH = 0.5
 
 
 def runs_to_lines(runs: list[Run]):
     """Positioned runs → LayoutLine list: cluster by baseline y, order by x,
-    join with a space when the x-gap implies one. Deterministic: stable
-    sorts, fixed tolerances."""
+    join with a space when the x-gap implies one (exact gap when the font
+    declared widths, estimated otherwise). Deterministic: stable sorts,
+    fixed tolerances."""
     from zerox_spark.extract.layout import LayoutLine
 
     lines: list[LayoutLine] = []
@@ -1073,16 +1353,25 @@ def runs_to_lines(runs: list[Run]):
         cluster = sorted(runs[i:j], key=lambda r: r.x)
         text = cluster[0].text
         for prev, cur in zip(cluster, cluster[1:]):
-            est_end = prev.x + _EST_GLYPH_WIDTH * prev.size * len(prev.text)
-            gap = cur.x - est_end
+            if prev.x_end is not None:
+                gap = cur.x - prev.x_end
+                need_space = gap > _EXACT_GAP_FACTOR * max(prev.size, 1.0)
+            else:
+                est_end = (
+                    prev.x + _EST_GLYPH_WIDTH * prev.size * len(prev.text)
+                )
+                gap = cur.x - est_end
+                need_space = gap > _RUN_GAP_FACTOR * max(prev.size, 1.0)
             if (
-                gap > _RUN_GAP_FACTOR * max(prev.size, 1.0)
+                need_space
                 and not text.endswith(" ")
                 and not cur.text.startswith(" ")
             ):
                 text += " "
             text += cur.text
-        text = text.strip()
+        # fonts sometimes map the space glyph to \t or \xa0 in ToUnicode;
+        # a layout line's internal whitespace is presentation, not content
+        text = re.sub(r"\s+", " ", text).strip()
         if text:
             first = cluster[0]
             lines.append(

@@ -206,7 +206,7 @@ def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENUINE born-digital %PDF-1.4 payloads (xref + FlateDecode +
-    WinAnsi/Differences/Type0+ToUnicode fonts, three variants by doc_id%3)
+    WinAnsi/Differences/Type0+ToUnicode/declared-Widths fonts, four variants by doc_id%4)
     through the real PDF parser (extract/pdf.py) — the reference's #1 input
     type (README.md:489), read from the text layer instead of rasterize+OCR
     (node-zerox/src/utils/file.ts:153-207)."""

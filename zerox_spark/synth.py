@@ -895,14 +895,17 @@ def render_ppt(doc_id: int, text: str) -> bytes:
 
 # ---------------------------------------------------------------------------
 # REAL born-digital PDF synthesis (%PDF-1.4, spec-conformant: xref table,
-# FlateDecode streams, WinAnsi + Type0/ToUnicode fonts). Three variants per
-# doc_id % 3 exercise the distinct parser paths in extract/pdf.py, all
+# FlateDecode streams, WinAnsi + Type0/ToUnicode fonts). Four variants per
+# doc_id % 4 exercise the distinct parser paths in extract/pdf.py, all
 # producing the SAME expected markdown so one closed-form oracle covers all:
 #   0: uncompressed content, Td/T* line motion, literal (…) strings
 #   1: FlateDecode content, TD leading, TJ arrays (kern word-gaps) + hex
-#      strings, an /Encoding dict with /Differences
+#      strings, an /Encoding dict with /Differences (estimate-mode spacing)
 #   2: FlateDecode content, Tm positioning, Type0/Identity-H font with
 #      2-byte hex strings decoded through a ToUnicode CMap
+#   3: FlateDecode content, a font WITH /Widths and LETTER-SPACED TJ
+#      arrays (small kerns inside words, wide kerns between words) — the
+#      exact-advance line-assembly path (the "U N ITED → UNITED" case)
 import zlib as _zlib
 
 
@@ -987,6 +990,27 @@ def _pdf_content_v2(lines) -> bytes:
     return "\n".join(ops).encode("ascii")
 
 
+def _pdf_content_v3(lines) -> bytes:
+    # letter-spaced TJ: every word split into single chars with -60 kerns
+    # (0.06 em < the 0.15 em space threshold → merged), words separated by
+    # -700 kerns (0.7 em → space) — decodes correctly ONLY through the
+    # exact-advance path (/Widths present; all glyphs declared 500)
+    ops = []
+    for x, y, size, txt in lines:
+        parts = []
+        for i, w in enumerate(txt.split(" ")):
+            if i:
+                parts.append("-700")
+            for j, ch in enumerate(w):
+                if j:
+                    parts.append("-60")
+                parts.append(f"({_pdf_esc(ch)})")
+        ops.append(
+            f"BT /F1 {size:g} Tf {x:g} {y:g} Td [{' '.join(parts)}] TJ ET"
+        )
+    return "\n".join(ops).encode("cp1252", errors="replace")
+
+
 def _tounicode_cmap(chars: set[str]) -> bytes:
     """Identity ToUnicode CMap (code == codepoint) over the chars used:
     the printable-ASCII bfrange plus one bfchar per non-ASCII char."""
@@ -1012,7 +1036,7 @@ end"""
 
 def render_pdf_real(doc_id: int, text: str) -> bytes:
     """A genuine, spec-conformant %PDF-1.4 document (2 pages)."""
-    variant = doc_id % 3
+    variant = doc_id % 4
     layout = _pdf_real_layout(doc_id, text)
     objs: dict[int, bytes] = {}
     n_pages = len(layout)
@@ -1049,12 +1073,21 @@ def render_pdf_real(doc_id: int, text: str) -> bytes:
             b" /Encoding << /BaseEncoding /WinAnsiEncoding"
             b" /Differences [ 65 /A 97 /a 48 /zero ] >> >>"
         )
+    elif variant == 3:
+        widths = " ".join(["500"] * 224)
+        objs[3] = (
+            b"<< /Type /Font /Subtype /TrueType /BaseFont /SynthMono"
+            b" /Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 255"
+            b" /Widths [" + widths.encode() + b"] >>"
+        )
     else:
         objs[3] = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
             b" /Encoding /WinAnsiEncoding >>"
         )
-    content_fn = (_pdf_content_v0, _pdf_content_v1, _pdf_content_v2)[variant]
+    content_fn = (
+        _pdf_content_v0, _pdf_content_v1, _pdf_content_v2, _pdf_content_v3
+    )[variant]
     for i, lines in enumerate(layout):
         pnum, cnum = page_nums[i], page_nums[i] + 1
         objs[pnum] = (
@@ -1299,7 +1332,7 @@ def synth_pdf_real_pages(
 ) -> DataFrame:
     """documents.parquet → pages whose payloads are GENUINE %PDF-1.4 files
     (xref, FlateDecode, WinAnsi/Differences/Type0+ToUnicode fonts across
-    doc_id % 3 variants) — exercises the born-digital PDF parser
+    doc_id % 4 variants, incl. the letter-spaced /Widths exact-advance one) — exercises the born-digital PDF parser
     (extract/pdf.py) end to end."""
     return _pages_from_docs(spark, sf_dir, _row_pdf_real, num_partitions)
 
