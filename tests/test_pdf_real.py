@@ -277,6 +277,65 @@ class TestSynthRoundTrip:
 
 
 # --------------------------------------------------------------------------
+# /Rotate display orientation
+
+
+def _one_page_pdf(content: str, rotate: int | None = None) -> bytes:
+    rot = f" /Rotate {rotate}" if rotate is not None else ""
+    c = content.encode()
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        + (
+            f"3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            f"{rot} /Resources << /Font << /F1 4 0 R >> >>"
+            f" /Contents 5 0 R >>\nendobj\n"
+        ).encode()
+        + b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>\nendobj\n"
+        + b"5 0 obj\n<< /Length "
+        + str(len(c)).encode()
+        + b" >>\nstream\n"
+        + c
+        + b"\nendstream\nendobj\n"
+    )
+
+
+class TestRotatedPages:
+    def test_rotate_90_reading_order(self):
+        # authored along +y (Tm [0 1 -1 0 ...]); /Rotate 90 displays it
+        # horizontally — lines must come out in display order
+        content = (
+            "BT /F1 12 Tf 0 1 -1 0 72 72 Tm (first line) Tj ET\n"
+            "BT /F1 12 Tf 0 1 -1 0 92 72 Tm (second line) Tj ET"
+        )
+        pages = parse_real_pdf(_one_page_pdf(content, rotate=90))
+        assert pages[0].width == 792.0 and pages[0].height == 612.0
+        texts = [l.text for l in pages[0].lines]
+        assert texts == ["first line", "second line"]
+        ys = [l.y for l in pages[0].lines]
+        assert ys[0] > ys[1]  # display top-down
+
+    def test_rotate_180_reading_order(self):
+        content = (
+            "BT /F1 12 Tf -1 0 0 -1 540 72 Tm (first line) Tj ET\n"
+            "BT /F1 12 Tf -1 0 0 -1 540 92 Tm (second line) Tj ET"
+        )
+        pages = parse_real_pdf(_one_page_pdf(content, rotate=180))
+        assert [l.text for l in pages[0].lines] == [
+            "first line",
+            "second line",
+        ]
+
+    def test_rotate_0_unchanged(self):
+        content = "BT /F1 12 Tf 72 700 Td (plain) Tj ET"
+        pages = parse_real_pdf(_one_page_pdf(content, rotate=360))
+        assert [l.text for l in pages[0].lines] == ["plain"]
+        assert pages[0].width == 612.0
+
+
+# --------------------------------------------------------------------------
 # encryption (standard security handler, RC4, empty user password)
 
 

@@ -1087,6 +1087,7 @@ class Run:
     # device-space end of the run when the font carries real glyph widths
     # (advance tracking); None → line assembly estimates instead
     x_end: float | None = None
+    y_end: float | None = None  # needed to re-rotate the end point (/Rotate)
 
 
 # a TJ kern more negative than this (thousandths of em) reads as a word gap
@@ -1149,11 +1150,11 @@ def _interpret(
             m = _mat_mul(tm, ctm)
             x, y = m[4], m[5]
             eff = abs(size) * (m[2] * m[2] + m[3] * m[3]) ** 0.5 or abs(size)
-            x_end = None
+            x_end = y_end = None
             if adv is not None:
                 m2 = _mat_mul(_mat_mul((1, 0, 0, 1, adv, 0.0), tm), ctm)
-                x_end = m2[4]
-            runs.append(Run(x, y, eff, text, x_end))
+                x_end, y_end = m2[4], m2[5]
+            runs.append(Run(x, y, eff, text, x_end, y_end))
         if adv is not None:
             tm = _mat_mul((1, 0, 0, 1, adv, 0.0), tm)
 
@@ -1260,7 +1261,9 @@ def _interpret(
                         m2 = _mat_mul(
                             _mat_mul((1, 0, 0, 1, cursor, 0.0), tm), ctm
                         )
-                        runs.append(Run(m[4], m[5], eff, joined2, m2[4]))
+                        runs.append(
+                            Run(m[4], m[5], eff, joined2, m2[4], m2[5])
+                        )
                     tm = _mat_mul((1, 0, 0, 1, cursor, 0.0), tm)
                 else:
                     # estimate mode (no widths): join in place, inserting a
@@ -1421,9 +1424,40 @@ def parse_real_pdf(payload: bytes):
         runs: list[Run] = []
         if content:
             _interpret(doc, content, resources, runs, _IDENTITY, 0)
+        rotate = doc.resolve(page.get(Name("Rotate")))
+        rotate = int(rotate) % 360 if isinstance(rotate, (int, float)) else 0
+        if rotate in (90, 180, 270) and runs:
+            runs = _apply_rotation(runs, rotate, width or 612.0, height or 792.0)
+            if rotate in (90, 270):
+                width, height = height, width
         lp = LayoutPage(idx, width or 612.0, height or 792.0, runs_to_lines(runs))
         pages_out.append(lp)
     return pages_out
+
+
+def _apply_rotation(
+    runs: list[Run], rotate: int, w: float, h: float
+) -> list[Run]:
+    """Map run coordinates into the DISPLAYED orientation (/Rotate, spec
+    §14.8.4): content authored with a rotated text matrix + a page /Rotate
+    reads horizontally again after the display rotation, so reading-order
+    sorting and line clustering work unchanged."""
+
+    def xf(x: float, y: float) -> tuple[float, float]:
+        if rotate == 90:  # page displayed rotated 90° clockwise
+            return (y, w - x)
+        if rotate == 180:
+            return (w - x, h - y)
+        return (h - y, x)  # 270
+
+    out = []
+    for r in runs:
+        x, y = xf(r.x, r.y)
+        x_end = None
+        if r.x_end is not None and r.y_end is not None:
+            x_end, _ = xf(r.x_end, r.y_end)
+        out.append(Run(x, y, r.size, r.text, x_end))
+    return out
 
 
 def real_pdf_to_pages(payload: bytes):
