@@ -1094,6 +1094,28 @@ class Run:
 _TJ_WORD_GAP = -180.0
 
 
+# fast content-stream tokenizer: content streams contain no indirect refs
+# and no nested streams, so the full COS parser (with its per-number
+# R-lookahead) is pure overhead there — a 146 KB text-heavy 10-Q dropped
+# from ~1.6 s to a fraction under this scanner. '<<' must precede the hex
+# alternative; '(' falls out to the stateful literal-string parser.
+_CS_TOKEN = re.compile(
+    rb"[\x00\t\n\x0c\r ]+"
+    rb"|(?P<num>[+-]?(?:\d+\.?\d*|\.\d+))"
+    rb"|(?P<op>[A-Za-z'\"*]{1,32})"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<lb>\[)"
+    rb"|(?P<rb>\])"
+    rb"|(?P<dopen><<)"
+    rb"|(?P<dclose>>>)"
+    rb"|(?P<hex><[^>]*>?)"
+    rb"|%[^\r\n]*"
+    rb"|(?P<lp>\()"
+    rb"|.",
+    re.S,
+)
+
+
 def _interpret(
     doc: Document,
     content: bytes,
@@ -1126,7 +1148,6 @@ def _interpret(
     word_spacing = 0.0
     hscale = 1.0
     stack: list = []
-    lex = Lexer(content)
 
     def advance_of(raw: bytes) -> float:
         """Text-space advance of a shown string (§9.4.4) — accurate only
@@ -1158,21 +1179,63 @@ def _interpret(
         if adv is not None:
             tm = _mat_mul((1, 0, 0, 1, adv, 0.0), tm)
 
-    while True:
-        try:
-            lex.skip_ws()
-            if lex.peek() < 0:
-                return
-            obj = lex.parse_object()
-        except PdfError:
-            lex.pos += 1  # resync: skip the offending byte
-            continue
-        if not isinstance(obj, Keyword):
-            stack.append(obj)
+    pos, n = 0, len(content)
+    arr_stack: list[list] = []
+
+    def push(v) -> None:
+        if arr_stack:
+            arr_stack[-1].append(v)
+        else:
+            stack.append(v)
             if len(stack) > 64:
                 del stack[:-16]
+
+    while pos < n:
+        mt = _CS_TOKEN.match(content, pos)
+        pos = mt.end()
+        kind = mt.lastgroup
+        if kind is None:
+            continue  # whitespace / comment / junk byte
+        if kind == "num":
+            push(float(mt.group()))
             continue
-        op = bytes(obj)
+        if kind == "name":
+            push(Name(mt.group()[1:].decode("latin-1")))
+            continue
+        if kind == "lp":
+            slex = Lexer(content, mt.start())
+            push(slex._parse_literal_string())
+            pos = slex.pos
+            continue
+        if kind == "hex":
+            h = re.sub(rb"[^0-9A-Fa-f]", b"", mt.group())
+            if len(h) % 2:
+                h += b"0"
+            try:
+                push(bytes.fromhex(h.decode("ascii")))
+            except ValueError:
+                push(b"")
+            continue
+        if kind == "lb":
+            arr_stack.append([])
+            continue
+        if kind == "rb":
+            arr = arr_stack.pop() if arr_stack else []
+            push(arr)
+            continue
+        if kind == "dopen":
+            dlex = Lexer(content, mt.start())
+            try:
+                push(dlex.parse_object())
+                pos = dlex.pos
+            except PdfError:
+                pass
+            continue
+        if kind == "dclose":
+            continue  # stray — tolerate
+        op = mt.group()
+        if arr_stack:
+            continue  # keyword inside an array is junk
         try:
             if op == b"q":
                 gs_stack.append(ctm)
@@ -1314,12 +1377,13 @@ def _interpret(
                     except PdfError:
                         pass  # a broken form XObject drops, page survives
             elif op == b"BI":
-                # inline image: binary payload would derail the lexer — skip
-                # to the EI delimiter (whitespace-bounded, spec §8.9.7)
-                m = re.compile(rb"\sEI(?=[\s\x00]|$)").search(
-                    content, lex.pos
-                )
-                lex.pos = m.end() if m else len(content)
+                # inline image: binary payload would derail the scanner —
+                # skip to the EI delimiter (whitespace-bounded, spec §8.9.7)
+                m = re.compile(rb"\sEI(?=[\s\x00]|$)").search(content, pos)
+                pos = m.end() if m else n
+            elif op in (b"true", b"false", b"null"):
+                push(op == b"true" if op != b"null" else None)
+                continue
         except (TypeError, ValueError, IndexError):
             pass  # malformed operand run — skip the operator, keep going
         stack.clear()
