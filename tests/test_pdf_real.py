@@ -1,7 +1,7 @@
 """Born-digital PDF parser (extract/pdf.py) + binary-guard tests.
 
 Covers: COS lexer edge cases, stream filters, ToUnicode CMaps, the synth
-round-trip contract for all three variants, the reference-corpus keyword
+round-trip contract for all four variants, the reference-corpus keyword
 floors (node-zerox's own inputs + test.json — the standing gate VERDICT r3
 asked for), and the dispatch binary/media guard (round-3 What's-wrong #1).
 """
