@@ -471,6 +471,80 @@ class TestReferenceCorpus:
 
 
 # --------------------------------------------------------------------------
+# fuzz: the parser must be TOTAL on mangled real PDFs (the 10^12-row
+# robustness contract — same standard the WARC parser carries)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+class TestPdfFuzz:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(0, 7),
+        st.lists(
+            st.tuples(st.integers(0, 4000), st.binary(min_size=1, max_size=8)),
+            max_size=6,
+        ),
+    )
+    def test_mutated_synth_pdf_contained(self, doc_id, mutations):
+        """Random byte splices into a real PDF: extraction either succeeds
+        (parser routed around the damage) or returns contained ERROR pages —
+        never raises, never hangs."""
+        payload = bytearray(render_pdf_real(doc_id, TEXT))
+        for pos, chunk in mutations:
+            pos %= max(1, len(payload))
+            payload[pos : pos + len(chunk)] = chunk
+        pages = extract_document(bytes(payload), None)
+        assert pages
+        for p in pages:
+            assert p.status in ("SUCCESS", "ERROR")
+            assert p.content_length == len(p.markdown)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(10, 2000), st.integers(0, 7))
+    def test_truncations_contained(self, cut, doc_id):
+        payload = render_pdf_real(doc_id, TEXT)[: cut % 2000 + 10]
+        pages = extract_document(payload, None)
+        for p in pages:
+            assert p.status in ("SUCCESS", "ERROR")
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=600))
+    def test_pdf_magic_plus_garbage_contained(self, junk):
+        pages = extract_document(b"%PDF-1.4\n" + junk, None)
+        for p in pages:
+            assert p.status in ("SUCCESS", "ERROR")
+
+    def test_deflate_bomb_bounded(self):
+        # 1 GB of zeros deflates to ~1 MB; the stream budget must stop it
+        bomb = zlib.compress(b"\x00" * (96 * 1024 * 1024), 9)
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            b"4 0 obj\n<< /Length "
+            + str(len(bomb)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n"
+            + bomb
+            + b"\nendstream\nendobj\n"
+        )
+        p = extract_document(pdf, None)[0]
+        assert p.status == "ERROR"
+
+    def test_object_loop_bounded(self):
+        # Pages tree that references itself — the cycle guard must hold
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n"
+        )
+        p = extract_document(pdf, None)[0]
+        assert p.status == "ERROR"
+
+
+# --------------------------------------------------------------------------
 # binary guard + sniffing
 
 
