@@ -169,3 +169,40 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_decontaminate_broadcast_and_filter_first(spark):
+    """The benchmark gram match must be a broadcast join, and the corpus
+    side must NOT shuffle its exploded grams before the match (the
+    filter-first property that keeps the crawl side map-side at 100 TB)."""
+    from zerox_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "w%d the quick brown fox jumps over the lazy dog" % i)
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    out = decontaminate(docs, bench)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # correctness: every doc shares the 8-gram "the quick brown fox jumps
+    # over the lazy dog"-suffix with the benchmark slice
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(rows[i]["contaminated"] == 1 for i in range(20))
+
+
+def test_decontaminate_short_docs_pass(spark):
+    from zerox_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "too short to have grams"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
+    assert rows[1]["contaminated"] == 0 and rows[1]["n_hits"] == 0
+    assert rows[2]["contaminated"] == 1 and rows[2]["n_hits"] == 3

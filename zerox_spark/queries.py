@@ -245,6 +245,18 @@ def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-data hygiene): flag corpus docs
+    sharing any 8-word n-gram with a benchmark set (here: the doc_id%41==0
+    slice standing in for an eval set). Broadcast semi-join on the small
+    benchmark gram table — the crawl side never shuffles for the match."""
+    from zerox_spark.operators.decontam import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter((F.col("doc_id") % 41) == 0)
+    return decontaminate(docs, bench)
+
+
 def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: the ZeroxOutput.summary analog over the whole corpus."""
     return summary(_extracted(spark, sf_dir, maintain_format=True))
@@ -767,6 +779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_pdf_real": q_extract_pdf_real,
     "extract_binary_guard": q_extract_binary_guard,
     "media_sniff": q_media_sniff,
+    "decontaminate": q_decontaminate,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
     "lineage_metrics": q_lineage_metrics,
@@ -1434,6 +1447,31 @@ SELECT url,
     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
     WHEN 3 THEN 'heic' ELSE 'bin' END AS media_kind
 FROM docs
+""",
+    # decontamination restated: same tokenization (lower + single-space
+    # split), same 8-gram windows, distinct-per-doc semantics
+    "decontaminate": """
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 8 THEN
+      list_transform(range(1, len(w) - 6),
+                     i -> array_to_string(list_slice(w, i, i + 7), ' '))
+    ELSE []::VARCHAR[] END) AS gram
+  FROM words
+),
+dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 41 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM dg JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
 """,
     "extract_errors": _MD_CTE.replace(
         "FROM documents", "FROM documents WHERE doc_id % 3 <> 0"
