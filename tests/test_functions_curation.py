@@ -249,3 +249,51 @@ def test_embedding_max_bucket_knob(spark):
         ).collect()
     }
     assert capped == {(1, 2)}
+
+
+class TestUrlTools:
+    def test_canonicalize_rules(self, spark):
+        from zerox_spark.operators.urltools import canonical_urls
+
+        rows = [
+            ("HTTP://Site1.Example:80/a/b/?utm_source=x&z=2&a=1#frag",),
+            ("https://site1.example/a/b?a=1&z=2",),
+            ("https://site3.example",),
+            ("https://site3.example/?fbclid=abc&gclid=1",),
+            ("https://site4.example:8080/keep/port",),
+        ]
+        out = {
+            r["url"]: (r["canonical_url"], r["domain"])
+            for r in canonical_urls(
+                spark.createDataFrame(rows, "url string")
+            ).collect()
+        }
+        assert out[rows[0][0]] == (
+            "http://site1.example/a/b?a=1&z=2", "site1.example",
+        )
+        # two spellings of the same page collapse
+        assert out[rows[0][0]][0].split("?")[1] == "a=1&z=2"
+        assert out[rows[1][0]][0] == "https://site1.example/a/b?a=1&z=2"
+        assert out[rows[2][0]][0] == "https://site3.example/"
+        assert out[rows[3][0]][0] == "https://site3.example/"
+        # non-default port survives (identity-bearing)
+        assert out[rows[4][0]][0] == "https://site4.example:8080/keep/port"
+
+    def test_domain_stats_collapses_spellings(self, spark):
+        from zerox_spark.operators.urltools import domain_stats
+
+        rows = [
+            ("https://a.example/x",),
+            ("https://a.example/x/",),
+            ("https://a.example/x#top",),
+            ("https://b.example/y?utm_source=z",),
+            ("https://b.example/y",),
+        ]
+        out = {
+            r["domain"]: (r["n_pages"], r["n_canonical"])
+            for r in domain_stats(
+                spark.createDataFrame(rows, "url string")
+            ).collect()
+        }
+        assert out["a.example"] == (3, 1)
+        assert out["b.example"] == (2, 1)

@@ -257,6 +257,64 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench)
 
 
+def _noisy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically-decorated spellings of each doc's url: tracking
+    params + fragment (doc_id%4==0), explicit default port (==1), trailing
+    slash (==2), clean (==3)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    d = F.col("doc_id")
+    base = F.concat(
+        F.lit("https://site"), (d % 97).cast("string"), F.lit(".example/"),
+        F.col("source"), F.lit("/"), d.cast("string"),
+    )
+    ported = F.concat(
+        F.lit("https://site"), (d % 97).cast("string"), F.lit(".example:443/"),
+        F.col("source"), F.lit("/"), d.cast("string"),
+    )
+    noisy = (
+        F.when(d % 4 == 0, F.concat(
+            base, F.lit("?utm_source=feed&b=2&a="), (d % 7).cast("string"),
+            F.lit("#sec"),
+        ))
+        .when(d % 4 == 1, ported)
+        .when(d % 4 == 2, F.concat(base, F.lit("/")))
+        .otherwise(base)
+    )
+    return docs.select("doc_id", noisy.alias("url"))
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl hygiene): tracking params stripped +
+    remaining params sorted, fragments dropped, default ports removed,
+    trailing slashes trimmed — pure JVM column algebra
+    (operators/urltools.py), oracle states the closed form per doc_id."""
+    from zerox_spark.operators.urltools import canonical_urls
+
+    return canonical_urls(_noisy_urls(spark, sf_dir)).select(
+        "doc_id", "canonical_url", "domain"
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain accounting over TWO spellings of every url (noisy + clean):
+    n_pages counts both, n_canonical collapses them — the measurable
+    effect of canonicalization on url-keyed dedup."""
+    from zerox_spark.operators.urltools import domain_stats
+
+    noisy = _noisy_urls(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    d = F.col("doc_id")
+    clean = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (d % 97).cast("string"),
+            F.lit(".example/"), F.col("source"), F.lit("/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    return domain_stats(noisy.unionByName(clean))
+
+
 def q_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A4: the ZeroxOutput.summary analog over the whole corpus."""
     return summary(_extracted(spark, sf_dir, maintain_format=True))
@@ -780,6 +838,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_binary_guard": q_extract_binary_guard,
     "media_sniff": q_media_sniff,
     "decontaminate": q_decontaminate,
+    "url_canonical": q_url_canonical,
+    "domain_stats": q_domain_stats,
     "extract_summary": q_extract_summary,
     "keyword_hits": q_keyword_hits,
     "lineage_metrics": q_lineage_metrics,
@@ -1472,6 +1532,33 @@ SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits,
        CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INTEGER)
          AS contaminated
 FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+    # url canonicalization: the closed-form canonical spelling per doc_id
+    # (tracking stripped + params sorted, port stripped, slash trimmed)
+    "url_canonical": f"""
+WITH docs AS (
+  SELECT doc_id, source,
+    'https://site' || (doc_id % 97) || '.example/' || source || '/' || doc_id
+      AS base
+  FROM documents
+)
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN base || '?a=' || (doc_id % 7) || '&b=2'
+    ELSE base END AS canonical_url,
+  'site' || (doc_id % 97) || '.example' AS domain
+FROM docs
+""",
+    # domain accounting over two spellings per url: n_pages double-counts,
+    # n_canonical collapses — stated directly from the doc_id distribution
+    "domain_stats": """
+SELECT 'site' || (doc_id % 97) || '.example' AS domain,
+       CAST(2 * count(*) AS BIGINT) AS n_pages,
+       -- %4==0 keeps real params (?a=N&b=2) → does NOT collapse with the
+       -- clean spelling; every other variant does
+       CAST(count(*) + sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_canonical
+FROM documents GROUP BY doc_id % 97
 """,
     "extract_errors": _MD_CTE.replace(
         "FROM documents", "FROM documents WHERE doc_id % 3 <> 0"
