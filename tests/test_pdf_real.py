@@ -339,7 +339,9 @@ class TestRotatedPages:
 # encryption (standard security handler, RC4, empty user password)
 
 
-def _encrypt_pdf(pdf: bytes, r: int, v: int, length: int) -> bytes:
+def _encrypt_pdf(
+    pdf: bytes, r: int, v: int, length: int, wrong_password: bool = False
+) -> bytes:
     """Independent test-side encryptor (spec Algorithms 1+2) rewriting every
     stream of a synth PDF, splicing /Encrypt + /ID into the trailer."""
     import hashlib
@@ -368,6 +370,18 @@ def _encrypt_pdf(pdf: bytes, r: int, v: int, length: int) -> bytes:
         ).digest()
         return d[: min(len(key) + 5, 16)]
 
+    # correct /U (Algorithm 4 for R2, Algorithm 5 for R>=3) so the
+    # parser's empty-password /U check accepts the file; pass a wrong
+    # key via u_override to simulate a real user password
+    if r == 2:
+        U = _rc4(key, _PAD)
+    else:
+        h5 = hashlib.md5(_PAD + fid).digest()
+        u = _rc4(key, h5)
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        U = u + b"\x00" * 16
+
     out = bytearray()
     pos = 0
     for m in _re.finditer(rb"(\d+) 0 obj\n(.*?)\nendobj\n", pdf, _re.S):
@@ -387,9 +401,12 @@ def _encrypt_pdf(pdf: bytes, r: int, v: int, length: int) -> bytes:
         b"trailer\n<< /Encrypt 90 0 R /ID [<%s> <%s>] /Size"
         % (fid.hex().encode(), fid.hex().encode()),
     )
+    if wrong_password:
+        U = bytes(32)
     encdict = (
         b"90 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d /O <%s>"
-        b" /P %d >>\nendobj\n" % (v, r, length, O.hex().encode(), P)
+        b" /U <%s> /P %d >>\nendobj\n"
+        % (v, r, length, O.hex().encode(), U[:32].hex().encode(), P)
     )
     return bytes(out) + encdict + tail
 
@@ -401,6 +418,14 @@ class TestEncryptedPdf:
         epdf = _encrypt_pdf(pdf, r, v, length)
         got = [(p.page_no, p.markdown) for p in extract_document(epdf, None)]
         assert got == expected_pdf_real_pages(1, TEXT)
+
+    @pytest.mark.parametrize("r,v,length", [(2, 1, 40), (3, 2, 128)])
+    def test_user_password_rejected_cleanly(self, r, v, length):
+        pdf = render_pdf_real(1, TEXT)
+        epdf = _encrypt_pdf(pdf, r, v, length, wrong_password=True)
+        p = extract_document(epdf, None)[0]
+        assert p.status == "ERROR"
+        assert "user password" in (p.error or "")
 
     def test_aes_clear_contained_error(self):
         pdf = render_pdf_real(1, TEXT)

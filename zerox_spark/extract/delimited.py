@@ -39,7 +39,6 @@ _SNIFF_LINES = 20
 # chars in its first rows — binary whose bytes happen to contain commas
 # must not qualify (round-3 What's-wrong #1: a JPEG sniffed as csv)
 _UNTEXTY = re.compile("[\x00-\x08\x0b-\x1f\x7f�]")
-_MAX_CELL = 500
 
 
 def sniff_delimiter(src: str) -> str | None:
@@ -67,9 +66,10 @@ def sniff_delimiter(src: str) -> str | None:
             len(counts) >= min_lines
             and counts[0] >= min_fields
             and all(c == counts[0] for c in counts)
-            and all(len(c) <= _MAX_CELL for row in rows for c in row)
             # a real table's header/cells are word-like: require every
             # probe row to carry at least one alphanumeric character
+            # (no cell-LENGTH cap: legit CSVs carry long free-text cells;
+            # binary is already excluded by _UNTEXTY + the upstream guards)
             and all(any(ch.isalnum() for ch in "".join(row)) for row in rows)
         ):
             return delim

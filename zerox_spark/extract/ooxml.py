@@ -667,9 +667,10 @@ def odt_to_pages(
 _O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
 
 # ODS repeat attributes are attacker-controlled (the classic LibreOffice
-# trailing-filler cell claims 16383 columns); non-empty repeats are clamped
-# and budget-charged, empty repeats are dropped outright (the xlsx path
-# skips gaps the same way — sparse forEach, file.ts:250-257)
+# trailing-filler cell claims 16383 columns); ALL repeats — empty included —
+# are clamped and budget-charged (an empty cell still costs a list ref and
+# an emitted <th></th>); interior empties keep their column position, runs
+# of trailing empties are stripped after the row closes
 _ODS_MAX_REPEAT = 1024
 
 
@@ -707,8 +708,11 @@ def _ods_grids(
                     int(tc.get(f"{_TBL}number-columns-repeated", "1") or "1"),
                     _ODS_MAX_REPEAT,
                 )
-                budget.charge(len(val) * col_rep)
-                row_chars += len(val) * col_rep
+                # empty cells charge their repeat too (each is a list ref +
+                # a downstream <th></th>): a sheet of repeated-empty runs
+                # must hit the budget BEFORE materializing, not after
+                budget.charge(max(len(val), 1) * col_rep)
+                row_chars += max(len(val), 1) * col_rep
                 # interior empty cells stay as "" so later columns keep
                 # their position (parity with the xlsx explicit-empty <c>);
                 # the repeat cap also bounds the classic 16384-wide padding

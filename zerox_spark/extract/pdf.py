@@ -334,23 +334,41 @@ class Keyword(bytes):
 # filters
 
 
+def _inflate_bounded(d, data: bytes) -> bytes:
+    """Incremental inflate that raises the MOMENT output passes the budget
+    — a 10 MB bomb expanding to 10 GB must die at 64 MB of output, not
+    after full materialization (zlib.decompress has no output cap; a
+    decompressobj's max_length only bounds one call, and flush() is again
+    unbounded)."""
+    out = []
+    total = 0
+    chunk = d.decompress(data, 1 << 20)
+    while True:
+        total += len(chunk)
+        if total > MAX_STREAM_BYTES:
+            raise PdfError("stream decompression budget exceeded")
+        out.append(chunk)
+        if not d.unconsumed_tail:
+            break
+        chunk = d.decompress(d.unconsumed_tail, 1 << 20)
+        if not chunk and d.unconsumed_tail:
+            break  # no progress — corrupt tail
+    tail = d.flush(1 << 20)
+    if total + len(tail) > MAX_STREAM_BYTES:
+        raise PdfError("stream decompression budget exceeded")
+    out.append(tail)
+    return b"".join(out)
+
+
 def _flate(data: bytes) -> bytes:
     try:
-        out = zlib.decompress(data, bufsize=64 * 1024)
+        return _inflate_bounded(zlib.decompressobj(), data)
     except zlib.error:
-        d = zlib.decompressobj()
+        # raw deflate (missing zlib header) — seen in the wild
         try:
-            out = d.decompress(data, MAX_STREAM_BYTES) + d.flush()
-        except zlib.error:
-            # raw deflate (missing zlib header) — seen in the wild
-            d = zlib.decompressobj(-15)
-            try:
-                out = d.decompress(data, MAX_STREAM_BYTES) + d.flush()
-            except zlib.error as exc:
-                raise PdfError(f"flate: {exc}") from exc
-    if len(out) > MAX_STREAM_BYTES:
-        raise PdfError("stream decompression budget exceeded")
-    return out
+            return _inflate_bounded(zlib.decompressobj(-15), data)
+        except zlib.error as exc:
+            raise PdfError(f"flate: {exc}") from exc
 
 
 def _ascii_hex(data: bytes) -> bytes:
@@ -534,6 +552,26 @@ class _StandardCrypt:
             for _ in range(50):
                 key = hashlib.md5(key[:n]).digest()
         self.key = key[:n]
+        # Algorithm 6: prove the empty-password assumption against /U —
+        # without this, a user-password-protected PDF would RC4 every
+        # stream with the WRONG key into pseudorandom bytes (garbage, the
+        # exact outcome this handler promises never to emit)
+        u_entry = resolve(enc.get(Name("U")))
+        if isinstance(u_entry, bytes) and len(u_entry) >= 16:
+            if r == 2:
+                expect = _rc4(self.key, _PAD)
+                ok = u_entry[:32] == expect[:32]
+            else:
+                h2 = hashlib.md5(_PAD + first_id).digest()
+                u = _rc4(self.key, h2)
+                for i in range(1, 20):
+                    u = _rc4(bytes(b ^ i for b in self.key), u)
+                ok = u_entry[:16] == u
+            if not ok:
+                raise PdfError(
+                    "encrypted PDF (user password required — empty "
+                    "password rejected by /U check)"
+                )
 
     def object_key(self, num: int, gen: int) -> bytes:
         import hashlib
@@ -556,6 +594,7 @@ class Document:
         self.data = data
         self.objects: dict[int, object] = {}
         self._decoded: dict[int, bytes] = {}
+        self._fonts: dict[int, "Font"] = {}  # keyed by id(font dict)
         self._budget = MAX_TOTAL_DECOMPRESSED
         self.crypt: _StandardCrypt | None = None
         self._scan()
@@ -1127,15 +1166,21 @@ def _interpret(
     if depth > MAX_FORM_DEPTH:
         return
     fonts_raw = doc.resolve(resources.get(Name("Font"))) if resources else None
-    fonts: dict[str, Font] = {}
     xobjects = doc.resolve(resources.get(Name("XObject"))) if resources else None
 
     def get_font(name) -> Font:
-        key = str(name)
-        if key not in fonts:
-            fd = doc.resolve(fonts_raw.get(name)) if isinstance(fonts_raw, dict) else None
-            fonts[key] = Font(doc, fd) if isinstance(fd, dict) else _default_font()
-        return fonts[key]
+        # cache on the DOCUMENT keyed by the resolved font dict: a 1000-page
+        # doc sharing one /F1 parses its ToUnicode CMap and /W table once,
+        # not once per page/form (the same policy stream_bytes uses)
+        fd = doc.resolve(fonts_raw.get(name)) if isinstance(fonts_raw, dict) else None
+        if not isinstance(fd, dict):
+            return _default_font()
+        key = id(fd)
+        font = doc._fonts.get(key)
+        if font is None:
+            font = Font(doc, fd)
+            doc._fonts[key] = font
+        return font
 
     ctm = base_ctm
     gs_stack: list[Matrix] = []

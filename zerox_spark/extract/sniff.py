@@ -76,10 +76,16 @@ def sniff_binary(payload: bytes) -> str | None:
     unknown binary)."""
     if len(payload) < 2:
         return None
-    if payload[4:8] == b"ftyp":
+    # ISO-BMFF: bytes 0-3 are the big-endian size of the ftyp box itself —
+    # real files have a small first box, so the two high bytes are zero;
+    # prose with "ftyp" at offset 4 ("the ftypical …") fails this check
+    if payload[4:8] == b"ftyp" and payload[:2] == b"\x00\x00":
         return _FTYP_BRANDS.get(payload[8:12], "mp4")
-    if payload[:4] == b"RIFF":
-        return _RIFF_FORMS.get(payload[8:12], "riff")
+    # RIFF: only KNOWN form tags qualify — arbitrary prose starting "RIFF…"
+    # must stay text (unknown true-RIFF binaries still die on the
+    # printable-ratio guard downstream)
+    if payload[:4] == b"RIFF" and payload[8:12] in _RIFF_FORMS:
+        return _RIFF_FORMS[payload[8:12]]
     for magic, kind in _PREFIX_MAGIC:
         if payload[: len(magic)] == magic:
             return kind

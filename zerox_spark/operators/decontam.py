@@ -65,8 +65,12 @@ def decontaminate(
     )
     return (
         docs.select("doc_id")
-        # hits only contains matched docs (rare) → broadcast the join-back
-        .join(F.broadcast(hits), "doc_id", "left")
+        # the join-back is a plain key join — hits size is DATA-DEPENDENT
+        # (a benchmark full of boilerplate 8-grams can match a large slice
+        # of a crawl), so forcing a broadcast here would turn contamination
+        # skew into a driver OOM; AQE picks broadcast itself when hits is
+        # actually small, and the key is the corpus bucketing key anyway
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),

@@ -75,9 +75,11 @@ def asof_join(
     carried row frame-order-dependent."""
     reserved = {"_k", "_ts", "_side", "_r", "matched"}
     clash = reserved & (set(probe.columns) | set(build.columns))
-    if clash - {key}:
+    if clash:
+        # no exemption for the key either: key='matched' would emit TWO
+        # 'matched' columns (the aliased key + the carried struct)
         raise ValueError(
-            f"asof_join reserved column names in input: {sorted(clash - {key})}"
+            f"asof_join reserved column names in input: {sorted(clash)}"
         )
     bcols = [c for c in build.columns if c != key]
     b = build.select(

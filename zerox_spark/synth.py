@@ -942,13 +942,18 @@ def _pdf_real_layout(doc_id: int, text: str):
         ),
         start=1,
     ):
-        lines = [(72.0, 720.0, hsize, head)]
-        y = 680.0
+        # page height grows with the body so the LAST body line always sits
+        # >= 72 pt above the footer (> VALLEY_GAP, and clear of FOOTER_Y):
+        # without this, ~45+ body lines would march into the footer zone
+        # and break the closed-form oracle for long documents
+        height = max(792.0, 184.0 + 14.0 * len(body))
+        lines = [(72.0, height - 72.0, hsize, head)]
+        y = height - 112.0
         for ln in body:
             lines.append((72.0, y, 11.0, ln))
             y -= 14.0
         lines.append((306.0, 40.0, 9.0, str(no)))
-        pages.append(lines)
+        pages.append((height, lines))
     return pages
 
 
@@ -1047,7 +1052,7 @@ def render_pdf_real(doc_id: int, text: str) -> bytes:
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     if variant == 2:
-        chars = {c for lines in layout for _, _, _, t in lines for c in t}
+        chars = {c for _, lines in layout for _, _, _, t in lines for c in t}
         cmap = _tounicode_cmap(chars)
         comp = _zlib.compress(cmap)
         objs[3] = (
@@ -1088,10 +1093,10 @@ def render_pdf_real(doc_id: int, text: str) -> bytes:
     content_fn = (
         _pdf_content_v0, _pdf_content_v1, _pdf_content_v2, _pdf_content_v3
     )[variant]
-    for i, lines in enumerate(layout):
+    for i, (height, lines) in enumerate(layout):
         pnum, cnum = page_nums[i], page_nums[i] + 1
         objs[pnum] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 {height:g}]"
             f" /Resources << /Font << /F1 3 0 R >> >>"
             f" /Contents {cnum} 0 R >>".encode()
         )
