@@ -473,7 +473,7 @@ class TestReferenceCorpus:
         "0003.pdf": 0.95,
         "0004.pdf": 0.95,
         "0013.pdf": 0.55,
-        "0016.pdf": 0.65,
+        "0016.pdf": 0.80,
         "0017.pdf": 0.98,
         "0018.pdf": 0.90,
     }
@@ -636,3 +636,49 @@ class TestBinaryGuard:
         r = extract_document(b"\xd0\xcf\x11\xe0" + b"\x00" * 64, None)[0]
         assert r.status == "ERROR"  # corrupt CFB → CFB error, not "binary"
         assert "binary" not in (r.error or "")
+
+
+class TestXYCut:
+    def test_two_column_reading_order(self):
+        # two columns of text, right column must follow the whole left one
+        left = [
+            f"BT /F1 11 Tf 72 {700 - 14 * i} Td (left{i} words here) Tj ET"
+            for i in range(12)
+        ]
+        right = [
+            f"BT /F1 11 Tf 330 {700 - 14 * i} Td (right{i} words here) Tj ET"
+            for i in range(12)
+        ]
+        pdf = _one_page_pdf("\n".join(left + right))
+        pages = parse_real_pdf(pdf)
+        texts = [l.text for l in sorted(
+            pages[0].lines, key=lambda l: (l.region, -l.y, l.x)
+        )]
+        assert texts[:12] == [f"left{i} words here" for i in range(12)]
+        assert texts[12:] == [f"right{i} words here" for i in range(12)]
+        md = extract_document(pdf, None)[0].markdown
+        assert md.index("left11") < md.index("right0")
+
+    def test_spanning_title_leads(self):
+        # a full-width title above two columns: title first, then left col
+        body = ["BT /F1 18 Tf 100 750 Td (The Grand Spanning Title) Tj ET"]
+        for i in range(10):
+            body.append(
+                f"BT /F1 11 Tf 72 {690 - 14 * i} Td (lcol{i} text text) Tj ET"
+            )
+            body.append(
+                f"BT /F1 11 Tf 330 {690 - 14 * i} Td (rcol{i} text text) Tj ET"
+            )
+        md = extract_document(_one_page_pdf("\n".join(body)), None)[0].markdown
+        assert md.index("Grand Spanning Title") < md.index("lcol0")
+        assert md.index("lcol9") < md.index("rcol0")
+
+    def test_single_column_order_unchanged(self):
+        body = [
+            f"BT /F1 11 Tf 72 {700 - 14 * i} Td (line{i} of plain prose) Tj ET"
+            for i in range(10)
+        ]
+        pages = parse_real_pdf(_one_page_pdf("\n".join(body)))
+        assert [l.text for l in pages[0].lines] == [
+            f"line{i} of plain prose" for i in range(10)
+        ]

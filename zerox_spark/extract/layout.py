@@ -63,6 +63,10 @@ class LayoutLine:
     size: float
     kind: str  # '' | 'tr' | 'th'
     text: str
+    # reading-order region from layout analysis (XY-cut, extract/pdf.py):
+    # lines are ordered region-major, then top-down. The synthetic grammar
+    # always emits region 0, so its ordering is untouched.
+    region: int = 0
 
 
 @dataclass
@@ -120,8 +124,10 @@ def parse_pdf(payload: bytes) -> list[LayoutPage]:
 
 
 def segment_page(page: LayoutPage) -> list[Block]:
-    """Reading-order block segmentation of one layout page."""
-    lines = sorted(page.lines, key=lambda l: (-l.y, l.x))
+    """Reading-order block segmentation of one layout page. Lines sort
+    region-major (XY-cut regions from the real-PDF front-end; always 0 for
+    the synthetic grammar) so multi-column pages read column-by-column."""
+    lines = sorted(page.lines, key=lambda l: (l.region, -l.y, l.x))
     groups: list[list[LayoutLine]] = []
     for line in lines:
         if groups and _same_block(groups[-1][-1], line):
@@ -135,6 +141,8 @@ def segment_page(page: LayoutPage) -> list[Block]:
 
 
 def _same_block(prev: LayoutLine, line: LayoutLine) -> bool:
+    if prev.region != line.region:
+        return False  # a region boundary is always a block boundary
     if (prev.kind in ("tr", "th")) != (line.kind in ("tr", "th")):
         return False
     gap = prev.y - line.y

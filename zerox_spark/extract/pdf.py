@@ -1437,6 +1437,136 @@ def _interpret(
 # --------------------------------------------------------------------------
 # run → line assembly
 
+# --- recursive XY-cut layout analysis (Nagy et al.; the classic document
+# segmentation algorithm): split the page at wide empty bands — horizontal
+# gaps first (top-down reading), then vertical gutters (columns) — and
+# recurse. Thresholds are conservative: a horizontal cut requires a band
+# that VALLEY_GAP-based block segmentation would split anyway, a vertical
+# cut requires a ≥24 pt gutter with ≥2 substantial runs on each side, so
+# single-column pages (and every synthetic-grammar page) come out in the
+# exact same order as plain (-y, x) sorting.
+_XY_GAP_H = 25.0
+_XY_GAP_V = 24.0
+_XY_MIN_RUNS = 2
+_XY_MIN_SPAN = 40.0
+_XY_MAX_DEPTH = 6
+
+
+def _est_x1(r: Run) -> float:
+    if r.x_end is not None:
+        return max(r.x_end, r.x)
+    return r.x + _EST_GLYPH_WIDTH * r.size * len(r.text)
+
+
+def _gap_cuts(intervals: list[tuple[float, float]], min_gap: float) -> list[float]:
+    ivs = sorted(intervals)
+    cuts: list[float] = []
+    cur_end = ivs[0][1]
+    for s, e in ivs[1:]:
+        if s - cur_end >= min_gap:
+            cuts.append((cur_end + s) / 2.0)
+        cur_end = max(cur_end, e)
+    return cuts
+
+
+def _low_coverage_bands(
+    intervals: list[tuple[float, float]], min_gap: float, tol: int
+) -> list[tuple[float, float, int]]:
+    """Bands of width ≥ min_gap crossed by ≤ tol intervals, widest first —
+    the tolerant gutter finder: a title or a rotated watermark spanning a
+    two-column page must not hide the gutter (plain projection would)."""
+    events: list[tuple[float, int]] = []
+    for s, e in intervals:
+        if e < s:
+            s, e = e, s
+        events.append((s, 1))
+        events.append((e, -1))
+    events.sort()
+    bands: list[tuple[float, float, int]] = []
+    cov = 0
+    last = None
+    started = False
+    for pos, d in events:
+        if started and last is not None and cov <= tol and pos - last >= min_gap:
+            bands.append((last, pos, cov))
+        cov += d
+        started = True
+        last = pos
+    bands.sort(key=lambda b: -(b[1] - b[0]))
+    return bands
+
+
+def _split_at(runs: list[Run], cuts: list[float], key) -> list[list[Run]]:
+    groups: list[list[Run]] = [[] for _ in range(len(cuts) + 1)]
+    import bisect
+
+    for r in runs:
+        groups[bisect.bisect_left(cuts, key(r))].append(r)
+    return [g for g in groups if g]
+
+
+def _xycut(runs: list[Run], depth: int = 0) -> list[list[Run]]:
+    """Runs → reading-order regions."""
+    if depth >= _XY_MAX_DEPTH or len(runs) < 2 * _XY_MIN_RUNS:
+        return [runs]
+    h_cuts = _gap_cuts([(r.y, r.y + r.size) for r in runs], _XY_GAP_H)
+    if h_cuts:
+        bands = _split_at(runs, h_cuts, lambda r: r.y)
+        out: list[list[Run]] = []
+        for band in sorted(bands, key=lambda g: -max(r.y for r in g)):
+            out.extend(_xycut(band, depth + 1))
+        return out
+    # vertical gutter: tolerate a few spanning runs (title line, centered
+    # author block, rotated margin watermark); each is assigned to the side
+    # holding its midpoint, so a spanning title leads the left column —
+    # which IS the reading order
+    tol = max(2, len(runs) // 20)
+    ivs = [(r.x, _est_x1(r)) for r in runs]
+    x_lo = min(i[0] for i in ivs)
+    x_hi = max(i[1] for i in ivs)
+    ys = [r.y for r in runs]
+    y_span = max(ys) - min(ys)
+
+    def try_cut(lo: float, hi: float, narrow: bool):
+        cut = (lo + hi) / 2.0
+        left = [r for r in runs if (r.x + _est_x1(r)) / 2.0 < cut]
+        right = [r for r in runs if (r.x + _est_x1(r)) / 2.0 >= cut]
+        if not left or not right:
+            return None
+        for c in (left, right):
+            if len(c) < max(_XY_MIN_RUNS, tol + 1):
+                return None
+            if max(_est_x1(r) for r in c) - min(r.x for r in c) < _XY_MIN_SPAN:
+                return None
+            if narrow:
+                # narrow-gutter mode (justified two-column bodies leave
+                # only ~10 pt): demand real columns — many runs per side,
+                # each side running most of the region's height, cut near
+                # the middle — so an aligned table gap can't qualify
+                if len(c) < max(10, len(runs) // 4):
+                    return None
+                cys = [r.y for r in c]
+                if y_span > 0 and (max(cys) - min(cys)) < 0.5 * y_span:
+                    return None
+        if narrow:
+            rel = (cut - x_lo) / max(x_hi - x_lo, 1.0)
+            if not (0.35 <= rel <= 0.65):
+                return None
+        return _xycut(left, depth + 1) + _xycut(right, depth + 1)
+
+    for lo, hi, _cov in _low_coverage_bands(ivs, _XY_GAP_V, tol):
+        res = try_cut(lo, hi, narrow=False)
+        if res is not None:
+            return res
+    for lo, hi, _cov in _low_coverage_bands(ivs, 9.0, tol):
+        if hi - lo >= _XY_GAP_V:
+            continue  # already rejected above with laxer guards
+        res = try_cut(lo, hi, narrow=True)
+        if res is not None:
+            return res
+    return [runs]
+
+
 _LINE_Y_TOL = 2.5  # points: runs within this vertical distance share a line
 # gap wider than this × size between runs on one baseline reads as a space
 _RUN_GAP_FACTOR = 0.25
@@ -1539,7 +1669,12 @@ def parse_real_pdf(payload: bytes):
             runs = _apply_rotation(runs, rotate, width or 612.0, height or 792.0)
             if rotate in (90, 270):
                 width, height = height, width
-        lp = LayoutPage(idx, width or 612.0, height or 792.0, runs_to_lines(runs))
+        lines = []
+        for region, leaf in enumerate(_xycut(runs) if runs else []):
+            for ln in runs_to_lines(leaf):
+                ln.region = region
+                lines.append(ln)
+        lp = LayoutPage(idx, width or 612.0, height or 792.0, lines)
         pages_out.append(lp)
     return pages_out
 
