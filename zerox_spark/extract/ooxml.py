@@ -695,8 +695,15 @@ def _ods_grids(
                 int(tr.get(f"{_TBL}number-rows-repeated", "1") or "1"),
                 _ODS_MAX_REPEAT,
             )
-            vals: list[str] = []
-            row_chars = 0
+            # two passes: collect (val, repeat) pairs WITHOUT materializing,
+            # strip the trailing empty run (LibreOffice's standard 16k
+            # filler cell — charging it would spuriously budget-fail large
+            # legitimate sheets), then charge + materialize what remains.
+            # Interior empty cells stay as "" so later columns keep their
+            # position (parity with the xlsx explicit-empty <c>); every
+            # materialized repeat — empty included — is budget-charged
+            # (a list ref + a downstream <th></th> each).
+            cells: list[tuple[str, int]] = []
             for tc in tr.findall(f"{_TBL}table-cell"):
                 texts = [
                     _odt_text(p).strip() for p in tc.findall(f"{_T}p")
@@ -708,19 +715,15 @@ def _ods_grids(
                     int(tc.get(f"{_TBL}number-columns-repeated", "1") or "1"),
                     _ODS_MAX_REPEAT,
                 )
-                # empty cells charge their repeat too (each is a list ref +
-                # a downstream <th></th>): a sheet of repeated-empty runs
-                # must hit the budget BEFORE materializing, not after
+                cells.append((val, col_rep))
+            while cells and cells[-1][0] == "":
+                cells.pop()
+            vals: list[str] = []
+            row_chars = 0
+            for val, col_rep in cells:
                 budget.charge(max(len(val), 1) * col_rep)
                 row_chars += max(len(val), 1) * col_rep
-                # interior empty cells stay as "" so later columns keep
-                # their position (parity with the xlsx explicit-empty <c>);
-                # the repeat cap also bounds the classic 16384-wide padding
                 vals.extend([val] * col_rep)
-            # ODF pads row ends with empty repeated cells — strip them so a
-            # padded ods row equals the sparse xlsx row of the same grid
-            while vals and vals[-1] == "":
-                vals.pop()
             if vals:
                 budget.charge(row_chars * (row_rep - 1))
                 rows.extend([vals] * row_rep)
