@@ -696,3 +696,17 @@ class TestXYCut:
         assert [l.text for l in pages[0].lines] == [
             f"line{i} of plain prose" for i in range(10)
         ]
+
+    def test_adversarial_run_count_bounded(self):
+        # one-glyph-per-run floods must not send layout analysis quadratic:
+        # above _XY_MAX_RUNS the page skips XY-cut and still extracts
+        import time
+
+        ops = [
+            f"BT /F1 9 Tf {40 + (i * 7) % 520} {40 + (i * 13) % 700} Td (g) Tj ET"
+            for i in range(24000)
+        ]
+        t0 = time.perf_counter()
+        p = extract_document(_one_page_pdf("\n".join(ops)), None)[0]
+        assert p.status == "SUCCESS"
+        assert time.perf_counter() - t0 < 20  # generous CI bound
