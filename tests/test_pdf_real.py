@@ -586,13 +586,37 @@ class TestBinaryGuard:
 
     def test_nonimage_binary_error(self):
         for payload in [
-            b"\x1f\x8b\x08\x00" + b"\x00" * 64,  # gzip
             b"\x7fELF\x02\x01\x01" + b"\x00" * 64,  # elf
             b"OggS\x00\x02" + b"\x00" * 64,  # ogg
+            b"\x28\xb5\x2f\xfd" + b"\x00" * 64,  # zstd
         ]:
             r = extract_document(payload, None)[0]
             assert r.status == "ERROR"
             assert "binary/media payload" in (r.error or "")
+
+    def test_gzip_payloads_transparently_decompress(self):
+        import gzip
+
+        html = (
+            b"<html><body><h1>Compressed Doc</h1><p>Some honest paragraph"
+            b" text lives here for the test.</p></body></html>"
+        )
+        r = extract_document(gzip.compress(html), None)[0]
+        assert r.status == "SUCCESS"
+        assert r.markdown.startswith("# Compressed Doc")
+        # a gzip'd real PDF round-trips byte-exactly too
+        got = [
+            (p.page_no, p.markdown)
+            for p in extract_document(
+                gzip.compress(render_pdf_real(2, TEXT)), None
+            )
+        ]
+        assert got == expected_pdf_real_pages(2, TEXT)
+        # nested gzip (bomb shape) and corrupt members are contained
+        r = extract_document(gzip.compress(gzip.compress(html)), None)[0]
+        assert r.status == "ERROR" and "nested gzip" in (r.error or "")
+        r = extract_document(b"\x1f\x8b\x08\x00" + b"\x00" * 64, None)[0]
+        assert r.status == "ERROR" and "gzip" in (r.error or "")
 
     def test_magicless_high_entropy_error(self):
         import hashlib

@@ -341,6 +341,11 @@ def _extract_raw(
     from zerox_spark.extract.sniff import IMAGE_KINDS, sniff_binary
 
     bin_kind = sniff_binary(html)
+    if bin_kind == "gzip":
+        # crawl tables routinely store the raw transfer-encoded body;
+        # decompress (bounded) and re-dispatch ONCE — a gzip'd html page
+        # is an html page, not binary
+        return _extract_raw(_gunzip_payload(html, config), text, config)
     if bin_kind is not None:
         if bin_kind in IMAGE_KINDS:
             raise ValueError(
@@ -434,6 +439,45 @@ _CHARSET_ALIASES = {
     "us-ascii": "ascii", "ascii": "ascii",
     "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
 }
+
+
+def _gunzip_payload(html: bytes, config: "ExtractConfig") -> bytes:
+    """Bounded gzip inflate for transfer-encoded crawl payloads: output is
+    capped at 4× the payload budget and raised incrementally (a bomb dies
+    at the cap, never after materializing); nested gzip (bomb shape) and
+    empty results are contained errors."""
+    import zlib
+
+    cap = (config.max_payload_bytes or 16 * 1024 * 1024) * 4
+    d = zlib.decompressobj(31)  # gzip wrapper
+    out: list[bytes] = []
+    total = 0
+    try:
+        chunk = d.decompress(html, 1 << 20)
+        while True:
+            total += len(chunk)
+            if total > cap:
+                raise ValueError("gzip payload expands past the budget")
+            out.append(chunk)
+            if not d.unconsumed_tail:
+                break
+            chunk = d.decompress(d.unconsumed_tail, 1 << 20)
+            if not chunk and d.unconsumed_tail:
+                break  # no progress — corrupt tail
+        tail = d.flush()
+        if total + len(tail) > cap:
+            raise ValueError("gzip payload expands past the budget")
+        out.append(tail)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt gzip payload: {exc}") from exc
+    data = b"".join(out)
+    if not data:
+        raise ValueError("gzip payload decompressed to nothing")
+    from zerox_spark.extract.sniff import sniff_binary
+
+    if sniff_binary(data) == "gzip":
+        raise ValueError("nested gzip payload")
+    return data
 
 
 def _decode_payload(html: bytes) -> str:
