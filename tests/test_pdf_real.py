@@ -734,3 +734,16 @@ class TestXYCut:
         p = extract_document(_one_page_pdf("\n".join(ops)), None)[0]
         assert p.status == "SUCCESS"
         assert time.perf_counter() - t0 < 20  # generous CI bound
+
+    def test_multi_member_gzip_concatenates(self):
+        import gzip
+
+        h1 = b"<html><body><p>First member paragraph with enough words.</p>"
+        h2 = b"<p>Second member continues the document.</p></body></html>"
+        r = extract_document(gzip.compress(h1) + gzip.compress(h2), None)[0]
+        assert r.status == "SUCCESS"
+        assert "First member" in r.markdown and "Second member" in r.markdown
+        # corrupt later member: what decoded survives (WARC-style tolerance)
+        bad = gzip.compress(h1 + b"</body></html>") + b"\x1f\x8b\x08\x00"
+        r = extract_document(bad, None)[0]
+        assert r.status == "SUCCESS" and "First member" in r.markdown

@@ -449,27 +449,39 @@ def _gunzip_payload(html: bytes, config: "ExtractConfig") -> bytes:
     import zlib
 
     cap = (config.max_payload_bytes or 16 * 1024 * 1024) * 4
-    d = zlib.decompressobj(31)  # gzip wrapper
     out: list[bytes] = []
     total = 0
+    data = html
+    members = 0
     try:
-        chunk = d.decompress(html, 1 << 20)
-        while True:
-            total += len(chunk)
-            if total > cap:
+        # gzip files are a SEQUENCE of members (RFC 1952 §2.2; gzip -c a b
+        # > ab.gz); decode them all, same budget across the whole payload
+        while data and members < 64:
+            members += 1
+            d = zlib.decompressobj(31)  # gzip wrapper
+            chunk = d.decompress(data, 1 << 20)
+            while True:
+                total += len(chunk)
+                if total > cap:
+                    raise ValueError("gzip payload expands past the budget")
+                out.append(chunk)
+                if not d.unconsumed_tail:
+                    break
+                chunk = d.decompress(d.unconsumed_tail, 1 << 20)
+                if not chunk and d.unconsumed_tail:
+                    break  # no progress — corrupt tail
+            tail = d.flush()
+            if total + len(tail) > cap:
                 raise ValueError("gzip payload expands past the budget")
-            out.append(chunk)
-            if not d.unconsumed_tail:
-                break
-            chunk = d.decompress(d.unconsumed_tail, 1 << 20)
-            if not chunk and d.unconsumed_tail:
-                break  # no progress — corrupt tail
-        tail = d.flush()
-        if total + len(tail) > cap:
-            raise ValueError("gzip payload expands past the budget")
-        out.append(tail)
+            out.append(tail)
+            data = d.unused_data if d.eof else b""
+            if data[:2] != b"\x1f\x8b":
+                break  # trailing non-gzip bytes: ignore (padding/garbage)
     except zlib.error as exc:
-        raise ValueError(f"corrupt gzip payload: {exc}") from exc
+        if not any(out):
+            raise ValueError(f"corrupt gzip payload: {exc}") from exc
+        # a corrupt LATER member truncates — keep what decoded (the same
+        # tolerance the WARC reader applies to damaged archives)
     data = b"".join(out)
     if not data:
         raise ValueError("gzip payload decompressed to nothing")
