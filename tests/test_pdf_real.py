@@ -747,3 +747,32 @@ class TestXYCut:
         bad = gzip.compress(h1 + b"</body></html>") + b"\x1f\x8b\x08\x00"
         r = extract_document(bad, None)[0]
         assert r.status == "SUCCESS" and "First member" in r.markdown
+
+    def test_bz2_and_xz_payloads_decompress(self):
+        import bz2
+        import lzma
+
+        html = (
+            b"<html><body><p>Compressed dump paragraph with plenty of"
+            b" words to extract here.</p></body></html>"
+        )
+        for blob in (bz2.compress(html), lzma.compress(html)):
+            r = extract_document(blob, None)[0]
+            assert r.status == "SUCCESS"
+            assert "Compressed dump paragraph" in r.markdown
+        # multi-stream bz2 (pbzip2 shape) concatenates
+        multi = bz2.compress(html) + bz2.compress(b"<p>tail words</p>")
+        r = extract_document(multi, None)[0]
+        assert r.status == "SUCCESS"
+
+    def test_compression_nesting_bounded(self):
+        import bz2
+        import gzip
+
+        html = b"<p>deeply wrapped content paragraph</p>"
+        deep = html
+        for _ in range(6):
+            deep = gzip.compress(bz2.compress(deep))
+        r = extract_document(deep, None)[0]
+        assert r.status == "ERROR"
+        assert "nest" in (r.error or "")

@@ -255,7 +255,10 @@ def _cap_payload(html: bytes, cap: int) -> bytes:
 
 
 def _extract_raw(
-    html: bytes | None, text: str | None, config: ExtractConfig
+    html: bytes | None,
+    text: str | None,
+    config: ExtractConfig,
+    _depth: int = 0,
 ) -> list[tuple[int, str, list]]:
     if config.trust_text and text:
         return [(1, _finalize(text), [("para", 0, len(text), 1.0)])]
@@ -341,11 +344,19 @@ def _extract_raw(
     from zerox_spark.extract.sniff import IMAGE_KINDS, sniff_binary
 
     bin_kind = sniff_binary(html)
-    if bin_kind == "gzip":
+    if bin_kind in ("gzip", "bzip2", "xz"):
         # crawl tables routinely store the raw transfer-encoded body;
-        # decompress (bounded) and re-dispatch ONCE — a gzip'd html page
-        # is an html page, not binary
-        return _extract_raw(_gunzip_payload(html, config), text, config)
+        # decompress (bounded) and re-dispatch — a gzip'd html page is an
+        # html page, not binary. The depth guard stops alternating-wrapper
+        # chains (gzip→bz2→gzip→…) that the per-scheme nested checks
+        # cannot see across schemes.
+        if _depth >= 2:
+            raise ValueError("compression nesting too deep")
+        if bin_kind == "gzip":
+            inner = _gunzip_payload(html, config)
+        else:
+            inner = _bounded_decompress(bin_kind, html, config)
+        return _extract_raw(inner, text, config, _depth + 1)
     if bin_kind is not None:
         if bin_kind in IMAGE_KINDS:
             raise ValueError(
@@ -490,6 +501,58 @@ def _gunzip_payload(html: bytes, config: "ExtractConfig") -> bytes:
     if sniff_binary(data) == "gzip":
         raise ValueError("nested gzip payload")
     return data
+
+
+def _bounded_decompress(
+    kind: str, html: bytes, config: "ExtractConfig"
+) -> bytes:
+    """Bounded bz2/xz inflate with the gzip path's exact contract:
+    incremental budget enforcement, multi-stream concatenation (pbzip2 and
+    `xz -c a b` emit stream sequences), corrupt-later-stream truncation,
+    nested-compression rejection."""
+    import bz2
+    import lzma
+
+    mk, magic = {
+        "bzip2": (bz2.BZ2Decompressor, b"BZh"),
+        "xz": (lzma.LZMADecompressor, b"\xfd7zXZ\x00"),
+    }[kind]
+    cap = (config.max_payload_bytes or 16 * 1024 * 1024) * 4
+    out: list[bytes] = []
+    total = 0
+    data = html
+    streams = 0
+    try:
+        while data and streams < 64:
+            streams += 1
+            d = mk()
+            buf = data
+            while True:
+                chunk = d.decompress(buf, 1 << 20)
+                buf = b""
+                total += len(chunk)
+                if total > cap:
+                    raise ValueError(
+                        f"{kind} payload expands past the budget"
+                    )
+                out.append(chunk)
+                if d.eof or d.needs_input:
+                    break
+            data = d.unused_data if d.eof else b""
+            if data[: len(magic)] != magic:
+                break  # trailing non-stream bytes: ignore
+    except (OSError, EOFError, lzma.LZMAError) as exc:
+        if not any(out):
+            raise ValueError(f"corrupt {kind} payload: {exc}") from exc
+        # corrupt later stream truncates — keep what decoded
+    joined = b"".join(out)
+    if not joined:
+        raise ValueError(f"{kind} payload decompressed to nothing")
+    from zerox_spark.extract.sniff import sniff_binary
+
+    if sniff_binary(joined) in ("gzip", "bzip2", "xz", "zstd"):
+        raise ValueError(f"nested compression inside {kind} payload")
+    return joined
 
 
 def _decode_payload(html: bytes) -> str:
