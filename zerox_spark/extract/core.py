@@ -482,7 +482,8 @@ def _gunzip_payload(html: bytes, config: "ExtractConfig") -> bytes:
                 if not chunk and d.unconsumed_tail:
                     break  # no progress — corrupt tail
             tail = d.flush()
-            if total + len(tail) > cap:
+            total += len(tail)
+            if total > cap:
                 raise ValueError("gzip payload expands past the budget")
             out.append(tail)
             data = d.unused_data if d.eof else b""
