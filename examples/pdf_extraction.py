@@ -31,7 +31,8 @@ def main() -> None:
 
     # --- 1. single document ------------------------------------------------
     if os.path.exists(pdf_path):
-        pages = extract_document(open(pdf_path, "rb").read(), None)
+        with open(pdf_path, "rb") as f:
+            pages = extract_document(f.read(), None)
         ok = [p for p in pages if p.status == "SUCCESS"]
         print(f"{pdf_path}: {len(ok)} text-layer pages")
         if ok:
@@ -48,7 +49,9 @@ def main() -> None:
     spark = get_spark("local[8]", app_name="zerox-pdf-example")
     spark.sparkContext.setLogLevel("ERROR")
     corpus = synth_pdf_real_pages(spark, sf_dir)
-    ex = extract_pages(corpus, ExtractConfig(trust_text=False), num_buckets=16)
+    ex = extract_pages(
+        corpus, ExtractConfig(trust_text=False), num_buckets=16
+    ).persist()  # two actions below — don't recompute the extraction
     stats = ex.groupBy("status").count().collect()
     n_pages = sum(r["count"] for r in stats)
     print(f"distributed: {n_pages} pages — " + ", ".join(

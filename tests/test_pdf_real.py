@@ -655,6 +655,65 @@ class TestBinaryGuard:
         assert sniff_delimiter("a,b,c\n1,2,3\n4,5,6\n") == ","
         assert sniff_delimiter("a\tb\n1\t2\n") == "\t"
 
+    def test_multi_member_gzip_concatenates(self):
+        import gzip
+
+        h1 = b"<html><body><p>First member paragraph with enough words.</p>"
+        h2 = b"<p>Second member continues the document.</p></body></html>"
+        r = extract_document(gzip.compress(h1) + gzip.compress(h2), None)[0]
+        assert r.status == "SUCCESS"
+        assert "First member" in r.markdown and "Second member" in r.markdown
+        # corrupt later member: what decoded survives (WARC-style tolerance)
+        bad = gzip.compress(h1 + b"</body></html>") + b"\x1f\x8b\x08\x00"
+        r = extract_document(bad, None)[0]
+        assert r.status == "SUCCESS" and "First member" in r.markdown
+
+    def test_bz2_and_xz_payloads_decompress(self):
+        import bz2
+        import lzma
+
+        html = (
+            b"<html><body><p>Compressed dump paragraph with plenty of"
+            b" words to extract here.</p></body></html>"
+        )
+        for blob in (bz2.compress(html), lzma.compress(html)):
+            r = extract_document(blob, None)[0]
+            assert r.status == "SUCCESS"
+            assert "Compressed dump paragraph" in r.markdown
+        # multi-stream bz2 (pbzip2 shape) concatenates
+        multi = bz2.compress(html) + bz2.compress(b"<p>tail words</p>")
+        r = extract_document(multi, None)[0]
+        assert r.status == "SUCCESS"
+
+    def test_compression_nesting_bounded(self):
+        import bz2
+        import gzip
+
+        html = b"<p>deeply wrapped content paragraph</p>"
+        # ONE cross-scheme layer is legitimate (bz2 dump of gzip bodies)…
+        r = extract_document(bz2.compress(gzip.compress(html)), None)[0]
+        assert r.status == "SUCCESS"
+        r = extract_document(gzip.compress(bz2.compress(html)), None)[0]
+        assert r.status == "SUCCESS"
+        # …a third hop trips the dispatch depth guard
+        deep = gzip.compress(bz2.compress(gzip.compress(html)))
+        r = extract_document(deep, None)[0]
+        assert r.status == "ERROR"
+        assert "nesting too deep" in (r.error or "")
+        # same-scheme-in-scheme is the bomb shape, rejected per scheme
+        r = extract_document(bz2.compress(bz2.compress(html)), None)[0]
+        assert r.status == "ERROR" and "nested bzip2" in (r.error or "")
+
+    def test_member_cap_is_loud(self):
+        import gzip
+
+        many = b"".join(
+            gzip.compress(b"<p>m%d</p>" % i) for i in range(70)
+        )
+        r = extract_document(many, None)[0]
+        assert r.status == "ERROR"
+        assert "member cap" in (r.error or "")
+
     def test_wpd_and_cfb_still_route_before_guard(self):
         # magic-bearing formats with real extractors keep their branch
         r = extract_document(b"\xd0\xcf\x11\xe0" + b"\x00" * 64, None)[0]
@@ -735,44 +794,4 @@ class TestXYCut:
         assert p.status == "SUCCESS"
         assert time.perf_counter() - t0 < 20  # generous CI bound
 
-    def test_multi_member_gzip_concatenates(self):
-        import gzip
 
-        h1 = b"<html><body><p>First member paragraph with enough words.</p>"
-        h2 = b"<p>Second member continues the document.</p></body></html>"
-        r = extract_document(gzip.compress(h1) + gzip.compress(h2), None)[0]
-        assert r.status == "SUCCESS"
-        assert "First member" in r.markdown and "Second member" in r.markdown
-        # corrupt later member: what decoded survives (WARC-style tolerance)
-        bad = gzip.compress(h1 + b"</body></html>") + b"\x1f\x8b\x08\x00"
-        r = extract_document(bad, None)[0]
-        assert r.status == "SUCCESS" and "First member" in r.markdown
-
-    def test_bz2_and_xz_payloads_decompress(self):
-        import bz2
-        import lzma
-
-        html = (
-            b"<html><body><p>Compressed dump paragraph with plenty of"
-            b" words to extract here.</p></body></html>"
-        )
-        for blob in (bz2.compress(html), lzma.compress(html)):
-            r = extract_document(blob, None)[0]
-            assert r.status == "SUCCESS"
-            assert "Compressed dump paragraph" in r.markdown
-        # multi-stream bz2 (pbzip2 shape) concatenates
-        multi = bz2.compress(html) + bz2.compress(b"<p>tail words</p>")
-        r = extract_document(multi, None)[0]
-        assert r.status == "SUCCESS"
-
-    def test_compression_nesting_bounded(self):
-        import bz2
-        import gzip
-
-        html = b"<p>deeply wrapped content paragraph</p>"
-        deep = html
-        for _ in range(6):
-            deep = gzip.compress(bz2.compress(deep))
-        r = extract_document(deep, None)[0]
-        assert r.status == "ERROR"
-        assert "nest" in (r.error or "")

@@ -489,6 +489,8 @@ def _gunzip_payload(html: bytes, config: "ExtractConfig") -> bytes:
             data = d.unused_data if d.eof else b""
             if data[:2] != b"\x1f\x8b":
                 break  # trailing non-gzip bytes: ignore (padding/garbage)
+        if data[:2] == b"\x1f\x8b":
+            raise ValueError("gzip payload exceeds the member cap")
     except zlib.error as exc:
         if not any(out):
             raise ValueError(f"corrupt gzip payload: {exc}") from exc
@@ -542,6 +544,8 @@ def _bounded_decompress(
             data = d.unused_data if d.eof else b""
             if data[: len(magic)] != magic:
                 break  # trailing non-stream bytes: ignore
+        if data[: len(magic)] == magic:
+            raise ValueError(f"{kind} payload exceeds the stream cap")
     except (OSError, EOFError, lzma.LZMAError) as exc:
         if not any(out):
             raise ValueError(f"corrupt {kind} payload: {exc}") from exc
@@ -551,8 +555,11 @@ def _bounded_decompress(
         raise ValueError(f"{kind} payload decompressed to nothing")
     from zerox_spark.extract.sniff import sniff_binary
 
-    if sniff_binary(joined) in ("gzip", "bzip2", "xz", "zstd"):
-        raise ValueError(f"nested compression inside {kind} payload")
+    if sniff_binary(joined) == kind:
+        # same-scheme-in-scheme is the classic bomb shape; a DIFFERENT
+        # scheme inside is legitimate layering (bz2 dump of gzip bodies)
+        # and is bounded by the dispatch depth guard instead
+        raise ValueError(f"nested {kind} payload")
     return joined
 
 
