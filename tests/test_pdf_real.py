@@ -489,6 +489,26 @@ class TestReferenceCorpus:
             assert row["status"] == "extracted", name
             assert row["accuracy"] >= floor, (name, row["accuracy"])
 
+    # token-F1 floors vs the reference's committed LLM-OCR outputs
+    # (shared/outputs/*.md) — measured value minus a small margin
+    F1_FLOORS = {
+        "0003.pdf": 0.97,
+        "0004.pdf": 0.88,
+        "0013.pdf": 0.75,
+        "0016.pdf": 0.45,
+        "0017.pdf": 0.75,
+        "0018.pdf": 0.85,
+    }
+
+    def test_token_f1_floors_vs_reference_outputs(self, report):
+        by_file = {f["file"]: f for f in report["files"]}
+        for name, floor in self.F1_FLOORS.items():
+            row = by_file[name]
+            assert row.get("token_f1", 0.0) >= floor, (
+                name,
+                row.get("token_f1"),
+            )
+
     def test_images_and_scans_are_not_mojibake(self, report):
         for f in report["files"]:
             if f["file"].endswith(".png") or f["file"] == "0002.pdf":

@@ -52,6 +52,30 @@ def _squash(s: str) -> str:
     return _WS.sub("", _fold(s))
 
 
+def token_f1(ours: str, reference: str) -> dict:
+    """Multiset token F1 between our markdown and the reference's committed
+    LLM-OCR output (shared/outputs/*.md) — a second, harsher parity figure
+    than keyword recall: byte-identity vs an LLM's free-form markdown is
+    not meaningful, token overlap is. Tokens are NFKC-folded lowercase
+    alphanumeric runs (markdown syntax and punctuation excluded on both
+    sides)."""
+    from collections import Counter
+
+    tok = re.compile(r"[a-z0-9]+")
+    a = Counter(tok.findall(_fold(ours)))
+    b = Counter(tok.findall(_fold(reference)))
+    overlap = sum((a & b).values())
+    na, nb = sum(a.values()), sum(b.values())
+    prec = overlap / na if na else 0.0
+    rec = overlap / nb if nb else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "token_precision": round(prec, 4),
+        "token_recall": round(rec, 4),
+        "token_f1": round(f1, 4),
+    }
+
+
 def keyword_hits(full_text: str, keywords: list[str]) -> tuple[int, list[str]]:
     norm = _norm(full_text)
     squash = _squash(full_text)
@@ -90,17 +114,19 @@ def run(reference_dir: str) -> dict:
             )
             continue
         found, missing = keyword_hits(text, keywords)
-        files.append(
-            {
-                "file": name,
-                "status": "extracted",
-                "n_pages": len(ok_pages),
-                "n_keywords": len(keywords),
-                "found": found,
-                "accuracy": round(found / len(keywords), 4) if keywords else 1.0,
-                "missing_sample": missing[:8],
-            }
-        )
+        row = {
+            "file": name,
+            "status": "extracted",
+            "n_pages": len(ok_pages),
+            "n_keywords": len(keywords),
+            "found": found,
+            "accuracy": round(found / len(keywords), 4) if keywords else 1.0,
+            "missing_sample": missing[:8],
+        }
+        ref_md = shared / "outputs" / (Path(name).stem + ".md")
+        if ref_md.exists():
+            row.update(token_f1(text, ref_md.read_text(errors="replace")))
+        files.append(row)
     extracted = [f for f in files if f["status"] == "extracted"]
     total_kw = sum(f["n_keywords"] for f in extracted)
     total_found = sum(f["found"] for f in extracted)
