@@ -272,6 +272,9 @@ def _extract_raw(
                 html[:4] == b"%PDF"
                 and not html.startswith(b"%PDF-SYNTH")
             )
+            or html[:2] == b"\x1f\x8b"  # gzip
+            or html[:3] == b"BZh"  # bzip2
+            or html[:6] == b"\xfd7zXZ\x00"  # xz
         ):
             # byte-truncating a CONTAINER just corrupts it (any oversized
             # xlsx would become an ERROR row); containers instead pass
@@ -279,9 +282,13 @@ def _extract_raw(
             # decompressed-size guard (ooxml._read_member), CFB sector cap
             # (cfb._MAX_SECTORS), PDF stream/object/page budgets
             # (pdf.MAX_STREAM_BYTES & co) — so per-row work stays bounded
-            # without losing every large office document. The line-oriented
-            # %PDF-SYNTH grammar keeps the newline-boundary truncation
-            # (safe there by construction).
+            # without losing every large office document. Compressed
+            # transfer encodings (gzip/bzip2/xz) are containers too:
+            # byte-truncation corrupts the stream, so they pass whole to
+            # the bounded decompressors (input + 4x output budgets) and
+            # the DECOMPRESSED payload is re-capped on re-dispatch. The
+            # line-oriented %PDF-SYNTH grammar keeps the newline-boundary
+            # truncation (safe there by construction).
             pass
         else:
             html = _cap_payload(html, config.max_payload_bytes)

@@ -593,6 +593,7 @@ class Document:
     def __init__(self, data: bytes):
         self.data = data
         self.objects: dict[int, object] = {}
+        self._offsets: dict[int, int] = {}  # objnum → scan offset
         self._decoded: dict[int, bytes] = {}
         self._fonts: dict[int, "Font"] = {}  # keyed by id(font dict)
         self._budget = MAX_TOTAL_DECOMPRESSED
@@ -624,6 +625,11 @@ class Document:
                 obj.objnum = int(m.group(1))
                 obj.gen = int(m.group(2))
             self.objects[int(m.group(1))] = obj
+            # file offset decides incremental-update precedence — an ObjStm
+            # APPENDED by a later revision must override an earlier direct
+            # object (and vice versa), so _expand_object_streams compares
+            # the container's offset against this one
+            self._offsets[int(m.group(1))] = m.start()
             next_ok = lex.pos
 
     def _setup_encryption(self) -> None:
@@ -678,12 +684,21 @@ class Document:
                     onum = head.parse_object()
                     off = head.parse_object()
                     pairs.append((int(onum), int(off)))
+                # incremental-update precedence by FILE OFFSET: a hosted
+                # object overrides a direct one only when its ObjStm
+                # container appears later in the file (a later revision);
+                # an earlier-revision ObjStm never clobbers a later direct
+                # redefinition (spec §7.5.6 — later body wins)
+                host_off = self._offsets.get(num, -1)
                 for onum, off in pairs:
-                    if onum in self.objects:
-                        continue  # direct (later-position) object wins
+                    if onum in self.objects and self._offsets.get(
+                        onum, -1
+                    ) > host_off:
+                        continue  # direct object is from a later revision
                     sub = Lexer(body, first + off)
                     try:
                         self.objects[onum] = sub.parse_object()
+                        self._offsets[onum] = host_off
                     except PdfError:
                         continue
             except (PdfError, TypeError, ValueError):

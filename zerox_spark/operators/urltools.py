@@ -33,13 +33,20 @@ def canonicalize_url(url_col: str = "url") -> Column:
     slashes on a non-root path trimmed. Pure column algebra."""
     nofrag = f"split({url_col}, '#')[0]"
     base = f"split({nofrag}, '\\\\?')[0]"
+    # everything after the FIRST '?' is the query ('?' is legal INSIDE a
+    # query per RFC 3986 — substring_index(…, -1) would split on the last
+    # one and silently drop identity-bearing params)
     query = (
         f"CASE WHEN instr({nofrag}, '?') > 0 "
-        f"THEN substring_index({nofrag}, '?', -1) ELSE '' END"
+        f"THEN substring({nofrag}, instr({nofrag}, '?') + 1) ELSE '' END"
     )
+    # default ports are scheme-specific: :80 is only redundant under http,
+    # :443 only under https (http://host:443 is a DIFFERENT origin than
+    # http://host and must not collapse with it)
     scheme_host = (
-        f"regexp_replace(lower(regexp_extract({base}, "
-        f"'^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)), ':80$|:443$', '')"
+        f"regexp_replace(regexp_replace(lower(regexp_extract({base}, "
+        f"'^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)), "
+        f"'^(http://.*):80$', '$1'), '^(https://.*):443$', '$1')"
     )
     path = f"regexp_replace({base}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')"
     path_norm = (

@@ -259,8 +259,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _noisy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically-decorated spellings of each doc's url: tracking
-    params + fragment (doc_id%4==0), explicit default port (==1), trailing
-    slash (==2), clean (==3)."""
+    params + fragment + a '?' INSIDE a param value (doc_id%4==0), explicit
+    :443 port — redundant under https (doc_id%8==1) but identity-bearing
+    under http (doc_id%8==5), trailing slash (==2), clean (==3)."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     d = F.col("doc_id")
     base = F.concat(
@@ -271,12 +272,17 @@ def _noisy_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("https://site"), (d % 97).cast("string"), F.lit(".example:443/"),
         F.col("source"), F.lit("/"), d.cast("string"),
     )
+    http_ported = F.concat(
+        F.lit("http://site"), (d % 97).cast("string"), F.lit(".example:443/"),
+        F.col("source"), F.lit("/"), d.cast("string"),
+    )
     noisy = (
         F.when(d % 4 == 0, F.concat(
             base, F.lit("?utm_source=feed&b=2&a="), (d % 7).cast("string"),
-            F.lit("#sec"),
+            F.lit("?x#sec"),
         ))
-        .when(d % 4 == 1, ported)
+        .when(d % 8 == 1, ported)
+        .when(d % 8 == 5, http_ported)
         .when(d % 4 == 2, F.concat(base, F.lit("/")))
         .otherwise(base)
     )
@@ -1543,8 +1549,13 @@ WITH docs AS (
   FROM documents
 )
 SELECT doc_id,
-  CASE doc_id % 4
-    WHEN 0 THEN base || '?a=' || (doc_id % 7) || '&b=2'
+  CASE
+    -- query split on the FIRST '?': 'a=N?x' survives whole, sorts before b
+    WHEN doc_id % 4 = 0 THEN base || '?a=' || (doc_id % 7) || '?x&b=2'
+    -- :443 under http is identity-bearing — kept, never stripped
+    WHEN doc_id % 8 = 5 THEN
+      'http://site' || (doc_id % 97) || '.example:443/' || source || '/'
+      || doc_id
     ELSE base END AS canonical_url,
   'site' || (doc_id % 97) || '.example' AS domain
 FROM docs
@@ -1554,9 +1565,11 @@ FROM docs
     "domain_stats": """
 SELECT 'site' || (doc_id % 97) || '.example' AS domain,
        CAST(2 * count(*) AS BIGINT) AS n_pages,
-       -- %4==0 keeps real params (?a=N&b=2) → does NOT collapse with the
-       -- clean spelling; every other variant does
-       CAST(count(*) + sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+       -- %4==0 keeps real params (?a=N?x&b=2) and %8==5 keeps its http
+       -- scheme + :443 port → neither collapses with the clean https
+       -- spelling; every other variant does
+       CAST(count(*) + sum(CASE WHEN doc_id % 4 = 0
+                                  OR doc_id % 8 = 5 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_canonical
 FROM documents GROUP BY doc_id % 97
 """,
