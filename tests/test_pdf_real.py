@@ -427,18 +427,35 @@ class TestEncryptedPdf:
         assert p.status == "ERROR"
         assert "user password" in (p.error or "")
 
-    def test_aes_clear_contained_error(self):
+    def test_v4_default_stmf_is_identity(self):
+        # ISO 32000-1 Table 20: /StmF defaults to Identity — a /V 4 dict
+        # with no crypt filters means streams are NOT encrypted, so the
+        # document extracts in the clear (was a contained ERROR before
+        # AES support landed; the old behavior over-rejected)
         pdf = render_pdf_real(1, TEXT)
-        aes = pdf.replace(
+        v4 = pdf.replace(
             b"trailer\n<< /Size",
             b"trailer\n<< /Encrypt 91 0 R /ID [<00> <00>] /Size",
         ) + (
             b"91 0 obj\n<< /Filter /Standard /V 4 /R 4 /O <00> /P -44 >>\n"
             b"endobj\n"
         )
-        p = extract_document(aes, None)[0]
+        got = [(p.page_no, p.markdown) for p in extract_document(v4, None)]
+        assert got == expected_pdf_real_pages(1, TEXT)
+
+    def test_unsupported_crypt_filter_contained(self):
+        pdf = render_pdf_real(1, TEXT)
+        weird = pdf.replace(
+            b"trailer\n<< /Size",
+            b"trailer\n<< /Encrypt 91 0 R /ID [<00> <00>] /Size",
+        ) + (
+            b"91 0 obj\n<< /Filter /Standard /V 4 /R 4"
+            b" /CF << /StdCF << /CFM /Bogus >> >> /StmF /StdCF"
+            b" /O <00> /P -44 >>\nendobj\n"
+        )
+        p = extract_document(weird, None)[0]
         assert p.status == "ERROR"
-        assert "AES" in (p.error or "")
+        assert "crypt filter" in (p.error or "")
 
     def test_unknown_handler_contained(self):
         pdf = render_pdf_real(0, TEXT)

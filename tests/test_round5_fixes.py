@@ -1,0 +1,503 @@
+"""Round-5 features and fixes, pinned:
+
+- pure-Python AES (FIPS-197 known answers, CBC semantics, bulk-decrypt
+  parity, ISO 32000 padding tolerance) and RC4 known answers (the synth
+  fixtures reuse the parser's RC4 — a broken implementation must fail
+  HERE, not cancel out across the two sides)
+- encrypted-PDF round trips: RC4 /V2, /AESV2, /AESV3 (R6 hash), wrong
+  user password rejected, empty OWNER password fallback, /Perms check
+- AcroForm widget harvest: appearance streams, /V fallback, FreeText,
+  checkbox states, hidden-flag skip
+- predefined CJK CMaps: UniGB-UCS2-H identity, GBK-EUC-H codec decode
+- damaged-PDF salvage: mid-corpus truncation, destroyed catalog (orphan
+  pages), mid-stream flate truncation (keep-what-decoded)
+- compressed payloads pass the size cap whole (ADVICE r4) + bit-flip fuzz
+  over gzip members (VERDICT r4 #7)
+- ObjStm vs direct object precedence by file offset (ADVICE r4)
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from zerox_spark.extract import aes
+from zerox_spark.extract.core import ExtractConfig, extract_document
+from zerox_spark.extract.pdf import (
+    Document,
+    Name,
+    Stream,
+    _rc4,
+    real_pdf_to_pages,
+)
+from zerox_spark.synth import (
+    _assemble_pdf,
+    _pdf_content_v0,
+    _pdf_hex_2byte,
+    _pdf_real_layout,
+    expected_pdf_cjk_page,
+    expected_pdf_form_page,
+    expected_pdf_real_pages,
+    render_pdf_cjk,
+    render_pdf_crypt,
+    render_pdf_encrypted,
+    render_pdf_form,
+    render_pdf_real,
+)
+
+TEXT = " ".join(
+    ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4)
+    .split()[:35]
+)
+
+
+def _success_pages(payload: bytes):
+    return [
+        (p.page_no, p.markdown)
+        for p in extract_document(payload, None)
+        if p.status == "SUCCESS"
+    ]
+
+
+# --------------------------------------------------------------------------
+# AES / RC4 primitives
+
+
+class TestAesPrimitives:
+    def test_fips197_appendix_c_vectors(self):
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        cases = [
+            ("000102030405060708090a0b0c0d0e0f",
+             "69c4e0d86a7b0430d8cdb78070b4c55a"),
+            ("000102030405060708090a0b0c0d0e0f1011121314151617",
+             "dda97ca4864cdfe06eaf70a0ec0d7191"),
+            ("000102030405060708090a0b0c0d0e0f"
+             "101112131415161718191a1b1c1d1e1f",
+             "8ea2b7ca516745bfeafc49904b496089"),
+        ]
+        for key_hex, ct_hex in cases:
+            rk = aes.expand_key(bytes.fromhex(key_hex))
+            ct = aes.encrypt_block(rk, pt)
+            assert ct.hex() == ct_hex
+            assert aes.decrypt_block(rk, ct) == pt
+
+    @pytest.mark.parametrize("n", [0, 1, 15, 16, 17, 64, 257, 4096])
+    def test_cbc_roundtrip_all_block_shapes(self, n):
+        # n < 64 exercises the scalar path, n >= 64 the numpy bulk path
+        key, iv = bytes(range(16)), bytes(range(16, 32))
+        data = bytes((i * 7 + 3) % 256 for i in range(n))
+        assert aes.cbc_decrypt(key, iv, aes.cbc_encrypt(key, iv, data)) == data
+
+    def test_cbc_decrypt_scalar_equals_bulk(self):
+        key, iv = b"k" * 32, b"i" * 16
+        data = bytes(range(256)) * 2
+        enc = aes.cbc_encrypt(key, iv, data)
+        bulk = aes.cbc_decrypt(key, iv, enc)
+        # force the scalar path by decrypting block-by-block
+        rk = aes.expand_key(key)
+        prev, scalar = iv, b""
+        for i in range(0, len(enc), 16):
+            blk = enc[i : i + 16]
+            scalar += bytes(
+                a ^ b for a, b in zip(aes.decrypt_block(rk, blk), prev)
+            )
+            prev = blk
+        pad = scalar[-1]
+        assert scalar[:-pad] == bulk == data
+
+    def test_cbc_decrypt_tolerates_ragged_tail_and_bad_padding(self):
+        key, iv = b"0" * 16, b"1" * 16
+        enc = aes.cbc_encrypt(key, iv, b"payload")
+        # ragged tail: fragment dropped, whole blocks decrypt
+        assert aes.cbc_decrypt(key, iv, enc + b"xyz") == b"payload"
+        assert aes.cbc_decrypt(key, iv, b"short") == b""
+        # nopad mode leaves everything
+        raw = aes.cbc_decrypt(key, iv, enc, unpad=False)
+        assert raw[: len(b"payload")] == b"payload" and len(raw) == 16
+
+    def test_bad_key_length_rejected(self):
+        with pytest.raises(ValueError):
+            aes.expand_key(b"tooshort")
+
+    def test_rc4_known_answers(self):
+        # classic public vectors (Wikipedia / RFC 6229 style)
+        assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+        assert _rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+        assert _rc4(b"Secret", b"Attack at dawn").hex() == (
+            "45a01f645fc35b383552544b9bf5"
+        )
+
+    def test_hash_r6_deterministic_and_salt_sensitive(self):
+        a = aes.hash_r6(b"", b"saltsalt", b"")
+        assert a == aes.hash_r6(b"", b"saltsalt", b"") and len(a) == 32
+        assert a != aes.hash_r6(b"", b"other-s8", b"")
+        assert a != aes.hash_r6(b"", b"saltsalt", b"u" * 48)
+
+
+# --------------------------------------------------------------------------
+# encrypted PDFs
+
+
+class TestEncryptedPdfRoundtrip:
+    @pytest.mark.parametrize("mode", ["rc4", "aesv2", "aesv3"])
+    def test_empty_password_roundtrip(self, mode):
+        pdf = render_pdf_encrypted(7, TEXT, mode)
+        assert _success_pages(pdf) == expected_pdf_real_pages(7, TEXT)
+
+    def test_aesv2_stream_decrypts_byte_exactly(self):
+        # the decrypted+inflated first content stream must equal the
+        # plaintext content generator's bytes exactly
+        pdf = render_pdf_encrypted(3, TEXT, "aesv2")
+        doc = Document(pdf)
+        page = doc.pages()[0]
+        st_ = doc.resolve(page.get(Name("Contents")))
+        assert isinstance(st_, Stream)
+        height, lines = _pdf_real_layout(3, TEXT)[0]
+        assert doc.stream_bytes(st_) == _pdf_content_v0(lines)
+
+    def test_v5_wrong_user_password_contained(self):
+        pdf = render_pdf_encrypted(2, TEXT, "aesv3")
+        doc = Document(pdf)  # pull the real /U out of the valid fixture
+        # find the /U hex in the raw bytes and corrupt its validation hash
+        import re as _re
+
+        m = _re.search(rb"/U <([0-9a-f]{96})>", pdf)
+        assert m
+        bad_u = b"00" * 8 + m.group(1)[16:]
+        broken = pdf.replace(m.group(1), bad_u)
+        p = extract_document(broken, None)[0]
+        assert p.status == "ERROR"
+        assert "user password" in (p.error or "")
+        assert doc is not None
+
+    def test_v5_empty_owner_password_fallback(self):
+        # a fixture whose /U validation hash is wrong but whose /O was
+        # computed over that same /U: the empty-OWNER-password path must
+        # unwrap the file key from /OE (Algorithm 12)
+        import zerox_spark.synth as synth
+
+        fk = bytes(range(32))
+        uv, uk = b"uvuvuvuv", b"ukukukuk"
+        ov, ok_ = b"ovovovov", b"okokokok"
+        u = b"\x00" * 32 + uv + uk  # user validation can never pass
+        ue = aes.cbc_encrypt_nopad(
+            aes.hash_r6(b"", uk, b""), b"\x00" * 16, fk
+        )
+        o = aes.hash_r6(b"", ov, u[:48]) + ov + ok_
+        oe = aes.cbc_encrypt_nopad(
+            aes.hash_r6(b"", ok_, u[:48]), b"\x00" * 16, fk
+        )
+        perms_plain = (
+            (synth._CRYPT_P & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xffTadbzx5\x00"
+        )
+        perms = aes.ecb_encrypt_block(fk, perms_plain)
+        saved = synth._V5_CACHE
+        synth._V5_CACHE = (fk, u, ue, o, oe, perms)
+        try:
+            pdf = render_pdf_encrypted(12, TEXT, "aesv3")
+        finally:
+            synth._V5_CACHE = saved
+        assert _success_pages(pdf) == expected_pdf_real_pages(12, TEXT)
+
+    def test_v5_perms_tamper_contained(self):
+        pdf = render_pdf_encrypted(2, TEXT, "aesv3")
+        import re as _re
+
+        m = _re.search(rb"/Perms <([0-9a-f]{32})>", pdf)
+        assert m
+        broken = pdf.replace(m.group(1), b"00" * 16)
+        p = extract_document(broken, None)[0]
+        assert p.status == "ERROR"
+        assert "Perms" in (p.error or "")
+
+    def test_crypt_family_dispatch(self):
+        for doc_id in range(5):
+            got = _success_pages(render_pdf_crypt(doc_id, TEXT))
+            v = doc_id % 5
+            if v in (0, 1, 2):
+                assert got == expected_pdf_real_pages(doc_id, TEXT)
+            elif v == 3:
+                assert got == [(1, expected_pdf_form_page(doc_id))]
+            else:
+                assert got == [(1, expected_pdf_cjk_page(doc_id))]
+
+
+# --------------------------------------------------------------------------
+# AcroForm / annotations
+
+
+class TestAcroForm:
+    def test_filled_form_all_four_paths(self):
+        assert _success_pages(render_pdf_form(3, TEXT)) == [
+            (1, expected_pdf_form_page(3))
+        ]
+
+    def test_hidden_annotation_skipped(self):
+        pdf = render_pdf_form(3, TEXT).replace(
+            b"/Subtype /FreeText", b"/Subtype /FreeText /F 2"
+        )
+        md = _success_pages(pdf)[0][1]
+        assert "Note" not in md and "Applicant 3" in md
+
+    def test_unchecked_checkbox(self):
+        pdf = render_pdf_form(3, TEXT).replace(
+            b"/V /Yes /AS /Yes", b"/V /Off /AS /Off"
+        )
+        md = _success_pages(pdf)[0][1]
+        assert md.endswith("☐") and "☑" not in md
+
+
+# --------------------------------------------------------------------------
+# predefined CJK CMaps
+
+
+class TestCjkCmaps:
+    def test_ucs2_identity_cmap(self):
+        assert _success_pages(render_pdf_cjk(9, TEXT)) == [
+            (1, expected_pdf_cjk_page(9))
+        ]
+
+    def test_gbk_codec_cmap(self):
+        # GBK-EUC-H: the string bytes ARE GBK — mixed 1-/2-byte codes
+        txt = "中文abc测试"
+        hexs = "<" + txt.encode("gbk").hex() + ">"
+        content = f"BT /F1 14 Tf 72 700 Td {hexs} Tj ET".encode()
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthGBK"
+                b" /Encoding /GBK-EUC-H /DescendantFonts [6 0 R] >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                f"<< /Length {len(content)} >>\nstream\n".encode()
+                + content
+                + b"\nendstream"
+            ),
+            6: (
+                b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+                b" /SynthGBK /DW 1000 >>"
+            ),
+        }
+        pages = real_pdf_to_pages(_assemble_pdf(objs))
+        assert len(pages) == 1 and txt in pages[0][1]
+
+    def test_ucs2_cmap_without_tounicode_in_hexstring(self):
+        # direct parser-level check: 2-byte hex of BMP chars decodes by
+        # identity under UniJIS-UCS2-H too
+        txt = "日本語 text"
+        content = (
+            f"BT /F1 12 Tf 72 700 Td {_pdf_hex_2byte(txt)} Tj ET".encode()
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthJIS"
+                b" /Encoding /UniJIS-UCS2-H /DescendantFonts [6 0 R] >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                f"<< /Length {len(content)} >>\nstream\n".encode()
+                + content
+                + b"\nendstream"
+            ),
+            6: b"<< /Type /Font /Subtype /CIDFontType2 /DW 1000 >>",
+        }
+        pages = real_pdf_to_pages(_assemble_pdf(objs))
+        assert len(pages) == 1 and txt in pages[0][1]
+
+
+# --------------------------------------------------------------------------
+# damaged-PDF salvage
+
+
+class TestDamagedPdfSalvage:
+    def test_truncation_keeps_surviving_pages(self):
+        pdf = render_pdf_real(1, TEXT)
+        # cut just before page 2's content object (obj 7): page 1 survives
+        cut = pdf[: pdf.index(b"7 0 obj")]
+        got = _success_pages(cut)
+        assert got and got[0] == expected_pdf_real_pages(1, TEXT)[0]
+
+    def test_destroyed_catalog_salvages_orphan_pages(self):
+        pdf = render_pdf_real(1, TEXT)
+        broken = pdf.replace(
+            b"<< /Type /Catalog /Pages 2 0 R >>", b"<< /Damaged true >>"
+        ).replace(
+            b"<< /Type /Pages /Kids", b"<< /Type /Damaged /Kids"
+        )
+        assert _success_pages(broken) == expected_pdf_real_pages(1, TEXT)
+
+    def test_midstream_flate_truncation_keeps_prefix(self):
+        # variant 1 compresses its content; cutting INSIDE the final
+        # stream keeps the decodable prefix instead of dropping the page
+        pdf = render_pdf_real(1, TEXT)
+        tail_stream = pdf.rindex(b"stream\n")
+        cut = pdf[: tail_stream + 200]
+        got = _success_pages(cut)
+        assert got and got[0] == expected_pdf_real_pages(1, TEXT)[0]
+
+    def test_reference_pdf_prefix_truncation_never_garbage(self):
+        import pathlib
+
+        src = pathlib.Path("/root/reference/shared/inputs/0004.pdf")
+        if not src.exists():
+            pytest.skip("reference corpus not mounted")
+        data = src.read_bytes()
+        full_words = set()
+        for _, md, _ in real_pdf_to_pages(data):
+            full_words.update(md.split())
+        for frac in (0.9, 0.75, 0.6):
+            cut = data[: int(len(data) * frac)]
+            try:
+                pages = real_pdf_to_pages(cut)
+            except Exception:
+                continue  # contained whole-document error is acceptable
+            assert pages
+            # salvaged text must come from the real document — never
+            # mojibake/garbage. Partial pages reflow (table regions regroup
+            # when neighbor runs are missing, so intra-line spacing can
+            # shift), hence a ratio bound instead of exact containment.
+            for _, md, _ in pages:
+                salvaged = [
+                    w for w in md.split() if not w.startswith("<page_number>")
+                ]
+                hits = sum(1 for w in salvaged if w in full_words)
+                assert salvaged and hits / len(salvaged) >= 0.9, (
+                    hits,
+                    len(salvaged),
+                )
+
+
+# --------------------------------------------------------------------------
+# compressed payloads: cap pass-through + member fuzz
+
+
+class TestCompressedPayloads:
+    @staticmethod
+    def _low_compress_html() -> bytes:
+        # hex-word body: compresses < 2x, so the 4x output budget relative
+        # to the cap is not the limiting factor in these tests
+        import hashlib
+
+        paras = "".join(
+            f"<p>{hashlib.sha256(str(i).encode()).hexdigest()}</p>"
+            for i in range(600)
+        )
+        return b"<html><body>" + paras.encode() + b"</body></html>"
+
+    def test_oversized_gzip_passes_cap_whole(self):
+        # ADVICE r4: an oversized gzip body must NOT be byte-truncated
+        # before decompression (that corrupts the stream); it reaches the
+        # bounded decompressor whole and the INNER html is capped instead
+        body = self._low_compress_html()
+        gz = gzip.compress(body, 9)
+        cfg = ExtractConfig(max_payload_bytes=len(gz) - 1)
+        pages = extract_document(gz, None, cfg)
+        assert pages[0].status == "SUCCESS"
+        # the INNER html is capped at a tag boundary instead — the leading
+        # paragraphs survive (pre-fix this was a whole-document ERROR)
+        import hashlib
+
+        assert hashlib.sha256(b"0").hexdigest() in pages[0].markdown
+
+    def test_oversized_bzip2_passes_cap_whole(self):
+        import bz2
+
+        bz = bz2.compress(self._low_compress_html(), 9)
+        cfg = ExtractConfig(max_payload_bytes=len(bz) - 1)
+        pages = extract_document(bz, None, cfg)
+        assert pages[0].status == "SUCCESS"
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(pos=st.integers(min_value=0, max_value=10_000), bit=st.integers(0, 7))
+    def test_gzip_member_bitflip_contained(self, pos, bit):
+        # VERDICT r4 #7: bit-flip anywhere in a two-member gzip payload →
+        # full decode, keep-what-decoded truncation, or a contained
+        # ValueError — never an uncontained exception or a hang
+        from zerox_spark.extract.core import _gunzip_payload
+
+        m1 = gzip.compress(b"<p>first member body</p>" * 20)
+        m2 = gzip.compress(b"<p>second member body</p>" * 20)
+        payload = bytearray(m1 + m2)
+        payload[pos % len(payload)] ^= 1 << bit
+        cfg = ExtractConfig()
+        try:
+            out = _gunzip_payload(bytes(payload), cfg)
+        except ValueError:
+            return  # contained
+        assert isinstance(out, bytes) and out
+
+    def test_first_member_corrupt_boundary(self):
+        # VERDICT r4 #7 boundary: a corrupt FIRST member keeps its decoded
+        # output IF any chunk materialized before the error (output spans
+        # multiple 1 MB inflate chunks), and raises when nothing did
+        from zerox_spark.extract.core import _gunzip_payload
+
+        big = bytearray(gzip.compress(b"A" * 3_000_000))
+        big[-5] ^= 0xFF  # CRC fails AFTER ~2 chunks appended → keep
+        out = _gunzip_payload(bytes(big), ExtractConfig())
+        assert out.startswith(b"AAAA") and len(out) >= 1 << 20
+        small = bytearray(gzip.compress(b"A" * 1000))
+        small[-5] ^= 0xFF  # whole member decodes in one call → CRC error
+        with pytest.raises(ValueError):  # before any chunk appended
+            _gunzip_payload(bytes(small), ExtractConfig())
+
+    def test_zero_output_corrupt_gzip_raises(self):
+        from zerox_spark.extract.core import _gunzip_payload
+
+        junk = b"\x1f\x8b" + b"\x00" * 64
+        with pytest.raises(ValueError):
+            _gunzip_payload(junk, ExtractConfig())
+
+
+# --------------------------------------------------------------------------
+# ObjStm precedence by file offset
+
+
+class TestObjStmPrecedence:
+    @staticmethod
+    def _objstm_bytes(objnum: int, literal: bytes) -> bytes:
+        header = f"{objnum} 0 ".encode()
+        body = header + literal
+        return (
+            f"<< /Type /ObjStm /N 1 /First {len(header)}"
+            f" /Length {len(body)} >>\nstream\n".encode()
+            + body
+            + b"\nendstream"
+        )
+
+    def test_later_objstm_overrides_earlier_direct(self):
+        raw = (
+            b"%PDF-1.5\n"
+            b"5 0 obj\n(AAA)\nendobj\n"
+            b"6 0 obj\n" + self._objstm_bytes(5, b"(BBB)") + b"\nendobj\n"
+        )
+        assert Document(raw).objects[5] == b"BBB"
+
+    def test_later_direct_overrides_earlier_objstm(self):
+        raw = (
+            b"%PDF-1.5\n"
+            b"6 0 obj\n" + self._objstm_bytes(5, b"(BBB)") + b"\nendobj\n"
+            b"5 0 obj\n(AAA)\nendobj\n"
+        )
+        assert Document(raw).objects[5] == b"AAA"

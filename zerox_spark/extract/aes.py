@@ -1,0 +1,298 @@
+"""Pure-Python AES (FIPS-197) + CBC helpers for PDF standard security.
+
+Why hand-rolled: the container bans third-party installs and the stdlib has
+no AES, yet AES is how every post-2005 "owner-locked" PDF in a crawl is
+encrypted (Acrobat defaults to /AESV2 since PDF 1.6, /AESV3 since 1.7ext3).
+The reference consumes these transparently because its raster path shells
+out to poppler/ghostscript (node-zerox/src/utils/file.ts:153-207); the
+deterministic text-layer engine needs the cipher itself.
+
+Scale shape: CBC *decryption* is data-parallel — P_i = D(C_i) XOR C_{i-1}
+— so the hot path (decrypting every stream of every PDF in a partition)
+runs as one numpy-vectorized ECB pass over all blocks at once plus one
+shifted XOR. CBC *encryption* is inherently sequential; it only runs in
+fixture synthesis and in the R6 password hash (Algorithm 2.B), which is
+memoized per (password, salt, udata) so a corpus sharing an /Encrypt dict
+pays it once per executor process.
+
+Everything here derives from the public FIPS-197 spec and ISO 32000-1/2
+§7.6; no reference code exists for this (the reference has no cipher).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+try:  # numpy ships in the container; scalar fallback keeps imports soft
+    import numpy as _np
+except Exception:  # pragma: no cover
+    _np = None
+
+# -- tables (computed from the spec's GF(2^8) algebra, not pasted) ---------
+
+
+def _xtime(a: int) -> int:
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = _xtime(a)
+        b >>= 1
+    return p
+
+
+def _build_sbox() -> tuple[list[int], list[int]]:
+    # multiplicative inverse via 3 as generator, then the affine transform
+    sbox = [0] * 256
+    inv = [0] * 256
+    p = q = 1
+    while True:
+        p = p ^ _xtime(p)  # p *= 3
+        q ^= q << 1
+        q ^= q << 2
+        q ^= q << 4
+        q &= 0xFF
+        if q & 0x80:
+            q ^= 0x09
+        # q = p^-1; affine: q ^ rotl(q,1..4) ^ 0x63
+        x = q ^ ((q << 1) | (q >> 7)) ^ ((q << 2) | (q >> 6)) \
+            ^ ((q << 3) | (q >> 5)) ^ ((q << 4) | (q >> 4))
+        s = (x ^ 0x63) & 0xFF
+        sbox[p] = s
+        inv[s] = p
+        if p == 1:
+            break
+    sbox[0] = 0x63
+    inv[0x63] = 0
+    return sbox, inv
+
+
+_SBOX, _INV_SBOX = _build_sbox()
+_X2 = [_gmul(i, 2) for i in range(256)]
+_X3 = [_gmul(i, 3) for i in range(256)]
+_X9 = [_gmul(i, 9) for i in range(256)]
+_XB = [_gmul(i, 11) for i in range(256)]
+_XD = [_gmul(i, 13) for i in range(256)]
+_XE = [_gmul(i, 14) for i in range(256)]
+_RCON = [0x01]
+for _ in range(13):
+    _RCON.append(_xtime(_RCON[-1]))
+_RCON.insert(0, 0)  # 1-indexed in the spec
+
+# state layout: flat 16 bytes in FIPS input order (column-major:
+# index i holds row i%4 of column i//4)
+_SHIFT = [(4 * ((i // 4 + i % 4) % 4) + i % 4) for i in range(16)]
+_INV_SHIFT = [(4 * ((i // 4 - i % 4) % 4) + i % 4) for i in range(16)]
+
+
+def expand_key(key: bytes) -> list[int]:
+    """Round keys as one flat byte list (4*(Nr+1) words)."""
+    nk = len(key) // 4
+    if nk not in (4, 6, 8) or len(key) % 4:
+        raise ValueError(f"bad AES key length {len(key)}")
+    nr = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(w[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // nk]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [b for word in w for b in word]
+
+
+def encrypt_block(rk: list[int], block: bytes) -> bytes:
+    nr = len(rk) // 16 - 1
+    s = [b ^ k for b, k in zip(block, rk[:16])]
+    for rnd in range(1, nr):
+        s = [_SBOX[s[i]] for i in _SHIFT]
+        k = rk[16 * rnd : 16 * rnd + 16]
+        ns = [0] * 16
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c : c + 4]
+            ns[c] = _X2[a0] ^ _X3[a1] ^ a2 ^ a3 ^ k[c]
+            ns[c + 1] = a0 ^ _X2[a1] ^ _X3[a2] ^ a3 ^ k[c + 1]
+            ns[c + 2] = a0 ^ a1 ^ _X2[a2] ^ _X3[a3] ^ k[c + 2]
+            ns[c + 3] = _X3[a0] ^ a1 ^ a2 ^ _X2[a3] ^ k[c + 3]
+        s = ns
+    k = rk[16 * nr :]
+    return bytes(_SBOX[s[i]] ^ k[j] for j, i in enumerate(_SHIFT))
+
+
+def decrypt_block(rk: list[int], block: bytes) -> bytes:
+    nr = len(rk) // 16 - 1
+    s = [b ^ k for b, k in zip(block, rk[16 * nr :])]
+    for rnd in range(nr - 1, 0, -1):
+        s = [_INV_SBOX[s[i]] for i in _INV_SHIFT]
+        k = rk[16 * rnd : 16 * rnd + 16]
+        s = [b ^ k[j] for j, b in enumerate(s)]
+        ns = [0] * 16
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c : c + 4]
+            ns[c] = _XE[a0] ^ _XB[a1] ^ _XD[a2] ^ _X9[a3]
+            ns[c + 1] = _X9[a0] ^ _XE[a1] ^ _XB[a2] ^ _XD[a3]
+            ns[c + 2] = _XD[a0] ^ _X9[a1] ^ _XE[a2] ^ _XB[a3]
+            ns[c + 3] = _XB[a0] ^ _XD[a1] ^ _X9[a2] ^ _XE[a3]
+        s = ns
+    k = rk[:16]
+    return bytes(_INV_SBOX[s[i]] ^ k[j] for j, i in enumerate(_INV_SHIFT))
+
+
+# -- numpy bulk ECB decrypt (the stream-decryption hot path) ---------------
+
+_NP_TABLES = None
+
+
+def _np_tables():
+    global _NP_TABLES
+    if _NP_TABLES is None:
+        _NP_TABLES = {
+            "inv_sbox": _np.array(_INV_SBOX, dtype=_np.uint8),
+            "x9": _np.array(_X9, dtype=_np.uint8),
+            "xb": _np.array(_XB, dtype=_np.uint8),
+            "xd": _np.array(_XD, dtype=_np.uint8),
+            "xe": _np.array(_XE, dtype=_np.uint8),
+            "inv_shift": _np.array(_INV_SHIFT, dtype=_np.intp),
+        }
+    return _NP_TABLES
+
+
+def _ecb_decrypt_bulk(rk: list[int], data: bytes) -> bytes:
+    """Decrypt len(data)/16 blocks at once: every round transform is an
+    elementwise table gather / XOR over an (n_blocks, 16) array."""
+    t = _np_tables()
+    nr = len(rk) // 16 - 1
+    keys = _np.array(rk, dtype=_np.uint8).reshape(nr + 1, 16)
+    s = _np.frombuffer(data, dtype=_np.uint8).reshape(-1, 16) ^ keys[nr]
+    inv_shift, inv_sbox = t["inv_shift"], t["inv_sbox"]
+    x9, xb, xd, xe = t["x9"], t["xb"], t["xd"], t["xe"]
+    for rnd in range(nr - 1, 0, -1):
+        s = inv_sbox[s[:, inv_shift]] ^ keys[rnd]
+        cols = s.reshape(-1, 4, 4)  # (n, column, row)
+        a0, a1 = cols[:, :, 0], cols[:, :, 1]
+        a2, a3 = cols[:, :, 2], cols[:, :, 3]
+        ns = _np.empty_like(cols)
+        ns[:, :, 0] = xe[a0] ^ xb[a1] ^ xd[a2] ^ x9[a3]
+        ns[:, :, 1] = x9[a0] ^ xe[a1] ^ xb[a2] ^ xd[a3]
+        ns[:, :, 2] = xd[a0] ^ x9[a1] ^ xe[a2] ^ xb[a3]
+        ns[:, :, 3] = xb[a0] ^ xd[a1] ^ x9[a2] ^ xe[a3]
+        s = ns.reshape(-1, 16)
+    s = inv_sbox[s[:, inv_shift]] ^ keys[0]
+    return s.tobytes()
+
+
+# -- CBC + padding (ISO 32000-1 §7.6.2: 16-byte blocks, PKCS#7-style) ------
+
+
+def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Pad (always, per spec) then chain. Sequential by construction —
+    fixture-synthesis / key-derivation use only, never the extract path."""
+    pad = 16 - len(data) % 16
+    data += bytes([pad]) * pad
+    rk = expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = encrypt_block(rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+def cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Exact-multiple CBC without padding (the /UE //OE wrapping mode)."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs a block multiple")
+    rk = expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = encrypt_block(rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev)))
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt(key: bytes, iv: bytes, data: bytes, unpad: bool = True) -> bytes:
+    """Bulk CBC decrypt: one vectorized ECB pass + shifted XOR when numpy
+    is present, scalar otherwise. Tolerant unpadding — a malformed final
+    block keeps its bytes rather than failing the document."""
+    if len(data) % 16 or not data:
+        # tolerate ragged tails the way the rest of the parser tolerates
+        # damage: decrypt the whole blocks, drop the fragment
+        data = data[: len(data) - len(data) % 16]
+        if not data:
+            return b""
+    rk = expand_key(key)
+    if _np is not None and len(data) >= 64:
+        plain = _ecb_decrypt_bulk(rk, data)
+        buf = _np.frombuffer(plain, dtype=_np.uint8).copy()
+        prior = _np.frombuffer(iv + data[:-16], dtype=_np.uint8)
+        buf ^= prior
+        out = buf.tobytes()
+    else:
+        out_b = bytearray()
+        prev = iv
+        for i in range(0, len(data), 16):
+            blk = data[i : i + 16]
+            out_b += bytes(
+                a ^ b for a, b in zip(decrypt_block(rk, blk), prev)
+            )
+            prev = blk
+        out = bytes(out_b)
+    if unpad and out:
+        pad = out[-1]
+        if 1 <= pad <= 16 and out.endswith(bytes([pad]) * pad):
+            out = out[:-pad]
+    return out
+
+
+def ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
+    """Single-block ECB (the /Perms validation field)."""
+    return decrypt_block(expand_key(key), block[:16])
+
+
+def ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
+    return encrypt_block(expand_key(key), block[:16])
+
+
+# -- ISO 32000-2 Algorithm 2.B (the R6 password hash) ----------------------
+
+
+@lru_cache(maxsize=64)
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """SHA-256 → iterated AES-128-CBC/SHA-{256,384,512} KDF. Memoized: a
+    corpus whose documents share an /Encrypt dictionary derives once per
+    executor process instead of per document."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        rk = expand_key(k[:16])
+        prev = k[16:32]
+        e = bytearray()
+        for off in range(0, len(k1), 16):
+            prev = encrypt_block(
+                rk, bytes(a ^ b for a, b in zip(k1[off : off + 16], prev))
+            )
+            e += prev
+        # first 16 bytes of E as a big-endian integer mod 3 == digit-sum
+        # mod 3 (256 ≡ 1 mod 3), picks the next hash
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e).digest()
+            if mod == 0
+            else hashlib.sha384(e).digest()
+            if mod == 1
+            else hashlib.sha512(e).digest()
+        )
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]

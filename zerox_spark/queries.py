@@ -217,32 +217,43 @@ def q_extract_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.select("url", "page_no", "markdown")
 
 
+def q_extract_pdf_crypt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 real-world PDF gaps, driver-hashed (doc_id % 5 variants):
+    RC4 /V2, AES-128 /AESV2 and AES-256 /AESV3 encryption with empty
+    passwords (the 'owner-locked' crawl shape the reference decrypts
+    implicitly via poppler, node-zerox/src/utils/file.ts:153-207), a
+    filled AcroForm (appearance streams + /V fallbacks + checkbox ☑), and
+    a Type0 font on the predefined /UniGB-UCS2-H CJK CMap without
+    ToUnicode."""
+    from zerox_spark.synth import synth_pdf_crypt_pages
+
+    pages = synth_pdf_crypt_pages(spark, sf_dir)
+    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    return ex.select("url", "page_no", "markdown")
+
+
 def q_extract_binary_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary/media payloads (png/jpeg/gif/heic magics + magic-less
     high-entropy bytes) must yield contained ERROR rows, never SUCCESS
     mojibake (round-3 What's-wrong #1). ``kind`` is the guard's sniffed
-    reason, extracted from the contained error message."""
+    reason, extracted from the contained error message; ``media_kind`` /
+    ``n_bytes`` are media_metadata's independent sniff over the same
+    corpus (offset-based ftyp brands incl. heic — the C2
+    convertHeicToJpeg analog), folded in here so the driver checks both
+    in one registry slot (r4 driver/registry-drift fix)."""
     from zerox_spark.synth import synth_binary_pages
 
     pages = synth_binary_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(), NUM_BUCKETS)
-    return ex.select(
+    ex = extract_pages(pages, ExtractConfig(), NUM_BUCKETS).select(
         "url",
         "status",
         F.regexp_extract("error", r"\((\w+)", 1).alias("kind"),
         "content_length",
     )
-
-
-def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """media_metadata over the binary corpus: offset-based ftyp brands
-    (heic) and prefix magics route to typed media kinds — the C2
-    convertHeicToJpeg analog's sniffing, now firing on its named format."""
-    from zerox_spark.synth import synth_binary_pages
-
-    return media_metadata(synth_binary_pages(spark, sf_dir)).select(
+    sniff = media_metadata(synth_binary_pages(spark, sf_dir)).select(
         "url", "n_bytes", "media_kind"
     )
+    return ex.join(sniff, "url")
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,32 +439,30 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls is stripped from every page (repeated list items, shared code
     fences — what survives per-document extraction).
 
-    The extraction is STAGED to parquet first — dedup_lines' two branches
-    (boiler count, join-back) would otherwise each evaluate the expensive
-    extract lineage (see its docstring); running over the staged scan is
-    the operator's intended production consumption."""
-    import atexit
-    import shutil
-    import tempfile
-
+    The extraction is PERSISTED first — dedup_lines' two branches (boiler
+    count, join-back) would otherwise each evaluate the expensive extract
+    lineage (see its docstring). A cached InMemoryRelation is the same
+    materialization barrier the earlier parquet staging provided, without
+    owning a temp directory: nothing is left on disk after any number of
+    passes (r4 What's-wrong #2 — the atexit-cleaned staging root), and
+    the previous pass's cache is dropped on re-entry so repeated bench
+    rounds don't accumulate block-manager storage either."""
     from zerox_spark.operators.dedup import dedup_lines
 
-    # one staging root per Spark app, overwritten on every pass (bench runs
-    # this 3×) and removed at interpreter exit — the staged scan must
-    # outlive this function (lazy evaluation), so a try/finally can't own it
-    root = (
-        f"{tempfile.gettempdir()}/zx_line_dedup_"
-        f"{spark.sparkContext.applicationId}"
+    ex = (
+        _extracted(spark, sf_dir, maintain_format=True)
+        .select("url", "page_no", "markdown")
+        .persist()
     )
-    atexit.register(shutil.rmtree, root, ignore_errors=True)
-    staged = root + "/extracted"
-    _extracted(spark, sf_dir, maintain_format=True).select(
-        "url", "page_no", "markdown"
-    ).write.mode("overwrite").parquet(staged)
-    ex = spark.read.parquet(staged)
+    while _LINE_DEDUP_CACHE:
+        _LINE_DEDUP_CACHE.pop().unpersist(blocking=False)
+    _LINE_DEDUP_CACHE.append(ex)
     return dedup_lines(ex, min_docs=2).select(
         "url", "page_no", "clean_md", "n_removed"
     )
+
+
+_LINE_DEDUP_CACHE: list[DataFrame] = []
 
 
 def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -826,6 +835,76 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# consolidated registry slots (r4 Next-round #4: the driver checks at most
+# 50 queries; these fold same-corpus / same-shape families into one slot
+# each so queries() ≡ the driver-checked set again, losing no coverage)
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_meta ⋈ media_frames in one slot: per-payload metadata columns
+    joined to the frame-sampling fan-out, both value-checked against the
+    byte-level payload reconstruction (_PAYLOAD_CTE)."""
+    from zerox_spark.operators.multimodal import sample_frames
+    from zerox_spark.synth import synth_pages
+
+    pages = synth_pages(spark, sf_dir)
+    meta = media_metadata(pages).select("url", "n_bytes", "media_kind")
+    frames = sample_frames(pages).select("url", "frame_no", "ts_ms")
+    return meta.join(frames, "url")
+
+
+def q_text_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_counts ∪ fingerprints in one slot, as (kind, key, n1, n2,
+    payload) rows: kind='bigram' carries the top-100 corpus bigrams
+    (key=gram, n1=doc freq, n2=total count); kind='winnow' carries the
+    per-doc winnowing fingerprints (key=doc_id, n1=fingerprint count,
+    payload=comma-joined fingerprint list)."""
+    from zerox_spark.operators.textstats import ngram_counts
+
+    docs = _docs(spark, sf_dir)
+    grams = ngram_counts(docs, n=2, k=100).select(
+        F.lit("bigram").alias("kind"),
+        F.col("ngram").alias("key"),
+        F.col("n_docs").cast("long").alias("n1"),
+        F.col("n_total").cast("long").alias("n2"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    fp = fingerprints(docs).select(
+        F.lit("winnow").alias("kind"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.size("fp").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.array_join(
+            F.transform("fp", lambda x: x.cast("string")), ","
+        ).alias("payload"),
+    )
+    return grams.unionByName(fp)
+
+
+def q_recall_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three driver-hashed recall floors in one slot: (metric,
+    n_items, recall_floor_pct) for the SimHash 8-band blocking, the ANN
+    LSH path, and the IVF-flat path — each vs its declared exact ground
+    truth (see q_simhash_recall / _recall_floor for scope statements)."""
+    sim = q_simhash_recall(spark, sf_dir).select(
+        F.lit("simhash_band").alias("metric"),
+        F.col("n_docs").cast("long").alias("n_items"),
+        "recall_floor_pct",
+    )
+    lsh = q_ann_recall(spark, sf_dir).select(
+        F.lit("ann_lsh").alias("metric"),
+        F.col("n_queries").cast("long").alias("n_items"),
+        "recall_floor_pct",
+    )
+    ivf = q_ann_ivf_recall(spark, sf_dir).select(
+        F.lit("ann_ivf").alias("metric"),
+        F.col("n_queries").cast("long").alias("n_items"),
+        "recall_floor_pct",
+    )
+    return sim.unionByName(lsh).unionByName(ivf)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_markdown": q_extract_markdown,
     "extract_doc_agg": q_extract_doc_agg,
@@ -841,8 +920,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_misc": q_extract_misc,
     "extract_errors": q_extract_errors,
     "extract_pdf_real": q_extract_pdf_real,
+    "extract_pdf_crypt": q_extract_pdf_crypt,
     "extract_binary_guard": q_extract_binary_guard,
-    "media_sniff": q_media_sniff,
     "decontaminate": q_decontaminate,
     "url_canonical": q_url_canonical,
     "domain_stats": q_domain_stats,
@@ -854,14 +933,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram": q_dedup_ngram,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
-    "simhash_recall": q_simhash_recall,
     "line_dedup": q_line_dedup,
     "dedup_components": q_dedup_components,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
-    "ann_recall": q_ann_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
+    "recall_floors": q_recall_floors,
     "curation": q_curation,
     "asof_join": q_asof_join,
     "stratified_sample": q_stratified_sample,
@@ -877,10 +954,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "redact_pii": q_redact_pii,
     "repetition": q_repetition,
-    "ngram_counts": q_ngram_counts,
-    "fingerprints": q_fingerprints,
-    "media_meta": q_media_meta,
-    "media_frames": q_media_frames,
+    "text_signatures": q_text_signatures,
+    "media_pipeline": q_media_pipeline,
 }
 
 
@@ -1488,8 +1563,43 @@ SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown FROM (
   FROM docs
 )
 """,
-    # binary-guard contract: every payload kind maps to a contained ERROR
-    # with the guard's sniffed reason and zero content
+    # the encrypted/form/CJK family (doc_id % 5): RC4 / AESV2 / AESV3
+    # variants carry render_pdf_real's variant-0 layout → the same
+    # closed-form two pages; the AcroForm and CJK variants carry their own
+    # closed forms (synth.expected_pdf_form_page / expected_pdf_cjk_page,
+    # restated here independently)
+    "extract_pdf_crypt": f"""
+WITH docs AS (
+  SELECT doc_id, text, source, {_URL} AS url FROM documents
+)
+SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown FROM (
+  SELECT url, 1 AS page_no,
+    '# Document ' || doc_id || {_NL2} || text || {_NL2} ||
+    '<page_number>1</page_number>' AS markdown
+  FROM docs WHERE doc_id % 5 IN (0, 1, 2)
+  UNION ALL
+  SELECT url, 2 AS page_no,
+    '## Section ' || doc_id || {_NL2} ||
+    array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
+    || {_NL2} || '<page_number>2</page_number>' AS markdown
+  FROM docs WHERE doc_id % 5 IN (0, 1, 2)
+  UNION ALL
+  SELECT url, 1 AS page_no,
+    '# Form ' || doc_id || {_NL2} || 'Applicant ' || doc_id || {_NL2} ||
+    'Ref ' || ((doc_id * 7) % 1000) || {_NL2} ||
+    'Note ' || ((doc_id * 3) % 100) || {_NL2} || '☑' AS markdown
+  FROM docs WHERE doc_id % 5 = 3
+  UNION ALL
+  SELECT url, 1 AS page_no,
+    '# 文档 ' || doc_id || {_NL2} ||
+    '中文内容 第' || (doc_id % 7) || '节 测试' AS markdown
+  FROM docs WHERE doc_id % 5 = 4
+)
+""",
+    # binary-guard contract (media_sniff folded in, r4 registry
+    # consolidation): every payload kind maps to a contained ERROR with the
+    # guard's sniffed reason + zero content, joined to media_metadata's
+    # independent sniff (n_bytes + typed media kind) over the same corpus
     "extract_binary_guard": f"""
 WITH docs AS (
   SELECT doc_id, source, {_URL} AS url FROM documents
@@ -1498,14 +1608,7 @@ SELECT url, 'ERROR' AS status,
   CASE doc_id % 5
     WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
     WHEN 3 THEN 'heic' ELSE 'unprintable' END AS kind,
-  0 AS content_length
-FROM docs
-""",
-    "media_sniff": f"""
-WITH docs AS (
-  SELECT doc_id, source, {_URL} AS url FROM documents
-)
-SELECT url,
+  0 AS content_length,
   CAST(CASE doc_id % 5
     WHEN 0 THEN 264 WHEN 1 THEN 260 WHEN 2 THEN 262
     WHEN 3 THEN 268 ELSE 258 END AS BIGINT) AS n_bytes,
@@ -1606,10 +1709,15 @@ FROM expected GROUP BY url
     + """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM corpus GROUP BY text
 """,
-    "media_meta": _PAYLOAD_CTE
+    # media metadata ⋈ frame fan-out in one slot, both reconstructed from
+    # the byte-level payload CTE
+    "media_pipeline": _PAYLOAD_CTE
     + """
-SELECT url, CAST(strlen(payload) AS BIGINT) AS n_bytes, media_kind
-FROM payloads
+SELECT url, CAST(strlen(payload) AS BIGINT) AS n_bytes, media_kind,
+       CAST(f.frame_no AS INTEGER) AS frame_no,
+       CAST((f.frame_no - 1) * 1000 AS BIGINT) AS ts_ms
+FROM payloads,
+     LATERAL (SELECT unnest(range(1, 1 + strlen(payload) % 5 + 1)) AS frame_no) f
 """,
     # the full line-dedup algorithm restated over the expected-markdown CTE:
     # split to lines, count distinct urls per non-empty line, strip lines at
@@ -1638,46 +1746,56 @@ SELECT url, CAST(page_no AS INTEGER) AS page_no,
 FROM marked GROUP BY url, page_no
 HAVING coalesce(string_agg(CASE WHEN NOT is_b THEN ln END, chr(10) ORDER BY i), '') <> ''
 """,
-    # n_docs is closed-form from the injected-dup derivation; the floor IS
-    # 100 by pigeonhole (8 bands over a 64-bit hash at radius 7) — any
-    # banding/signature regression drops below and hash-mismatches
-    "simhash_recall": """
-SELECT CAST((SELECT count(*) FROM documents)
+    # the three recall floors in one slot. simhash n_docs is closed-form
+    # from the injected-dup derivation and its floor IS 100 by pigeonhole
+    # (8 bands over a 64-bit hash at radius 7) — any banding/signature
+    # regression drops below and hash-mismatches; the ANN floors restate
+    # _recall_floor's clamped constants
+    "recall_floors": f"""
+SELECT 'simhash_band' AS metric,
+       CAST((SELECT count(*) FROM documents)
      + (SELECT count(*) FROM documents WHERE doc_id % 10 = 4)
      + (SELECT count(*) FROM documents WHERE doc_id % 10 = 3) AS BIGINT)
-       AS n_docs,
+       AS n_items,
        CAST(100 AS BIGINT) AS recall_floor_pct
-""",
-    "ann_recall": f"""
-SELECT CAST(count(*) AS BIGINT) AS n_queries,
-       CAST({ANN_RECALL_FLOOR} AS BIGINT) AS recall_floor_pct
+UNION ALL
+SELECT 'ann_lsh', CAST(count(*) AS BIGINT),
+       CAST({ANN_RECALL_FLOOR} AS BIGINT)
+FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
+UNION ALL
+SELECT 'ann_ivf', CAST(count(*) AS BIGINT),
+       CAST({ANN_RECALL_FLOOR} AS BIGINT)
 FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
 """,
-    "ann_ivf_recall": f"""
-SELECT CAST(count(*) AS BIGINT) AS n_queries,
-       CAST({ANN_RECALL_FLOOR} AS BIGINT) AS recall_floor_pct
-FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
-""",
-    "ngram_counts": """
-WITH grams AS (
-  SELECT doc_id, unnest(list_transform(
-    range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
-    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
-  )) AS ngram
-  FROM documents
-),
-counts AS (
-  SELECT ngram, count(*) AS n_total FROM grams GROUP BY ngram
-),
-doc_freq AS (
-  SELECT ngram, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY ngram
+    # bigram table ∪ winnowing fingerprints in one slot (kind, key, n1,
+    # n2, payload) — both sub-oracles restated whole as subqueries
+    "text_signatures": f"""
+SELECT 'bigram' AS kind, ngram AS key, CAST(n_docs AS BIGINT) AS n1,
+       CAST(n_total AS BIGINT) AS n2, CAST(NULL AS VARCHAR) AS payload
+FROM (
+  WITH grams AS (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+    )) AS ngram
+    FROM documents
+  ),
+  counts AS (
+    SELECT ngram, count(*) AS n_total FROM grams GROUP BY ngram
+  ),
+  doc_freq AS (
+    SELECT ngram, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY ngram
+  )
+  SELECT c.ngram, d.n_docs, c.n_total
+  FROM counts c JOIN doc_freq d ON c.ngram = d.ngram
+  ORDER BY n_docs DESC, n_total DESC, c.ngram ASC
+  LIMIT 100
 )
-SELECT c.ngram, d.n_docs, c.n_total
-FROM counts c JOIN doc_freq d ON c.ngram = d.ngram
-ORDER BY n_docs DESC, n_total DESC, c.ngram ASC
-LIMIT 100
+UNION ALL
+SELECT 'winnow', CAST(doc_id AS VARCHAR), CAST(n_fp AS BIGINT),
+       CAST(NULL AS BIGINT), fp_str
+FROM ({_WINNOW_SQL})
 """,
-    "fingerprints": _WINNOW_SQL,
     # n_buckets/clean_buckets = NUM_BUCKETS: with ≥500 urls uniformly
     # xxhash64-spread over 64 buckets every bucket is occupied (verified
     # deterministic at the driver's sf; a future sf tiny enough to leave a
@@ -1707,13 +1825,6 @@ reach(node, comp) AS (
 SELECT node AS doc_id, min(comp) AS component FROM reach GROUP BY node
 """
     ),
-    "media_frames": _PAYLOAD_CTE
-    + """
-SELECT url, CAST(f.frame_no AS INTEGER) AS frame_no,
-       CAST((f.frame_no - 1) * 1000 AS BIGINT) AS ts_ms
-FROM payloads,
-     LATERAL (SELECT unnest(range(1, 1 + strlen(payload) % 5 + 1)) AS frame_no) f
-""",
     "dedup_ngram": _JACCARD_SQL,
     "dedup_minhash": _JACCARD_SQL,
     "dedup_embedding": f"""

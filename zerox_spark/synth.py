@@ -1114,7 +1114,13 @@ def render_pdf_real(doc_id: int, text: str) -> bytes:
                 + raw
                 + b"\nendstream"
             )
-    # assemble with a correct xref table
+    return _assemble_pdf(objs)
+
+
+def _assemble_pdf(objs: dict[int, bytes], trailer_extra: bytes = b"") -> bytes:
+    """Assemble numbered objects into a %PDF-1.4 file with a correct xref
+    table; ``trailer_extra`` appends entries (e.g. /Encrypt, /ID) inside
+    the trailer dictionary."""
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objs):
@@ -1130,8 +1136,9 @@ def render_pdf_real(doc_id: int, text: str) -> bytes:
         else:
             out += b"0000000000 65535 f \n"
     out += (
-        f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R >>\n"
-        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+        f"trailer\n<< /Size {maxnum + 1} /Root 1 0 R ".encode()
+        + trailer_extra
+        + f">>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(out)
 
@@ -1144,6 +1151,356 @@ def expected_pdf_real_pages(doc_id: int, text: str) -> list[tuple[int, str]]:
         (1, f"# Document {doc_id}\n\n{text}\n\n<page_number>1</page_number>"),
         (2, f"## Section {doc_id}\n\n{sect}\n\n<page_number>2</page_number>"),
     ]
+
+
+# --------------------------------------------------------------------------
+# encrypted / form / CJK PDF family (doc_id % 5 variants, one oracle):
+#   0: RC4 /V 2 /R 3          (legacy owner-locked)
+#   1: AES-128 /V 4 /AESV2    (the post-2005 Acrobat default)
+#   2: AES-256 /V 5 /R 6      (PDF 2.0 /AESV3, Algorithm-2.B hash)
+#   3: filled AcroForm        (widget /AP streams + /V fallbacks + ☑)
+#   4: CJK Type0 /UniGB-UCS2-H predefined CMap (no ToUnicode)
+# Variants 0-2 carry the SAME page layout as render_pdf_real's variant 0,
+# so their closed-form expected markdown is expected_pdf_real_pages;
+# 3 and 4 have their own closed forms below. All empty-password: the
+# ubiquitous "owner-locked" crawl case the reference decrypts implicitly
+# via poppler (node-zerox/src/utils/file.ts:153-207).
+
+_CRYPT_P = -4  # /P in both the dict and the key derivation — must agree
+
+
+def _det_bytes(tag: str, n: int) -> bytes:
+    """Deterministic pseudo-random bytes (fixtures must be closed-form)."""
+    import hashlib as _hl
+
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += _hl.sha256(f"{tag}:{i}".encode()).digest()
+        i += 1
+    return out[:n]
+
+
+def _rc4_owner_entry(r: int, n: int) -> bytes:
+    """Algorithm 3 with BOTH passwords empty."""
+    import hashlib as _hl
+
+    from zerox_spark.extract.pdf import _PAD, _rc4
+
+    key = _hl.md5(_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = _hl.md5(key[:n]).digest()
+    rc4key = key[:n]
+    o = _rc4(rc4key, _PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _rc4_file_key(o: bytes, first_id: bytes, r: int, n: int) -> bytes:
+    """Algorithm 2, empty user password."""
+    import hashlib as _hl
+
+    from zerox_spark.extract.pdf import _PAD
+
+    h = _hl.md5()
+    h.update(_PAD)
+    h.update(o[:32])
+    h.update((_CRYPT_P & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(first_id)
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = _hl.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _rc4_user_entry(file_key: bytes, first_id: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3+)."""
+    import hashlib as _hl
+
+    from zerox_spark.extract.pdf import _PAD, _rc4
+
+    if r == 2:
+        return _rc4(file_key, _PAD)
+    u = _rc4(file_key, _hl.md5(_PAD + first_id).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
+
+
+def _v5_material():
+    """The /V 5 /R 6 entries (U, UE, O, OE, Perms) for a FIXED file key and
+    fixed salts — fixed so the extractor's memoized Algorithm-2.B hash runs
+    once per executor process instead of once per document (the same
+    amortization a real corpus sharing an /Encrypt dict gets)."""
+    global _V5_CACHE
+    if _V5_CACHE is None:
+        from zerox_spark.extract import aes as _aes
+
+        fk = _det_bytes("v5-filekey", 32)
+        uv, uk = _det_bytes("v5-uvsalt", 8), _det_bytes("v5-uksalt", 8)
+        ov, ok_ = _det_bytes("v5-ovsalt", 8), _det_bytes("v5-oksalt", 8)
+        u = _aes.hash_r6(b"", uv, b"") + uv + uk
+        ue = _aes.cbc_encrypt_nopad(
+            _aes.hash_r6(b"", uk, b""), b"\x00" * 16, fk
+        )
+        o = _aes.hash_r6(b"", ov, u[:48]) + ov + ok_
+        oe = _aes.cbc_encrypt_nopad(
+            _aes.hash_r6(b"", ok_, u[:48]), b"\x00" * 16, fk
+        )
+        perms_plain = (
+            (_CRYPT_P & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff"
+            + b"T"  # /EncryptMetadata true
+            + b"adb"
+            + b"zx5\x00"
+        )
+        perms = _aes.ecb_encrypt_block(fk, perms_plain)
+        _V5_CACHE = (fk, u, ue, o, oe, perms)
+    return _V5_CACHE
+
+
+_V5_CACHE = None
+
+
+def _crypt_obj_key(file_key: bytes, num: int, mode: str) -> bytes:
+    import hashlib as _hl
+
+    if mode == "aesv3":
+        return file_key
+    salt = b"sAlT" if mode == "aesv2" else b""
+    h = _hl.md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + b"\x00\x00"  # gen 0
+        + salt
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _encrypt_stream_payload(
+    payload: bytes, num: int, mode: str, file_key: bytes, doc_id: int
+) -> bytes:
+    from zerox_spark.extract.pdf import _rc4
+
+    key = _crypt_obj_key(file_key, num, mode)
+    if mode == "rc4":
+        return _rc4(key, payload)
+    from zerox_spark.extract import aes as _aes
+
+    iv = _det_bytes(f"iv:{doc_id}:{num}", 16)
+    return iv + _aes.cbc_encrypt(key, iv, payload)
+
+
+def render_pdf_encrypted(doc_id: int, text: str, mode: str) -> bytes:
+    """render_pdf_real's variant-0 layout, encrypted with the standard
+    security handler (empty user + owner passwords)."""
+    layout = _pdf_real_layout(doc_id, text)
+    objs: dict[int, bytes] = {}
+    n_pages = len(layout)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    first_id = _det_bytes(f"id:{doc_id}", 16)
+    if mode == "rc4":
+        o = _rc4_owner_entry(3, 16)
+        fk = _rc4_file_key(o, first_id, 3, 16)
+        u = _rc4_user_entry(fk, first_id, 3)
+        encdict = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <%s> /U <%s>"
+            b" /P %d >>"
+            % (o.hex().encode(), u.hex().encode(), _CRYPT_P)
+        )
+    elif mode == "aesv2":
+        o = _rc4_owner_entry(4, 16)
+        fk = _rc4_file_key(o, first_id, 4, 16)
+        u = _rc4_user_entry(fk, first_id, 4)
+        encdict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P %d >>"
+            % (o.hex().encode(), u.hex().encode(), _CRYPT_P)
+        )
+    else:  # aesv3
+        fk, u5, ue, o5, oe, perms = _v5_material()
+        encdict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> /P %d >>"
+            % (
+                o5.hex().encode(),
+                u5.hex().encode(),
+                oe.hex().encode(),
+                ue.hex().encode(),
+                perms.hex().encode(),
+                _CRYPT_P,
+            )
+        )
+    for i, (height, lines) in enumerate(layout):
+        pnum, cnum = page_nums[i], page_nums[i] + 1
+        objs[pnum] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 {height:g}]"
+            f" /Resources << /Font << /F1 3 0 R >> >>"
+            f" /Contents {cnum} 0 R >>".encode()
+        )
+        raw = _pdf_content_v0(lines)
+        if mode == "rc4":
+            enc = _encrypt_stream_payload(raw, cnum, mode, fk, doc_id)
+            head = f"<< /Length {len(enc)} >>".encode()
+        else:
+            comp = _zlib.compress(raw)
+            enc = _encrypt_stream_payload(comp, cnum, mode, fk, doc_id)
+            head = (
+                f"<< /Length {len(enc)} /Filter /FlateDecode >>".encode()
+            )
+        objs[cnum] = head + b"\nstream\n" + enc + b"\nendstream"
+    objs[99] = encdict
+    idhex = first_id.hex().encode()
+    trailer_extra = b"/Encrypt 99 0 R /ID [<%s> <%s>] " % (idhex, idhex)
+    return _assemble_pdf(objs, trailer_extra)
+
+
+def render_pdf_form(doc_id: int, text: str) -> bytes:
+    """A filled AcroForm: a text field with an /AP appearance stream, a
+    text field with only /V, a FreeText note, and a checked checkbox —
+    the four widget-harvest paths (extract/pdf.py _harvest_annots)."""
+    val_a = f"Applicant {doc_id}"
+    val_b = f"Ref {(doc_id * 7) % 1000}"
+    note = f"Note {(doc_id * 3) % 100}"
+    ap_raw = f"BT /F1 11 Tf 2 6 Td ({_pdf_esc(val_a)}) Tj ET".encode()
+    objs: dict[int, bytes] = {}
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields"
+    objs[1] += b" [6 0 R 8 0 R] >> >>"
+    objs[2] = b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    objs[4] = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 3 0 R >> >>"
+        b" /Contents 5 0 R /Annots [6 0 R 8 0 R 9 0 R 10 0 R] >>"
+    )
+    content = f"BT /F1 20 Tf 72 720 Td (Form {doc_id}) Tj ET".encode()
+    objs[5] = (
+        f"<< /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream"
+    )
+    objs[6] = (
+        b"<< /Type /Annot /Subtype /Widget /FT /Tx /T (applicant)"
+        b" /V (" + _pdf_esc(val_a).encode() + b")"
+        b" /Rect [72 640 300 660] /AP << /N 7 0 R >> >>"
+    )
+    objs[7] = (
+        f"<< /Type /XObject /Subtype /Form /BBox [0 0 228 20]"
+        f" /Resources << /Font << /F1 3 0 R >> >>"
+        f" /Length {len(ap_raw)} >>\nstream\n".encode()
+        + ap_raw
+        + b"\nendstream"
+    )
+    objs[8] = (
+        b"<< /Type /Annot /Subtype /Widget /FT /Tx /T (ref)"
+        b" /V (" + _pdf_esc(val_b).encode() + b")"
+        b" /DA (/Helv 11 Tf 0 g) /Rect [72 600 300 620] >>"
+    )
+    objs[9] = (
+        b"<< /Type /Annot /Subtype /FreeText"
+        b" /Contents (" + _pdf_esc(note).encode() + b")"
+        b" /Rect [72 560 300 580] >>"
+    )
+    objs[10] = (
+        b"<< /Type /Annot /Subtype /Widget /FT /Btn /T (agree)"
+        b" /V /Yes /AS /Yes /Rect [72 520 92 540] >>"
+    )
+    return _assemble_pdf(objs)
+
+
+def expected_pdf_form_page(doc_id: int) -> str:
+    """Closed-form markdown for render_pdf_form (XY-cut order: heading,
+    AP-stream value, /V fallback value, FreeText note, checked box)."""
+    return (
+        f"# Form {doc_id}\n\nApplicant {doc_id}\n\n"
+        f"Ref {(doc_id * 7) % 1000}\n\nNote {(doc_id * 3) % 100}\n\n☑"
+    )
+
+
+_CJK_BODY = "中文内容 第{n}节 测试"
+
+
+def render_pdf_cjk(doc_id: int, text: str) -> bytes:
+    """A Type0 font with the PREDEFINED /UniGB-UCS2-H CMap and no
+    ToUnicode: the character code IS the UCS-2 code unit, which the parser
+    must decode by identity (extract/pdf.py Font.code_is_unicode)."""
+    head = f"文档 {doc_id}"
+    body = _CJK_BODY.format(n=doc_id % 7)
+    ops = (
+        f"BT /F1 20 Tf 1 0 0 1 72 720 Tm {_pdf_hex_2byte(head)} Tj ET\n"
+        f"BT /F1 11 Tf 1 0 0 1 72 680 Tm {_pdf_hex_2byte(body)} Tj ET"
+    ).encode("ascii")
+    comp = _zlib.compress(ops)
+    objs: dict[int, bytes] = {}
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthGB"
+        b" /Encoding /UniGB-UCS2-H /DescendantFonts [6 0 R] >>"
+    )
+    objs[4] = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 3 0 R >> >>"
+        b" /Contents 5 0 R >>"
+    )
+    objs[5] = (
+        f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+        + comp
+        + b"\nendstream"
+    )
+    objs[6] = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /SynthGB /DW 1000"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (GB1)"
+        b" /Supplement 5 >> >>"
+    )
+    return _assemble_pdf(objs)
+
+
+def expected_pdf_cjk_page(doc_id: int) -> str:
+    return f"# 文档 {doc_id}\n\n{_CJK_BODY.format(n=doc_id % 7)}"
+
+
+def render_pdf_crypt(doc_id: int, text: str) -> bytes:
+    v = doc_id % 5
+    if v == 0:
+        return render_pdf_encrypted(doc_id, text, "rc4")
+    if v == 1:
+        return render_pdf_encrypted(doc_id, text, "aesv2")
+    if v == 2:
+        return render_pdf_encrypted(doc_id, text, "aesv3")
+    if v == 3:
+        return render_pdf_form(doc_id, text)
+    return render_pdf_cjk(doc_id, text)
+
+
+def _row_pdf_crypt(doc_id: int, text: str, lang: str, source: str):
+    return render_pdf_crypt(doc_id, text), ""
+
+
+def synth_pdf_crypt_pages(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
+    """documents.parquet → pages whose payloads are encrypted (RC4/AESV2/
+    AESV3, empty passwords), filled-AcroForm, and predefined-CJK-CMap
+    %PDF-1.4 files — the round-5 real-world PDF gaps, end to end."""
+    return _pages_from_docs(spark, sf_dir, _row_pdf_crypt, num_partitions)
 
 
 def _row_taxonomy(doc_id: int, text: str, lang: str, source: str):
