@@ -131,6 +131,7 @@ def main() -> None:
         q_dedup_minhash,
         q_extract_doc_agg,
         q_extract_markdown,
+        q_extract_pdf_crypt,
         q_extract_pdf_real,
         q_quality_score,
         q_token_counts,
@@ -198,6 +199,7 @@ def main() -> None:
         ("extract_markdown", q_extract_markdown),
         ("extract_doc_agg", q_extract_doc_agg),
         ("extract_pdf_real", q_extract_pdf_real),
+        ("extract_pdf_crypt", q_extract_pdf_crypt),
         ("dedup_minhash", q_dedup_minhash),
         ("curation", q_curation),
         ("ann_topk", q_ann_topk),
