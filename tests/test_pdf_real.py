@@ -874,3 +874,13 @@ class TestCommittedCryptFixtures:
         p = extract_document(data, None)[0]
         assert p.status == "SUCCESS"
         assert p.markdown == "# 文档 44\n\n中文内容 第2节 测试"
+
+    def test_encrypted_form_fixture_floor(self):
+        # AES-128 encryption × AcroForm: string values (/V, /Contents,
+        # /DA) decrypt with their owning object's key
+        data = (_FIXTURE_DIR / "form_encrypted_aesv2.pdf").read_bytes()
+        p = extract_document(data, None)[0]
+        assert p.status == "SUCCESS"
+        assert p.markdown == (
+            "# Form 45\n\nApplicant 45\n\nRef 315\n\nNote 35\n\n☑"
+        )

@@ -251,6 +251,16 @@ class TestAcroForm:
         md = _success_pages(pdf)[0][1]
         assert md.endswith("☐") and "☑" not in md
 
+    @pytest.mark.parametrize("mode", ["rc4", "aesv2", "aesv3"])
+    def test_encrypted_form_strings_decrypt(self, mode):
+        # §7.6.2 encrypts STRINGS too: /V, FreeText /Contents, and /DA in
+        # an encrypted form must decrypt with their owning object's key —
+        # without string decryption, streams alone would garble the values
+        from zerox_spark.synth import render_pdf_form_encrypted
+
+        pdf = render_pdf_form_encrypted(8, TEXT, mode)
+        assert _success_pages(pdf) == [(1, expected_pdf_form_page(8))]
+
 
 # --------------------------------------------------------------------------
 # predefined CJK CMaps

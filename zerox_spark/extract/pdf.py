@@ -698,6 +698,8 @@ class Document:
         self.data = data
         self.objects: dict[int, object] = {}
         self._offsets: dict[int, int] = {}  # objnum → scan offset
+        self._gens: dict[int, int] = {}  # objnum → generation
+        self._objnums: dict[int, int] | None = None  # id(obj) → objnum
         self._decoded: dict[int, bytes] = {}
         self._fonts: dict[int, "Font"] = {}  # keyed by id(font dict)
         self._budget = MAX_TOTAL_DECOMPRESSED
@@ -734,6 +736,7 @@ class Document:
             # object (and vice versa), so _expand_object_streams compares
             # the container's offset against this one
             self._offsets[int(m.group(1))] = m.start()
+            self._gens[int(m.group(1))] = int(m.group(2))
             next_ok = lex.pos
 
     def _setup_encryption(self) -> None:
@@ -813,6 +816,21 @@ class Document:
             obj = self.objects.get(obj.num)
             depth += 1
         return obj
+
+    def decrypt_string(self, owner, data: bytes) -> bytes:
+        """Decrypt a text STRING pulled from top-level object ``owner``
+        (§7.6.2: strings use the same per-object keys as streams; the
+        linear scan leaves them raw). Best-effort: an owner that is not a
+        scanned top-level object (rare) passes through undecrypted rather
+        than failing the harvest."""
+        if self.crypt is None or self.crypt.cfm == "identity":
+            return data
+        if self._objnums is None:
+            self._objnums = {id(o): n for n, o in self.objects.items()}
+        num = self._objnums.get(id(owner))
+        if num is None:
+            return data
+        return self.crypt.decrypt(num, self._gens.get(num, 0), data)
 
     # -- streams -----------------------------------------------------------
 
@@ -1905,11 +1923,13 @@ _DA_SIZE_RE = re.compile(r"(?:^|\s)(\d+(?:\.\d+)?)\s+Tf(?:\s|$)")
 
 def _field_value(doc: Document, annot: dict):
     """A widget's /V (and /FT), chasing /Parent inheritance (§12.7.3.1):
-    a kid widget of a field carries the value on the PARENT dict."""
-    node, ft, v = annot, None, None
+    a kid widget of a field carries the value on the PARENT dict. Returns
+    (ft, v, owner) — the owner dict is the string's encryption scope."""
+    node, ft, v, owner = annot, None, None, annot
     for _ in range(8):
         if v is None and Name("V") in node:
             v = doc.resolve(node.get(Name("V")))
+            owner = node
         if ft is None:
             f = doc.resolve(node.get(Name("FT")))
             if isinstance(f, Name):
@@ -1918,7 +1938,7 @@ def _field_value(doc: Document, annot: dict):
         if not isinstance(parent, dict) or (v is not None and ft is not None):
             break
         node = parent
-    return ft, v
+    return ft, v, owner
 
 
 def _harvest_annots(
@@ -1976,17 +1996,23 @@ def _harvest_annots(
             continue  # the appearance stream supplied the rendered text
         # no (usable) appearance stream → the value itself, at /Rect
         if subtype == Name("FreeText"):
-            txt = _pdf_text_string(doc.resolve(a.get(Name("Contents"))))
+            v = doc.resolve(a.get(Name("Contents")))
+            if isinstance(v, bytes):
+                v = doc.decrypt_string(a, v)
+            txt = _pdf_text_string(v)
         else:
-            ft, v = _field_value(doc, a)
+            ft, v, owner = _field_value(doc, a)
             if ft == Name("Btn"):
                 # checkbox/radio: on-state name ≠ /Off → the dialect's
-                # checked box (markdown.py's ☑/☐ contract)
+                # checked box (markdown.py's ☑/☐ contract; names are
+                # never encrypted)
                 if isinstance(v, Name):
                     txt = "☐" if str(v) == "Off" else "☑"
                 else:
                     txt = "☐"
             else:
+                if isinstance(v, bytes):
+                    v = doc.decrypt_string(owner, v)
                 txt = _pdf_text_string(v)
         txt = " ".join(txt.split())
         if not txt:
@@ -1994,6 +2020,7 @@ def _harvest_annots(
         size = 11.0
         da = doc.resolve(a.get(Name("DA")))
         if isinstance(da, bytes):
+            da = doc.decrypt_string(a, da)
             m = _DA_SIZE_RE.search(da.decode("latin-1", errors="ignore"))
             if m and float(m.group(1)) > 0:
                 size = float(m.group(1))

@@ -1181,8 +1181,13 @@ def _det_bytes(tag: str, n: int) -> bytes:
     return out[:n]
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
 def _rc4_owner_entry(r: int, n: int) -> bytes:
-    """Algorithm 3 with BOTH passwords empty."""
+    """Algorithm 3 with BOTH passwords empty (constant per (r, n) —
+    cached so per-doc fixture rendering skips the 50-round MD5 chain)."""
     import hashlib as _hl
 
     from zerox_spark.extract.pdf import _PAD, _rc4
@@ -1295,20 +1300,9 @@ def _encrypt_stream_payload(
     return iv + _aes.cbc_encrypt(key, iv, payload)
 
 
-def render_pdf_encrypted(doc_id: int, text: str, mode: str) -> bytes:
-    """render_pdf_real's variant-0 layout, encrypted with the standard
-    security handler (empty user + owner passwords)."""
-    layout = _pdf_real_layout(doc_id, text)
-    objs: dict[int, bytes] = {}
-    n_pages = len(layout)
-    page_nums = [4 + 2 * i for i in range(n_pages)]
-    kids = " ".join(f"{n} 0 R" for n in page_nums)
-    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
-    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
-    objs[3] = (
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
-        b" /Encoding /WinAnsiEncoding >>"
-    )
+def _crypt_material(mode: str, doc_id: int) -> tuple[bytes, bytes, bytes]:
+    """(file_key, /Encrypt dict bytes, first /ID) for a standard-handler
+    fixture with empty user + owner passwords."""
     first_id = _det_bytes(f"id:{doc_id}", 16)
     if mode == "rc4":
         o = _rc4_owner_entry(3, 16)
@@ -1345,6 +1339,24 @@ def render_pdf_encrypted(doc_id: int, text: str, mode: str) -> bytes:
                 _CRYPT_P,
             )
         )
+    return fk, encdict, first_id
+
+
+def render_pdf_encrypted(doc_id: int, text: str, mode: str) -> bytes:
+    """render_pdf_real's variant-0 layout, encrypted with the standard
+    security handler (empty user + owner passwords)."""
+    layout = _pdf_real_layout(doc_id, text)
+    objs: dict[int, bytes] = {}
+    n_pages = len(layout)
+    page_nums = [4 + 2 * i for i in range(n_pages)]
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    objs[3] = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding /WinAnsiEncoding >>"
+    )
+    fk, encdict, first_id = _crypt_material(mode, doc_id)
     for i, (height, lines) in enumerate(layout):
         pnum, cnum = page_nums[i], page_nums[i] + 1
         objs[pnum] = (
@@ -1369,17 +1381,44 @@ def render_pdf_encrypted(doc_id: int, text: str, mode: str) -> bytes:
     return _assemble_pdf(objs, trailer_extra)
 
 
-def render_pdf_form(doc_id: int, text: str) -> bytes:
+def render_pdf_form(
+    doc_id: int, text: str, _crypt: tuple[str, bytes] | None = None
+) -> bytes:
     """A filled AcroForm: a text field with an /AP appearance stream, a
     text field with only /V, a FreeText note, and a checked checkbox —
-    the four widget-harvest paths (extract/pdf.py _harvest_annots)."""
+    the four widget-harvest paths (extract/pdf.py _harvest_annots).
+    With ``_crypt=(mode, file_key)``, every string AND stream is encrypted
+    with its owning object's key (§7.6.2 encrypts strings too — the
+    harvest must decrypt /V //Contents //DA before reading them)."""
+
+    def s(txt: str, num: int) -> bytes:
+        if _crypt is None:
+            return b"(" + _pdf_esc(txt).encode() + b")"
+        mode, fk = _crypt
+        enc = _encrypt_stream_payload(
+            txt.encode("latin-1"), num, mode, fk, doc_id
+        )
+        return b"<" + enc.hex().encode() + b">"
+
+    def stream_obj(head: bytes, raw: bytes, num: int) -> bytes:
+        if _crypt is not None:
+            mode, fk = _crypt
+            raw = _encrypt_stream_payload(raw, num, mode, fk, doc_id)
+        return (
+            head + f" /Length {len(raw)} >>\nstream\n".encode()
+            + raw
+            + b"\nendstream"
+        )
+
     val_a = f"Applicant {doc_id}"
     val_b = f"Ref {(doc_id * 7) % 1000}"
     note = f"Note {(doc_id * 3) % 100}"
     ap_raw = f"BT /F1 11 Tf 2 6 Td ({_pdf_esc(val_a)}) Tj ET".encode()
     objs: dict[int, bytes] = {}
-    objs[1] = b"<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields"
-    objs[1] += b" [6 0 R 8 0 R] >> >>"
+    objs[1] = (
+        b"<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields"
+        b" [6 0 R 8 0 R] >> >>"
+    )
     objs[2] = b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
     objs[3] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
@@ -1391,38 +1430,52 @@ def render_pdf_form(doc_id: int, text: str) -> bytes:
         b" /Contents 5 0 R /Annots [6 0 R 8 0 R 9 0 R 10 0 R] >>"
     )
     content = f"BT /F1 20 Tf 72 720 Td (Form {doc_id}) Tj ET".encode()
-    objs[5] = (
-        f"<< /Length {len(content)} >>\nstream\n".encode()
-        + content
-        + b"\nendstream"
-    )
+    objs[5] = stream_obj(b"<<", content, 5)
     objs[6] = (
-        b"<< /Type /Annot /Subtype /Widget /FT /Tx /T (applicant)"
-        b" /V (" + _pdf_esc(val_a).encode() + b")"
-        b" /Rect [72 640 300 660] /AP << /N 7 0 R >> >>"
+        b"<< /Type /Annot /Subtype /Widget /FT /Tx /T " + s("applicant", 6)
+        + b" /V " + s(val_a, 6)
+        + b" /Rect [72 640 300 660] /AP << /N 7 0 R >> >>"
     )
-    objs[7] = (
-        f"<< /Type /XObject /Subtype /Form /BBox [0 0 228 20]"
-        f" /Resources << /Font << /F1 3 0 R >> >>"
-        f" /Length {len(ap_raw)} >>\nstream\n".encode()
-        + ap_raw
-        + b"\nendstream"
+    objs[7] = stream_obj(
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 228 20]"
+        b" /Resources << /Font << /F1 3 0 R >> >>",
+        ap_raw,
+        7,
     )
     objs[8] = (
-        b"<< /Type /Annot /Subtype /Widget /FT /Tx /T (ref)"
-        b" /V (" + _pdf_esc(val_b).encode() + b")"
-        b" /DA (/Helv 11 Tf 0 g) /Rect [72 600 300 620] >>"
+        b"<< /Type /Annot /Subtype /Widget /FT /Tx /T " + s("ref", 8)
+        + b" /V " + s(val_b, 8)
+        + b" /DA " + s("/Helv 11 Tf 0 g", 8)
+        + b" /Rect [72 600 300 620] >>"
     )
     objs[9] = (
         b"<< /Type /Annot /Subtype /FreeText"
-        b" /Contents (" + _pdf_esc(note).encode() + b")"
-        b" /Rect [72 560 300 580] >>"
+        b" /Contents " + s(note, 9)
+        + b" /Rect [72 560 300 580] >>"
     )
     objs[10] = (
-        b"<< /Type /Annot /Subtype /Widget /FT /Btn /T (agree)"
-        b" /V /Yes /AS /Yes /Rect [72 520 92 540] >>"
+        b"<< /Type /Annot /Subtype /Widget /FT /Btn /T " + s("agree", 10)
+        + b" /V /Yes /AS /Yes /Rect [72 520 92 540] >>"
     )
-    return _assemble_pdf(objs)
+    if _crypt is None:
+        return _assemble_pdf(objs)
+    mode, fk = _crypt
+    _, encdict, first_id = _crypt_material(mode, doc_id)
+    objs[99] = encdict
+    idhex = first_id.hex().encode()
+    return _assemble_pdf(
+        objs, b"/Encrypt 99 0 R /ID [<%s> <%s>] " % (idhex, idhex)
+    )
+
+
+def render_pdf_form_encrypted(
+    doc_id: int, text: str, mode: str = "aesv2"
+) -> bytes:
+    """An ENCRYPTED filled AcroForm — the composition that silently loses
+    data if string decryption is missing (streams alone would render the
+    page heading and AP value but garble /V //Contents //DA)."""
+    fk, _, _ = _crypt_material(mode, doc_id)
+    return render_pdf_form(doc_id, text, _crypt=(mode, fk))
 
 
 def expected_pdf_form_page(doc_id: int) -> str:
