@@ -511,3 +511,147 @@ class TestObjStmPrecedence:
             b"5 0 obj\n(AAA)\nendobj\n"
         )
         assert Document(raw).objects[5] == b"AAA"
+
+
+# --------------------------------------------------------------------------
+# security-handler edge shapes (mixed crypt filters, R5, EncryptMetadata)
+
+
+class TestSecurityHandlerEdges:
+    def test_mixed_stmf_identity_strf_aes(self):
+        # /StmF Identity + /StrF StdCF: streams are PLAIN, strings are
+        # AES-encrypted — each side must use its own filter mode
+        import zerox_spark.synth as synth
+
+        fk, encdict, first_id = synth._crypt_material("aesv2", 21)
+        encdict = encdict.replace(b"/StmF /StdCF", b"/StmF /Identity")
+        val = "OnlyStringsEncrypted 21"
+        enc_v = synth._encrypt_stream_payload(
+            val.encode("latin-1"), 6, "aesv2", fk, 21
+        )
+        content = b"BT /F1 20 Tf 72 720 Td (Heading 21) Tj ET"  # plain
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R /Annots [6 0 R] >>"
+            ),
+            5: (
+                f"<< /Length {len(content)} >>\nstream\n".encode()
+                + content
+                + b"\nendstream"
+            ),
+            6: (
+                b"<< /Type /Annot /Subtype /Widget /FT /Tx"
+                b" /V <" + enc_v.hex().encode() + b">"
+                b" /Rect [72 640 300 660] >>"
+            ),
+            99: encdict,
+        }
+        idhex = first_id.hex().encode()
+        pdf = synth._assemble_pdf(
+            objs, b"/Encrypt 99 0 R /ID [<%s> <%s>] " % (idhex, idhex)
+        )
+        md = _success_pages(pdf)[0][1]
+        assert "Heading 21" in md and val in md
+
+    def test_v5_r5_plain_sha256_validation(self):
+        # the deprecated-but-seen /R 5 shape: validation and key hashes
+        # are single SHA-256 passes, not Algorithm 2.B
+        import hashlib
+
+        import zerox_spark.synth as synth
+
+        fk = bytes(range(32))
+        uv, uk = b"r5uvsalt", b"r5uksalt"
+        ov, ok_ = b"r5ovsalt", b"r5oksalt"
+        u = hashlib.sha256(b"" + uv).digest() + uv + uk
+        ue = aes.cbc_encrypt_nopad(
+            hashlib.sha256(b"" + uk).digest(), b"\x00" * 16, fk
+        )
+        o = hashlib.sha256(b"" + ov + u[:48]).digest() + ov + ok_
+        oe = aes.cbc_encrypt_nopad(
+            hashlib.sha256(b"" + ok_ + u[:48]).digest(), b"\x00" * 16, fk
+        )
+        perms = aes.ecb_encrypt_block(
+            fk,
+            (synth._CRYPT_P & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xffTadbzx5\x00",
+        )
+        saved = synth._V5_CACHE
+        synth._V5_CACHE = (fk, u, ue, o, oe, perms)
+        try:
+            pdf = render_pdf_encrypted(17, TEXT, "aesv3").replace(
+                b"/V 5 /R 6", b"/V 5 /R 5"
+            )
+        finally:
+            synth._V5_CACHE = saved
+        assert _success_pages(pdf) == expected_pdf_real_pages(17, TEXT)
+
+    def test_v4_encrypt_metadata_false_key_derivation(self):
+        # /EncryptMetadata false appends ffffffff to the MD5 key input
+        # (Algorithm 2 step f) — a handler that ignores the flag derives
+        # the wrong key and the /U check must NOT be what saves it
+        import hashlib
+
+        import zerox_spark.synth as synth
+
+        o = synth._rc4_owner_entry(4, 16)
+        first_id = b"\xab" * 16
+        from zerox_spark.extract.pdf import _PAD
+
+        h = hashlib.md5()
+        h.update(_PAD)
+        h.update(o[:32])
+        h.update((synth._CRYPT_P & 0xFFFFFFFF).to_bytes(4, "little"))
+        h.update(first_id)
+        h.update(b"\xff\xff\xff\xff")  # the flag's contribution
+        key = h.digest()
+        for _ in range(50):
+            key = hashlib.md5(key[:16]).digest()
+        fk = key[:16]
+        u = synth._rc4_user_entry(fk, first_id, 4)
+        content = b"BT /F1 20 Tf 72 720 Td (MetaOff doc) Tj ET"
+        iv = b"\x11" * 16
+        okey = hashlib.md5(
+            fk + (5).to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+        ).digest()[:16]
+        enc_content = iv + aes.cbc_encrypt(okey, iv, content)
+        encdict = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+            b" /EncryptMetadata false"
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P %d >>"
+            % (o.hex().encode(), u.hex().encode(), synth._CRYPT_P)
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+                + enc_content
+                + b"\nendstream"
+            ),
+            99: encdict,
+        }
+        idhex = first_id.hex().encode()
+        pdf = synth._assemble_pdf(
+            objs, b"/Encrypt 99 0 R /ID [<%s> <%s>] " % (idhex, idhex)
+        )
+        md = _success_pages(pdf)[0][1]
+        assert "MetaOff doc" in md

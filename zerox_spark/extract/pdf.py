@@ -553,28 +553,36 @@ class _StandardCrypt:
             raise PdfError(f"unsupported security handler {filt}")
         v = int(resolve(enc.get(Name("V"))) or 0)
         r = int(resolve(enc.get(Name("R"))) or 2)
-        self.cfm = "rc4"
+        self.cfm = "rc4"  # stream filter mode
+        self.str_cfm = "rc4"  # string filter mode (/StrF may differ)
         if v == 5:
             self._setup_v5(enc, r, resolve)
             return
         if v == 4:
-            # crypt filters: route through the named stream filter's /CFM
-            cf = resolve(enc.get(Name("CF"))) or {}
-            stmf = resolve(enc.get(Name("StmF"))) or Name("Identity")
-            if stmf == Name("Identity"):
-                self.key = b""
-                self.cfm = "identity"
-                return
-            stdcf = resolve(cf.get(stmf)) if isinstance(cf, dict) else None
-            cfm = (
-                resolve(stdcf.get(Name("CFM")))
-                if isinstance(stdcf, dict)
-                else None
-            )
-            if cfm == Name("AESV2"):
-                self.cfm = "aesv2"
-            elif cfm not in (Name("V2"), None):
+            # crypt filters: streams route through /StmF, strings through
+            # /StrF — they usually name the same /StdCF but MAY differ
+            def filter_mode(which: str) -> str:
+                cf = resolve(enc.get(Name("CF"))) or {}
+                name = resolve(enc.get(Name(which))) or Name("Identity")
+                if name == Name("Identity"):
+                    return "identity"
+                stdcf = resolve(cf.get(name)) if isinstance(cf, dict) else None
+                cfm = (
+                    resolve(stdcf.get(Name("CFM")))
+                    if isinstance(stdcf, dict)
+                    else None
+                )
+                if cfm == Name("AESV2"):
+                    return "aesv2"
+                if cfm in (Name("V2"), None):
+                    return "rc4"
                 raise PdfError(f"encrypted PDF (crypt filter {cfm})")
+
+            self.cfm = filter_mode("StmF")
+            self.str_cfm = filter_mode("StrF")
+            if self.cfm == "identity" and self.str_cfm == "identity":
+                self.key = b""
+                return
         elif v not in (1, 2):
             raise PdfError(f"encrypted PDF (unsupported /V {v})")
         length = int(resolve(enc.get(Name("Length"))) or 40)
@@ -625,7 +633,7 @@ class _StandardCrypt:
 
         from zerox_spark.extract import aes
 
-        self.cfm = "aesv3"
+        self.cfm = self.str_cfm = "aesv3"
         u = resolve(enc.get(Name("U")))
         o = resolve(enc.get(Name("O")))
         ue = resolve(enc.get(Name("UE")))
@@ -663,12 +671,12 @@ class _StandardCrypt:
             if dec[9:12] != b"adb":
                 raise PdfError("encrypted PDF (/Perms validation failed)")
 
-    def object_key(self, num: int, gen: int) -> bytes:
+    def object_key(self, num: int, gen: int, mode: str) -> bytes:
         import hashlib
 
-        if self.cfm == "aesv3":
+        if mode == "aesv3":
             return self.key  # /V 5: the file key IS the object key
-        salt = b"sAlT" if self.cfm == "aesv2" else b""
+        salt = b"sAlT" if mode == "aesv2" else b""
         h = hashlib.md5(
             self.key
             + (num & 0xFFFFFF).to_bytes(3, "little")
@@ -677,18 +685,26 @@ class _StandardCrypt:
         ).digest()
         return h[: min(len(self.key) + 5, 16)]
 
-    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        if self.cfm == "identity":
+    def _apply(self, mode: str, num: int, gen: int, data: bytes) -> bytes:
+        if mode == "identity":
             return data
-        if self.cfm in ("aesv2", "aesv3"):
+        if mode in ("aesv2", "aesv3"):
             if len(data) < 16:
                 return b""
             from zerox_spark.extract import aes
 
             return aes.cbc_decrypt(
-                self.object_key(num, gen), data[:16], data[16:]
+                self.object_key(num, gen, mode), data[:16], data[16:]
             )
-        return _rc4(self.object_key(num, gen), data)
+        return _rc4(self.object_key(num, gen, mode), data)
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        """Stream decryption (/StmF mode)."""
+        return self._apply(self.cfm, num, gen, data)
+
+    def decrypt_str(self, num: int, gen: int, data: bytes) -> bytes:
+        """String decryption (/StrF mode — may differ from /StmF)."""
+        return self._apply(self.str_cfm, num, gen, data)
 
 
 class Document:
@@ -823,14 +839,14 @@ class Document:
         linear scan leaves them raw). Best-effort: an owner that is not a
         scanned top-level object (rare) passes through undecrypted rather
         than failing the harvest."""
-        if self.crypt is None or self.crypt.cfm == "identity":
+        if self.crypt is None or self.crypt.str_cfm == "identity":
             return data
         if self._objnums is None:
             self._objnums = {id(o): n for n, o in self.objects.items()}
         num = self._objnums.get(id(owner))
         if num is None:
             return data
-        return self.crypt.decrypt(num, self._gens.get(num, 0), data)
+        return self.crypt.decrypt_str(num, self._gens.get(num, 0), data)
 
     # -- streams -----------------------------------------------------------
 
