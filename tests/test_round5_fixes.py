@@ -655,3 +655,121 @@ class TestSecurityHandlerEdges:
         )
         md = _success_pages(pdf)[0][1]
         assert "MetaOff doc" in md
+
+
+# --------------------------------------------------------------------------
+# encrypted Office (MS-OFFCRYPTO, default password "VelvetSweatshop")
+
+
+class TestEncryptedOffice:
+    @staticmethod
+    def _expected_pages(doc_id: int):
+        from zerox_spark.extract.core import extract_document
+        from zerox_spark.synth import render_xlsx
+
+        return [
+            (p.page_no, p.markdown)
+            for p in extract_document(render_xlsx(doc_id), None)
+        ]
+
+    @pytest.mark.parametrize("mode", ["standard", "agile"])
+    def test_ooxml_roundtrip(self, mode):
+        import hashlib
+
+        from zerox_spark.extract import office_crypto as oc
+        from zerox_spark.extract.cfb import write_cfb
+        from zerox_spark.synth import render_xlsx
+
+        zip_bytes = render_xlsx(6)
+        salt = hashlib.sha256(b"t6").digest()[:16]
+        enc = (
+            oc.encrypt_ooxml_standard
+            if mode == "standard"
+            else oc.encrypt_ooxml_agile
+        )
+        info, pkg = enc(zip_bytes, salt)
+        assert oc.decrypt_ooxml_package(info, pkg) == zip_bytes
+        cfb = write_cfb([("EncryptionInfo", info), ("EncryptedPackage", pkg)])
+        assert _success_pages(cfb) == self._expected_pages(6)
+
+    def test_ooxml_real_password_contained(self):
+        import hashlib
+
+        from zerox_spark.extract import office_crypto as oc
+        from zerox_spark.extract.cfb import write_cfb
+        from zerox_spark.synth import render_xlsx
+
+        info, pkg = oc.encrypt_ooxml_standard(
+            render_xlsx(6), hashlib.sha256(b"x").digest()[:16],
+            password="actual-secret",
+        )
+        cfb = write_cfb([("EncryptionInfo", info), ("EncryptedPackage", pkg)])
+        p = extract_document(cfb, None)[0]
+        assert p.status == "ERROR" and "password" in (p.error or "")
+
+    @pytest.mark.parametrize("capi", [False, True])
+    def test_xls_rc4_roundtrip(self, capi):
+        import hashlib
+
+        from zerox_spark.extract import office_crypto as oc
+        from zerox_spark.extract.cfb import CfbReader, write_cfb
+        from zerox_spark.synth import render_xls
+
+        xls = render_xls(6)
+        wb = CfbReader(xls).read_stream("Workbook")
+        enc = write_cfb(
+            [(
+                "Workbook",
+                oc.encrypt_xls_stream(
+                    wb, hashlib.sha256(b"t6").digest()[:16], capi=capi
+                ),
+            )]
+        )
+        assert _success_pages(enc) == _success_pages(xls)
+
+    def test_xls_wrong_password_contained(self):
+        import hashlib
+        import struct
+
+        from zerox_spark.extract import office_crypto as oc
+        from zerox_spark.extract.cfb import CfbReader, write_cfb
+        from zerox_spark.synth import render_xls
+
+        wb = CfbReader(render_xls(6)).read_stream("Workbook")
+        enc = bytearray(
+            oc.encrypt_xls_stream(wb, hashlib.sha256(b"t").digest()[:16])
+        )
+        pos = 0
+        while True:  # flip a verifier byte inside FilePass
+            op, ln = struct.unpack_from("<HH", enc, pos)
+            if op == oc.XLS_FILEPASS:
+                enc[pos + 4 + 6 + 16] ^= 0xFF
+                break
+            pos += 4 + ln
+        p = extract_document(write_cfb([("Workbook", bytes(enc))]), None)[0]
+        assert p.status == "ERROR" and "password" in (p.error or "")
+
+    def test_committed_fixture_floors(self):
+        import pathlib
+
+        fixture_dir = pathlib.Path(__file__).parent / "fixtures"
+        for name, doc_id in [
+            ("office_xlsx_std.cfb", 11),
+            ("office_xlsx_agile.cfb", 3),
+            ("office_xls_capi.cfb", 7),
+            ("office_xls_rc4.cfb", 15),
+        ]:
+            pages = _success_pages((fixture_dir / name).read_bytes())
+            assert len(pages) == 2, name
+            md1 = pages[0][1]
+            assert md1.startswith("## Sheet: data"), name
+            assert f"<td>{(doc_id * 7) % 100}</td>" in md1, name
+            assert pages[1][1].startswith("## Sheet: summary"), name
+
+    def test_misc_family_dispatch(self):
+        from zerox_spark.synth import render_office_encrypted
+
+        for doc_id in (3, 7, 11, 15, 19, 23):
+            pages = _success_pages(render_office_encrypted(doc_id))
+            assert len(pages) == 2
+            assert pages[0][1].startswith("## Sheet: data")

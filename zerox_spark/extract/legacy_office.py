@@ -202,6 +202,11 @@ def xls_to_grids(
     if stream_name is None:
         raise ValueError("CFB has no Workbook/Book stream")
     wb = cfb.read_stream(stream_name)
+    from zerox_spark.extract.office_crypto import decrypt_xls_stream
+
+    # FilePass (RC4 / RC4 CryptoAPI under the default password) → plain
+    # stream; unencrypted workbooks pass through untouched
+    wb = decrypt_xls_stream(wb)
 
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []  # (name, BOF offset)
@@ -568,6 +573,21 @@ def cfb_to_pages(
     down — no double parse on the hot extract path."""
     cfb = CfbReader(payload)
     names = set(cfb.stream_names())
+    if "EncryptionInfo" in names and "EncryptedPackage" in names:
+        # ECMA-376 encrypted OOXML rides INSIDE a CFB container; Excel's
+        # default password (VelvetSweatshop) opens the common "protected
+        # workbook" crawl shape — a real password raises a contained
+        # ValueError (extract/office_crypto.py)
+        from zerox_spark.extract.office_crypto import decrypt_ooxml_package
+        from zerox_spark.extract.ooxml import ooxml_to_pages
+
+        zip_bytes = decrypt_ooxml_package(
+            cfb.read_stream("EncryptionInfo"),
+            cfb.read_stream("EncryptedPackage"),
+        )
+        if zip_bytes[:2] != b"PK":
+            raise ValueError("decrypted Office package is not a zip")
+        return ooxml_to_pages(zip_bytes)
     if "Workbook" in names or "Book" in names:
         return xls_to_pages(payload, cfb)
     if "WordDocument" in names:

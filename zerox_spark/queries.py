@@ -160,10 +160,14 @@ def q_extract_odf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The last reference input families: odp slide-per-page (doc_id%3==0,
+    """The last reference input families: odp slide-per-page (doc_id%4==0,
     extract/ooxml.py ODF presentation branch), standalone XML element-text
-    paragraphs (==1, extract/core.py), and WordPerfect .wpd (==2, WP5.x
-    byte model, extract/legacy_office.py)."""
+    paragraphs (==1, extract/core.py), WordPerfect .wpd (==2, WP5.x byte
+    model, extract/legacy_office.py), and ENCRYPTED Office under Excel's
+    default password (==3: ECMA-376 agile/standard OOXML + BIFF8
+    RC4/CryptoAPI .xls — the 'protected workbook' crawl shape the
+    reference opens implicitly via libreoffice, file.ts:129-150;
+    extract/office_crypto.py)."""
     from zerox_spark.synth import synth_misc_pages
 
     pages = synth_misc_pages(spark, sf_dir)
@@ -1457,7 +1461,7 @@ odp_md AS (
         array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
     END AS markdown
   FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
-  WHERE doc_id % 3 = 0
+  WHERE doc_id % 4 = 0
 ),
 xml_md AS (
   SELECT url, 1 AS page_no,
@@ -1465,7 +1469,7 @@ xml_md AS (
     'Section ' || doc_id || ': ' ||
     array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
       AS markdown
-  FROM docs WHERE doc_id % 3 = 1
+  FROM docs WHERE doc_id % 4 = 1
 ),
 wpd_md AS (
   SELECT url, p.page_no,
@@ -1475,11 +1479,19 @@ wpd_md AS (
         array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
     END AS markdown
   FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
-  WHERE doc_id % 3 = 2
+  WHERE doc_id % 4 = 2
+),
+-- encrypted Office (default password): agile/standard OOXML xlsx and
+-- RC4/CryptoAPI xls all decrypt to the same sheet_cells(doc_id) grids
+enc_md AS (
+  SELECT url, p.page_no,
+    {_SHEET_PAGES_CASE}
+  FROM docs CROSS JOIN (VALUES (1),(2)) AS p(page_no)
+  WHERE doc_id % 4 = 3
 )
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown
 FROM (SELECT * FROM odp_md UNION ALL SELECT * FROM xml_md
-      UNION ALL SELECT * FROM wpd_md)
+      UNION ALL SELECT * FROM wpd_md UNION ALL SELECT * FROM enc_md)
 """,
     "extract_rtf": f"""
 WITH docs AS (

@@ -1574,12 +1574,42 @@ def _row_legacy(doc_id: int, text: str, lang: str, source: str):
     ), ""
 
 
+def render_office_encrypted(doc_id: int) -> bytes:
+    """A REAL encrypted Office container under Excel's default password
+    (VelvetSweatshop — the 'protected workbook' crawl shape): agile- or
+    standard-encrypted OOXML xlsx (doc_id%8==3), or a FilePass
+    RC4/RC4-CryptoAPI .xls (doc_id%8==7). All four shapes carry the
+    sheet_cells(doc_id) grids, so one closed-form oracle covers them."""
+    from zerox_spark.extract import office_crypto as oc
+    from zerox_spark.extract.cfb import CfbReader, write_cfb
+
+    salt = _det_bytes(f"offc:{doc_id}", 16)
+    if doc_id % 8 == 3:
+        zip_bytes = render_xlsx(doc_id)
+        enc = (
+            oc.encrypt_ooxml_agile
+            if doc_id % 16 == 3
+            else oc.encrypt_ooxml_standard
+        )
+        info, pkg = enc(zip_bytes, salt)
+        return write_cfb(
+            [("EncryptionInfo", info), ("EncryptedPackage", pkg)]
+        )
+    wb = CfbReader(render_xls(doc_id)).read_stream("Workbook")
+    return write_cfb(
+        [("Workbook", oc.encrypt_xls_stream(wb, salt, capi=doc_id % 16 == 7))]
+    )
+
+
 def _row_misc(doc_id: int, text: str, lang: str, source: str):
-    if doc_id % 3 == 0:
+    v = doc_id % 4
+    if v == 0:
         return render_odp(doc_id, text), ""
-    if doc_id % 3 == 1:
+    if v == 1:
         return render_xml(doc_id, text), ""
-    return render_wpd(doc_id, text), ""
+    if v == 2:
+        return render_wpd(doc_id, text), ""
+    return render_office_encrypted(doc_id), ""
 
 
 def _row_rtf(doc_id: int, text: str, lang: str, source: str):
@@ -1702,8 +1732,10 @@ def synth_misc_pages(
     spark: SparkSession, sf_dir: str, num_partitions: int | None = None
 ) -> DataFrame:
     """documents.parquet → pages whose payloads are odp presentations
-    (doc_id%3==0), standalone XML (==1), and WordPerfect .wpd (==2) — the
-    last reference input families (README.md:498,500,509)."""
+    (doc_id%4==0), standalone XML (==1), WordPerfect .wpd (==2) — the last
+    reference input families (README.md:498,500,509) — and ENCRYPTED
+    Office containers under the default password (==3: agile/standard
+    OOXML + RC4/CryptoAPI .xls, extract/office_crypto.py)."""
     return _pages_from_docs(spark, sf_dir, _row_misc, num_partitions)
 
 
