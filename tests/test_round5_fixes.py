@@ -773,3 +773,39 @@ class TestEncryptedOffice:
             pages = _success_pages(render_office_encrypted(doc_id))
             assert len(pages) == 2
             assert pages[0][1].startswith("## Sheet: data")
+
+    def test_encrypted_doc_contained(self):
+        # Word has no default password: FIB fEncrypted → clear error
+        import struct
+
+        from zerox_spark.extract.cfb import CfbReader, write_cfb
+        from zerox_spark.synth import render_doc
+
+        doc = render_doc(7, "some body text here")
+        wd = bytearray(CfbReader(doc).read_stream("WordDocument"))
+        flags = struct.unpack_from("<H", wd, 0x0A)[0]
+        struct.pack_into("<H", wd, 0x0A, flags | 0x0100)  # fEncrypted
+        streams = [("WordDocument", bytes(wd))]
+        for name in CfbReader(doc).stream_names():
+            if name != "WordDocument":
+                streams.append((name, CfbReader(doc).read_stream(name)))
+        p = extract_document(write_cfb(streams), None)[0]
+        assert p.status == "ERROR"
+        assert "encrypted doc" in (p.error or "")
+
+    def test_encrypted_ppt_contained(self):
+        import struct
+
+        from zerox_spark.extract.cfb import CfbReader, write_cfb
+        from zerox_spark.synth import render_ppt
+
+        ppt = render_ppt(7, "slide text body")
+        st = CfbReader(ppt).read_stream("PowerPoint Document")
+        crypt = struct.pack("<HHI", 0x000F, 0x2F14, 0)
+        streams = [("PowerPoint Document", crypt + st)]
+        for name in CfbReader(ppt).stream_names():
+            if name != "PowerPoint Document":
+                streams.append((name, CfbReader(ppt).read_stream(name)))
+        p = extract_document(write_cfb(streams), None)[0]
+        assert p.status == "ERROR"
+        assert "encrypted ppt" in (p.error or "")

@@ -295,6 +295,11 @@ def doc_to_text(payload: bytes, cfb: CfbReader | None = None) -> str:
     if struct.unpack_from("<H", word, 0)[0] != _FIB_WIDENT:
         raise ValueError("not a Word97 FIB")
     flags = struct.unpack_from("<H", word, _FIB_FLAGS_OFF)[0]
+    if flags & 0x0100:  # fEncrypted ([MS-DOC] 2.5.2) — Word has no
+        # default password (the VelvetSweatshop convention is Excel's),
+        # so this is honestly locked: clear contained error, never a
+        # garbled piece-table walk
+        raise ValueError("encrypted doc (password required)")
     table_name = "1Table" if flags & _F_WHICH_TBL_STM else "0Table"
     ccp_text = struct.unpack_from("<I", word, _FIB_CCPTEXT_OFF)[0]
     fc_clx, lcb_clx = struct.unpack_from("<II", word, _FIB_FCCLX_OFF)
@@ -426,6 +431,11 @@ def ppt_to_pages(
             body = pos + 8
             if reclen > end - body:
                 break  # truncated record → stop, keep what we have
+            if rectype == 0x2F14:  # CryptSession10Container ([MS-PPT]
+                # 2.3.5): RC4-CryptoAPI-encrypted deck; PowerPoint has no
+                # default password → honestly locked, clear contained
+                # error instead of a garbled walk
+                raise ValueError("encrypted ppt (password required)")
             if verinst & 0xF == 0xF:  # container: payload is nested records
                 walk(body, body + reclen, depth + 1)
             elif rectype == PPT_SLIDEPERSIST:
