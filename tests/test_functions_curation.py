@@ -297,3 +297,79 @@ class TestUrlTools:
         }
         assert out["a.example"] == (3, 1)
         assert out["b.example"] == (2, 1)
+
+
+# --------------------------------------------------------------------------
+# sequence packing (operators/packing.py, round 5)
+
+
+class TestSequencePacking:
+    def _docs(self, spark):
+        rows = [(i, "w " * ((i * 13) % 40)) for i in range(200)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_placement_invariants(self, spark):
+        from zerox_spark.operators.packing import pack_sequences
+
+        placed = pack_sequences(
+            self._docs(spark), seq_len=64, n_shards=4
+        ).collect()
+        by_shard = {}
+        for r in placed:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert set(by_shard) == {0, 1, 2, 3}
+        for shard, rows in by_shard.items():
+            rows.sort(key=lambda r: r.doc_id)
+            off = 0
+            for r in rows:
+                # offsets are gapless and contiguous in doc order
+                assert r.pack_offset == off
+                assert r.shard == r.doc_id % 4
+                off += r.n_tokens
+                # sequence span matches the offset arithmetic
+                assert r.seq_first == r.pack_offset // 64
+                last = r.pack_offset + max(r.n_tokens - 1, 0)
+                assert r.seq_last == last // 64
+                assert r.seq_last >= r.seq_first
+
+    def test_stats_fill_ratio(self, spark):
+        from zerox_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        placed = pack_sequences(self._docs(spark), seq_len=64, n_shards=4)
+        stats = {r.shard: r for r in packing_stats(placed, 64).collect()}
+        for shard, r in stats.items():
+            assert r.n_seqs == -(-r.total_tokens // 64)
+            assert 0 < r.fill_ratio <= 1.0
+            assert r.n_docs == 50
+
+    def test_no_global_sort_in_plan(self, spark):
+        # the scale contract: ONE shuffle on the shard key, window sort
+        # inside partitions — never a global (rangepartitioned) sort
+        from zerox_spark.operators.packing import pack_sequences
+
+        plan = pack_sequences(
+            self._docs(spark), seq_len=64, n_shards=4
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "rangepartitioning" not in plan.lower()
+        assert plan.lower().count("exchange hashpartitioning") == 1
+
+    def test_empty_and_zero_token_docs(self, spark):
+        from zerox_spark.operators.packing import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(0, ""), (4, "a b c"), (8, "")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in pack_sequences(docs, seq_len=2, n_shards=4).collect()
+        }
+        # empty docs occupy zero tokens; ws split of "" yields one token
+        # per the corpus accountant's convention — invariant: offsets
+        # remain gapless regardless
+        assert rows[0].pack_offset == 0
+        assert rows[4].pack_offset == rows[0].n_tokens
+        assert rows[8].pack_offset == rows[4].pack_offset + rows[4].n_tokens

@@ -1,0 +1,99 @@
+"""Sequence packing — placing documents into fixed-length training rows.
+
+The last mile of a pretraining data pipeline: tokenized documents are
+concatenated and split into fixed ``seq_len`` training sequences
+(GPT-style concat-then-chunk). The operator computes each document's
+PLACEMENT — which shard, at what token offset, spanning which sequence
+indices — as pure column algebra, so the actual byte-moving job (write
+sequence shards) is a deterministic follow-up join/sort.
+
+Scale design: packing needs an ORDER, and a global order at 10^12
+documents means a global sort — the one thing a 100 TB plan must never
+do. Instead documents are sharded by a deterministic key (doc_id modulo
+``n_shards`` here; a url-hash in production — the same partitioning the
+extract job already uses) and packed independently WITHIN each shard by
+doc order. One shuffle on the shard key, one window per shard, zero
+cross-shard coordination; ``n_shards`` is the parallelism knob (pick
+shards ≈ cluster task slots × small constant so each window fits an
+executor). Cross-shard sequence ids never collide: the id is
+(shard, seq_in_shard).
+
+Boundary semantics: a document whose tokens straddle a sequence boundary
+spans [seq_first, seq_last] — the standard training-time behavior
+(attention masks or document-boundary resets are the consumer's choice);
+``n_boundary_crossings = seq_last - seq_first`` quantifies the packing
+fragmentation a different seq_len would change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from zerox_spark.operators.textstats import ws_tokens_col
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_shards: int = 32,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """docs(doc_id, text | tokens_col) → per-document placement:
+
+    (doc_id, shard, n_tokens, pack_offset, seq_first, seq_last)
+
+    where ``pack_offset`` is the document's starting token offset within
+    its shard's concatenation and sequence index k covers tokens
+    [k*seq_len, (k+1)*seq_len). Empty documents occupy zero tokens and
+    report their insertion point (seq_last = seq_first)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    tokens = (
+        F.col(tokens_col) if tokens_col else ws_tokens_col()
+    ).cast("long")
+    shard = (F.col("doc_id") % n_shards).cast("int")
+    base = docs.select(
+        "doc_id", shard.alias("shard"), tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "pack_offset"
+    )
+    out = base.select("doc_id", "shard", "n_tokens", off)
+    last_tok = F.col("pack_offset") + F.greatest(
+        F.col("n_tokens") - 1, F.lit(0)
+    )
+    return out.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "pack_offset",
+        F.floor(F.col("pack_offset") / seq_len)
+        .cast("long")
+        .alias("seq_first"),
+        F.floor(last_tok / seq_len).cast("long").alias("seq_last"),
+    )
+
+
+def packing_stats(placed: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """Shard-level packing accounting over pack_sequences output:
+    (shard, n_docs, total_tokens, n_seqs, fill_ratio, boundary_crossings).
+    fill_ratio is the fraction of the last-sequence-padded token budget
+    actually used — the number a seq_len sweep optimizes."""
+    return placed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.ceil(F.sum("n_tokens") / seq_len).cast("long").alias("n_seqs"),
+        F.round(
+            F.sum("n_tokens")
+            / (F.ceil(F.sum("n_tokens") / seq_len) * F.lit(seq_len)),
+            6,
+        ).alias("fill_ratio"),
+        F.sum(F.col("seq_last") - F.col("seq_first"))
+        .cast("long")
+        .alias("boundary_crossings"),
+    )

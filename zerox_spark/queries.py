@@ -732,7 +732,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_counts(_docs(spark, sf_dir))
+    """Corpus token accounting + SEQUENCE-PACKING placement in one slot:
+    ws/bpe token counts per doc, and the doc's placement in the GPT-style
+    concat-then-chunk layout (shard, starting token offset, first/last
+    sequence index at seq_len=512 over 16 shards) — the window-per-shard
+    plan that avoids any global sort (operators/packing.py)."""
+    from zerox_spark.operators.packing import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    placed = pack_sequences(docs, seq_len=512, n_shards=16)
+    return token_counts(docs).join(placed.drop("n_tokens"), "doc_id")
 
 
 PIVOT_LANGS = ["en", "de", "fr", "es", "zz"]
@@ -2026,12 +2035,28 @@ SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
              THEN 1 ELSE 0 END AS INTEGER) AS passes
 FROM feats
 """,
+    # token accounting + packing placement: the full concat-then-chunk
+    # layout restated with one window per shard (same shape as Spark's)
     "token_counts": r"""
-SELECT doc_id,
-  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
-  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER)
-    AS bpe_tokens
-FROM documents
+WITH toks AS (
+  SELECT doc_id,
+    CAST(doc_id % 16 AS INTEGER) AS shard,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+    CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+      AS INTEGER) AS bpe_tokens
+  FROM documents
+),
+placed AS (
+  SELECT *, CAST(sum(t) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - t AS BIGINT) AS pack_offset
+  FROM toks
+)
+SELECT doc_id, ws_tokens, bpe_tokens, shard, pack_offset,
+  CAST(floor(pack_offset / 512) AS BIGINT) AS seq_first,
+  CAST(floor((pack_offset + greatest(t - 1, 0)) / 512) AS BIGINT)
+    AS seq_last
+FROM placed
 """,
     "redact_pii": r"""
 SELECT doc_id,
