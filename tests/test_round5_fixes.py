@@ -809,3 +809,216 @@ class TestEncryptedOffice:
         p = extract_document(write_cfb(streams), None)[0]
         assert p.status == "ERROR"
         assert "encrypted ppt" in (p.error or "")
+
+
+# --------------------------------------------------------------------------
+# code-review regressions (round-5 self-review findings)
+
+
+class TestReviewFindings:
+    def test_agile_spincount_bomb_contained(self):
+        import hashlib
+
+        from zerox_spark.extract import office_crypto as oc
+        from zerox_spark.extract.cfb import write_cfb
+        from zerox_spark.synth import render_xlsx
+
+        info, pkg = oc.encrypt_ooxml_agile(
+            render_xlsx(6), hashlib.sha256(b"s").digest()[:16]
+        )
+        bomb = info.replace(b'spinCount="1000"', b'spinCount="2000000000"')
+        import time
+
+        t0 = time.time()
+        p = extract_document(
+            write_cfb([("EncryptionInfo", bomb), ("EncryptedPackage", pkg)]),
+            None,
+        )[0]
+        assert p.status == "ERROR" and "spinCount" in (p.error or "")
+        assert time.time() - t0 < 5  # died at the cap, not after hours
+
+    def test_objstm_hosted_annot_strings_are_clear(self):
+        # modern writers put annot dicts in object streams; the ObjStm
+        # CONTAINER stream is encrypted, the strings inside it are not —
+        # decrypt_string must pass them through untouched
+        import zlib as _z
+
+        import zerox_spark.synth as synth
+
+        fk, encdict, first_id = synth._crypt_material("aesv2", 31)
+        content = b"BT /F1 20 Tf 72 720 Td (ObjStm heading) Tj ET"
+        enc_content = synth._encrypt_stream_payload(
+            content, 5, "aesv2", fk, 31
+        )
+        annot = (
+            b"<< /Type /Annot /Subtype /Widget /FT /Tx"
+            b" /V (Hosted Secret 31) /Rect [72 600 300 620] >>"
+        )
+        stm_body = b"6 0 " + annot
+        enc_stm = synth._encrypt_stream_payload(
+            _z.compress(stm_body), 20, "aesv2", fk, 31
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R /Annots [6 0 R] >>"
+            ),
+            5: (
+                f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+                + enc_content
+                + b"\nendstream"
+            ),
+            20: (
+                f"<< /Type /ObjStm /N 1 /First 4 /Filter /FlateDecode"
+                f" /Length {len(enc_stm)} >>\nstream\n".encode()
+                + enc_stm
+                + b"\nendstream"
+            ),
+            99: encdict,
+        }
+        idhex = first_id.hex().encode()
+        pdf = synth._assemble_pdf(
+            objs, b"/Encrypt 99 0 R /ID [<%s> <%s>] " % (idhex, idhex)
+        )
+        md = _success_pages(pdf)[0][1]
+        assert "ObjStm heading" in md and "Hosted Secret 31" in md
+
+    def test_indirect_string_value_uses_own_key(self):
+        # /V pointing at an indirect string object: the STRING object's
+        # objnum is the key scope, not the annot dict's
+        import zerox_spark.synth as synth
+
+        fk, encdict, first_id = synth._crypt_material("aesv2", 33)
+        content = b"BT /F1 20 Tf 72 720 Td (Indirect heading) Tj ET"
+        enc_content = synth._encrypt_stream_payload(
+            content, 5, "aesv2", fk, 33
+        )
+        enc_val = synth._encrypt_stream_payload(
+            b"IndirectVal 33", 30, "aesv2", fk, 33
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R /Annots [6 0 R] >>"
+            ),
+            5: (
+                f"<< /Length {len(enc_content)} >>\nstream\n".encode()
+                + enc_content
+                + b"\nendstream"
+            ),
+            6: (
+                b"<< /Type /Annot /Subtype /Widget /FT /Tx /V 30 0 R"
+                b" /Rect [72 600 300 620] >>"
+            ),
+            30: b"<" + enc_val.hex().encode() + b">",
+            99: encdict,
+        }
+        idhex = first_id.hex().encode()
+        pdf = synth._assemble_pdf(
+            objs, b"/Encrypt 99 0 R /ID [<%s> <%s>] " % (idhex, idhex)
+        )
+        md = _success_pages(pdf)[0][1]
+        assert "IndirectVal 33" in md
+
+    def test_v4_40bit_v2_filter_length(self):
+        # /V 4 with a /CFM /V2 /Length 5 crypt filter (40-bit RC4): the
+        # CF Length drives the key size — a 128-bit assumption would fail
+        # the /U check and reject a valid empty-password file
+        import zerox_spark.synth as synth
+        from zerox_spark.extract.pdf import _rc4
+        from zerox_spark.synth import _pdf_real_layout, _pdf_content_v0
+
+        doc_id = 9
+        first_id = synth._det_bytes(f"id40:{doc_id}", 16)
+        o = synth._rc4_owner_entry(4, 5)
+        fk = synth._rc4_file_key(o, first_id, 4, 5)
+        u = synth._rc4_user_entry(fk, first_id, 4)
+        encdict = (
+            b"<< /Filter /Standard /V 4 /R 4"
+            b" /CF << /StdCF << /CFM /V2 /Length 5 >> >>"
+            b" /StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P %d >>"
+            % (o.hex().encode(), u.hex().encode(), synth._CRYPT_P)
+        )
+        layout = _pdf_real_layout(doc_id, TEXT)
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R 6 0 R] /Count 2 >>".replace(
+                b"6 0 R", b"6 0 R"
+            ),
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            99: encdict,
+        }
+        for i, (height, lines) in enumerate(layout):
+            pnum, cnum = 4 + 2 * i, 5 + 2 * i
+            objs[pnum] = (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612"
+                f" {height:g}] /Resources << /Font << /F1 3 0 R >> >>"
+                f" /Contents {cnum} 0 R >>".encode()
+            )
+            raw = _pdf_content_v0(lines)
+            enc = _rc4(synth._crypt_obj_key(fk, cnum, "rc4"), raw)
+            objs[cnum] = (
+                f"<< /Length {len(enc)} >>\nstream\n".encode()
+                + enc
+                + b"\nendstream"
+            )
+        idhex = first_id.hex().encode()
+        pdf = synth._assemble_pdf(
+            objs, b"/Encrypt 99 0 R /ID [<%s> <%s>] " % (idhex, idhex)
+        )
+        assert _success_pages(pdf) == expected_pdf_real_pages(doc_id, TEXT)
+
+    def test_ucs2_halfwidth_cmap_decodes(self):
+        txt = "日本語 ﾃｷｽﾄ test"
+        content = (
+            f"BT /F1 12 Tf 72 700 Td {_pdf_hex_2byte(txt)} Tj ET".encode()
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type0 /BaseFont /SynthHW"
+                b" /Encoding /UniJIS-UCS2-HW-H /DescendantFonts [6 0 R] >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                f"<< /Length {len(content)} >>\nstream\n".encode()
+                + content
+                + b"\nendstream"
+            ),
+            6: b"<< /Type /Font /Subtype /CIDFontType2 /DW 1000 >>",
+        }
+        pages = real_pdf_to_pages(_assemble_pdf(objs))
+        assert len(pages) == 1 and txt in pages[0][1]
+
+    def test_bulk_ecb_decrypt_matches_scalar(self):
+        key = bytes(range(32))
+        data = bytes((i * 3 + 1) % 256 for i in range(512))
+        rk = aes.expand_key(key)
+        enc = b"".join(
+            aes.encrypt_block(rk, data[i : i + 16])
+            for i in range(0, 512, 16)
+        )
+        assert aes.ecb_decrypt(key, enc) == data
+        assert aes.ecb_decrypt(key, enc[:40]) == data[:32]  # ragged drop

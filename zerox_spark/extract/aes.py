@@ -259,6 +259,22 @@ def ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
     return decrypt_block(expand_key(key), block[:16])
 
 
+def ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    """Bulk ECB decrypt (the ECMA-376 standard-encryption package mode):
+    one vectorized pass over all blocks when numpy is present, scalar
+    fallback otherwise. Trailing non-block fragment is dropped."""
+    data = data[: len(data) - len(data) % 16]
+    if not data:
+        return b""
+    rk = expand_key(key)
+    if _np is not None and len(data) >= 64:
+        return _ecb_decrypt_bulk(rk, data)
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        out += decrypt_block(rk, data[i : i + 16])
+    return bytes(out)
+
+
 def ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
     return encrypt_block(expand_key(key), block[:16])
 

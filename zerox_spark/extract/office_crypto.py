@@ -67,13 +67,12 @@ def _standard_key(salt: bytes, password: str, key_bytes: int) -> bytes:
 
 
 def _ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    # numpy-vectorized bulk pass (aes.ecb_decrypt) — the EncryptedPackage
+    # of a standard-encrypted xlsx is the extract hot path, not a loop of
+    # scalar block calls
     from zerox_spark.extract import aes
 
-    rk = aes.expand_key(key)
-    out = bytearray()
-    for i in range(0, len(data) - len(data) % 16, 16):
-        out += aes.decrypt_block(rk, data[i : i + 16])
-    return bytes(out)
+    return aes.ecb_decrypt(key, data)
 
 
 def _ecb_encrypt(key: bytes, data: bytes) -> bytes:
@@ -132,10 +131,19 @@ def _xml_attr(xml: str, elem: str, attr: str) -> str | None:
     return m.group(1) if m else None
 
 
+# real agile files use 100,000 spins (Office default); the descriptor is
+# attacker-controlled, so an uncapped read would let one crafted row wedge
+# an executor in an unbounded hash loop — same budget philosophy as
+# MAX_STREAM_BYTES (a 10x-of-default ceiling, contained error above)
+MAX_SPIN_COUNT = 1_000_000
+
+
 @lru_cache(maxsize=64)
 def _agile_password_hash(
     salt: bytes, password: str, spin: int, hash_name: str
 ) -> bytes:
+    if spin > MAX_SPIN_COUNT:
+        raise ValueError(f"agile spinCount {spin} exceeds the budget")
     hfn = _HASHES[hash_name]
     h = hfn(salt + _utf16(password)).digest()
     for i in range(spin):

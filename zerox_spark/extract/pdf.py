@@ -558,28 +558,36 @@ class _StandardCrypt:
         if v == 5:
             self._setup_v5(enc, r, resolve)
             return
+        cf_length = 0
         if v == 4:
             # crypt filters: streams route through /StmF, strings through
             # /StrF — they usually name the same /StdCF but MAY differ
-            def filter_mode(which: str) -> str:
+            def filter_mode(which: str) -> tuple[str, int]:
                 cf = resolve(enc.get(Name("CF"))) or {}
                 name = resolve(enc.get(Name(which))) or Name("Identity")
                 if name == Name("Identity"):
-                    return "identity"
+                    return "identity", 0
                 stdcf = resolve(cf.get(name)) if isinstance(cf, dict) else None
                 cfm = (
                     resolve(stdcf.get(Name("CFM")))
                     if isinstance(stdcf, dict)
                     else None
                 )
+                ln = (
+                    resolve(stdcf.get(Name("Length")))
+                    if isinstance(stdcf, dict)
+                    else None
+                )
+                ln = int(ln) if isinstance(ln, (int, float)) else 0
                 if cfm == Name("AESV2"):
-                    return "aesv2"
+                    return "aesv2", 128
                 if cfm in (Name("V2"), None):
-                    return "rc4"
+                    return "rc4", ln
                 raise PdfError(f"encrypted PDF (crypt filter {cfm})")
 
-            self.cfm = filter_mode("StmF")
-            self.str_cfm = filter_mode("StrF")
+            self.cfm, cf_length = filter_mode("StmF")
+            self.str_cfm, str_length = filter_mode("StrF")
+            cf_length = cf_length or str_length
             if self.cfm == "identity" and self.str_cfm == "identity":
                 self.key = b""
                 return
@@ -587,7 +595,12 @@ class _StandardCrypt:
             raise PdfError(f"encrypted PDF (unsupported /V {v})")
         length = int(resolve(enc.get(Name("Length"))) or 40)
         if v == 4:
-            length = 128
+            # the crypt filter's /Length drives the key size for V2 RC4
+            # filters (spec says BYTES 5-16, many writers emit BITS —
+            # normalize); AESV2 is always 128
+            length = cf_length * 8 if 0 < cf_length <= 16 else (
+                cf_length or 128
+            )
         o_entry = resolve(enc.get(Name("O")))
         p_entry = int(resolve(enc.get(Name("P"))) or -1)
         if not isinstance(o_entry, bytes):
@@ -715,6 +728,7 @@ class Document:
         self.objects: dict[int, object] = {}
         self._offsets: dict[int, int] = {}  # objnum → scan offset
         self._gens: dict[int, int] = {}  # objnum → generation
+        self._in_objstm: set[int] = set()  # ObjStm-hosted (strings clear)
         self._objnums: dict[int, int] | None = None  # id(obj) → objnum
         self._decoded: dict[int, bytes] = {}
         self._fonts: dict[int, "Font"] = {}  # keyed by id(font dict)
@@ -822,6 +836,11 @@ class Document:
                     try:
                         self.objects[onum] = sub.parse_object()
                         self._offsets[onum] = host_off
+                        self._gens[onum] = 0  # ObjStm objects are gen 0
+                        # strings INSIDE an ObjStm are stored in the clear
+                        # (§7.5.7: the container stream was the encrypted
+                        # unit) — decrypt_string must pass them through
+                        self._in_objstm.add(onum)
                     except PdfError:
                         continue
             except (PdfError, TypeError, ValueError):
@@ -834,17 +853,24 @@ class Document:
         return obj
 
     def decrypt_string(self, owner, data: bytes) -> bytes:
-        """Decrypt a text STRING pulled from top-level object ``owner``
-        (§7.6.2: strings use the same per-object keys as streams; the
-        linear scan leaves them raw). Best-effort: an owner that is not a
-        scanned top-level object (rare) passes through undecrypted rather
-        than failing the harvest."""
+        """Decrypt a text STRING in the scope of ``owner`` (§7.6.2:
+        strings use the same per-object keys as streams; the linear scan
+        leaves them raw). ``owner`` is the top-level object the string was
+        read from, or the :class:`Ref` of an INDIRECT string object (its
+        own objnum is then the key scope). Two pass-throughs by spec:
+        ObjStm-hosted objects (their strings were encrypted as part of the
+        container stream and are already clear, §7.5.7) and owners that
+        are not scanned top-level objects (best-effort, never fail the
+        harvest)."""
         if self.crypt is None or self.crypt.str_cfm == "identity":
             return data
-        if self._objnums is None:
-            self._objnums = {id(o): n for n, o in self.objects.items()}
-        num = self._objnums.get(id(owner))
-        if num is None:
+        if isinstance(owner, Ref):
+            num = owner.num
+        else:
+            if self._objnums is None:
+                self._objnums = {id(o): n for n, o in self.objects.items()}
+            num = self._objnums.get(id(owner))
+        if num is None or num in self._in_objstm:
             return data
         return self.crypt.decrypt_str(num, self._gens.get(num, 0), data)
 
@@ -1092,7 +1118,9 @@ _UCS2_CMAPS = frozenset(
     f"Uni{cc}-{enc}-{wm}"
     for cc in ("GB", "CNS", "JIS", "JIS2004", "JISX0213", "KS")
     for enc in ("UCS2", "UTF16")
-    for wm in ("H", "V")
+    # -HW- = half-width Latin/kana forms (older Japanese PDFs): the code
+    # is still the Unicode code unit, only the glyph metrics differ
+    for wm in ("H", "V", "HW-H", "HW-V")
 )
 _CODEC_CMAPS = {
     "GB-EUC": "gb2312", "GBpc-EUC": "gb2312", "GBK-EUC": "gbk",
@@ -1944,8 +1972,10 @@ def _field_value(doc: Document, annot: dict):
     node, ft, v, owner = annot, None, None, annot
     for _ in range(8):
         if v is None and Name("V") in node:
-            v = doc.resolve(node.get(Name("V")))
-            owner = node
+            raw = node.get(Name("V"))
+            v = doc.resolve(raw)
+            # an INDIRECT string object is its own encryption scope
+            owner = raw if isinstance(raw, Ref) else node
         if ft is None:
             f = doc.resolve(node.get(Name("FT")))
             if isinstance(f, Name):
@@ -2012,9 +2042,12 @@ def _harvest_annots(
             continue  # the appearance stream supplied the rendered text
         # no (usable) appearance stream → the value itself, at /Rect
         if subtype == Name("FreeText"):
-            v = doc.resolve(a.get(Name("Contents")))
+            raw_c = a.get(Name("Contents"))
+            v = doc.resolve(raw_c)
             if isinstance(v, bytes):
-                v = doc.decrypt_string(a, v)
+                v = doc.decrypt_string(
+                    raw_c if isinstance(raw_c, Ref) else a, v
+                )
             txt = _pdf_text_string(v)
         else:
             ft, v, owner = _field_value(doc, a)

@@ -44,8 +44,11 @@ def pack_sequences(
 
     where ``pack_offset`` is the document's starting token offset within
     its shard's concatenation and sequence index k covers tokens
-    [k*seq_len, (k+1)*seq_len). Empty documents occupy zero tokens and
-    report their insertion point (seq_last = seq_first)."""
+    [k*seq_len, (k+1)*seq_len). Token counts follow the corpus
+    accountant's convention (ws_tokens_col: split on spaces, so an empty
+    string counts as ONE token — consistent with the token_counts
+    oracle); pass ``tokens_col`` with a pre-computed count for
+    exact-zero empty-document semantics."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     tokens = (
