@@ -208,3 +208,22 @@ def test_decontaminate_short_docs_pass(spark):
     rows = {r["doc_id"]: r for r in decontaminate(docs, bench).collect()}
     assert rows[1]["contaminated"] == 0 and rows[1]["n_hits"] == 0
     assert rows[2]["contaminated"] == 1 and rows[2]["n_hits"] == 3
+
+
+def test_pdf_crypt_plan_single_exchange(spark):
+    """The encrypted-PDF family keeps extract_pdf_real's plan shape: one
+    Exchange (the synth repartition), two MapInPandas (payload build +
+    extract), no join — all crypto cost stays in-UDF and budget-bounded,
+    so the plan survives a 100x scale-up unchanged."""
+    from zerox_spark.queries import q_extract_pdf_crypt
+
+    plan = (
+        q_extract_pdf_crypt(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert plan.count("exchange") == 1
+    assert plan.count("mapinpandas") == 2
+    assert "join" not in plan
