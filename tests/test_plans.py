@@ -227,3 +227,56 @@ def test_pdf_crypt_plan_single_exchange(spark):
     assert plan.count("exchange") == 1
     assert plan.count("mapinpandas") == 2
     assert "join" not in plan
+
+
+def test_decontaminate_fuzzy_flags_near_duplicates(spark):
+    """Edited benchmark items (the shape exact 8-gram matching misses when
+    edits break every long gram) must still be flagged by the LSH + exact
+    Jaccard pass; unrelated docs must not be."""
+    from zerox_spark.operators.decontam import decontaminate_fuzzy
+
+    bench_text = " ".join(f"bench word{i} token{i*3}" for i in range(40))
+    words = bench_text.split()
+    # edit ~10% of words, spread out — kills most long n-grams, keeps
+    # bigram Jaccard high
+    for i in range(0, len(words), 9):
+        words[i] = f"EDIT{i}"
+    near_dup = " ".join(words)
+    unrelated = " ".join(f"other thing{i} item{i*7}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, near_dup), (2, unrelated), (3, bench_text)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in decontaminate_fuzzy(docs, bench, threshold=0.5).collect()
+    }
+    assert rows[3].fuzzy_contaminated == 1  # verbatim copy
+    assert rows[1].fuzzy_contaminated == 1  # near-dup edit
+    assert rows[2].fuzzy_contaminated == 0  # unrelated
+    assert rows[1].fuzzy_hits == 1
+
+
+def test_decontaminate_fuzzy_benchmark_side_broadcast(spark):
+    """The benchmark band table must reach the candidate join as a
+    broadcast — the corpus side never shuffles for the match."""
+    from zerox_spark.operators.decontam import decontaminate_fuzzy
+
+    docs = spark.createDataFrame(
+        [(i, f"text body {i} " * 10) for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(0, "text body 0 " * 10)], "doc_id long, text string"
+    )
+    plan = (
+        decontaminate_fuzzy(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .lower()
+    )
+    assert "broadcast" in plan

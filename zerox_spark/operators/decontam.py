@@ -80,3 +80,77 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR-duplicate contamination: exact long-n-gram matching (above)
+    misses lightly-edited test items — whitespace normalization, swapped
+    numbers, paraphrased stems. This pass runs the MinHash-LSH machinery
+    ACROSS the corpus/benchmark boundary: band-bucket join for candidates,
+    exact shingle-Jaccard verification at ``threshold``.
+
+    Output: (doc_id, fuzzy_hits, fuzzy_contaminated) — distinct benchmark
+    items each corpus doc near-duplicates, and the drop flag.
+
+    Scale shape (100 TB): the benchmark's band table is eval-set-sized →
+    BROADCAST; the corpus band table streams past it map-side, so the
+    only shuffled rows are candidate pairs (rare by construction) and the
+    per-doc hit agg on the corpus bucketing key. The corpus-side
+    signature agg is the same single Exchange the dedup path reuses."""
+    from zerox_spark.operators.dedup import (
+        _shingles,
+        band_table,
+        minhash_signatures,
+    )
+
+    corpus = docs.select("doc_id", F.col(text_col).alias("text"))
+    bench = benchmark.select(
+        F.col("doc_id").alias("bench_id"), F.col(text_col).alias("text")
+    )
+    corpus_bands = band_table(minhash_signatures(corpus))
+    bench_bands = band_table(
+        minhash_signatures(bench.withColumnRenamed("bench_id", "doc_id"))
+    ).withColumnRenamed("doc_id", "bench_id")
+    candidates = (
+        corpus_bands.join(
+            F.broadcast(bench_bands), ["band", "sig_hash"]
+        )
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    doc_sh = corpus.select("doc_id", _shingles(F.col("text")).alias("sha"))
+    bench_sh = bench.select(
+        "bench_id", _shingles(F.col("text")).alias("shb")
+    )
+    n_inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    verified = (
+        candidates.join(doc_sh, "doc_id")
+        .join(F.broadcast(bench_sh), "bench_id")
+        .withColumn(
+            "jaccard",
+            n_inter / (F.size("sha") + F.size("shb") - n_inter),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    hits = verified.groupBy("doc_id").agg(
+        F.countDistinct("bench_id").alias("fuzzy_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("fuzzy_hits", F.lit(0))
+            .cast("int")
+            .alias("fuzzy_hits"),
+            F.when(F.coalesce("fuzzy_hits", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("fuzzy_contaminated"),
+        )
+    )

@@ -278,6 +278,31 @@ def minhash_signatures_map(corpus: DataFrame) -> DataFrame:
     )
 
 
+def band_table(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig_hash): one row per LSH band, hashing each band's
+    signature slice — THE banding derivation, shared by the self-join
+    dedup path and the corpus-vs-benchmark fuzzy-decontamination join."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i * LSH_ROWS + r]
+                                for r in range(LSH_ROWS)
+                            ]
+                        ).alias("sig_hash"),
+                    )
+                    for i in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig_hash")
+
+
 def dedup_minhash_pairs(
     corpus: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -305,22 +330,7 @@ def dedup_minhash_pairs(
     the exact test-scale contract the oracle checks.
     """
     sigs = minhash_signatures(corpus)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[i * LSH_ROWS + r] for r in range(LSH_ROWS)]
-                        ).alias("sig_hash"),
-                    )
-                    for i in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig_hash")
+    bands = band_table(sigs)
     if max_bucket is not None:
         bands = drop_viral_buckets(bands, ["band", "sig_hash"], max_bucket)
     left = bands.alias("l")

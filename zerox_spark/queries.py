@@ -915,7 +915,36 @@ def q_recall_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_queries").cast("long").alias("n_items"),
         "recall_floor_pct",
     )
-    return sim.unionByName(lsh).unionByName(ivf)
+    # fuzzy-decontamination floor: the benchmark is a verbatim corpus
+    # slice, so every benchmark item's own corpus row is an exact near-dup
+    # (Jaccard 1, identical signatures share every band) — the LSH
+    # cross-join + verification must flag 100% of them; any banding or
+    # verification regression drops below and hash-mismatches
+    from zerox_spark.operators.decontam import decontaminate_fuzzy
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter((F.col("doc_id") % 41) == 0)
+    fz = (
+        decontaminate_fuzzy(docs, bench)
+        .join(bench.select("doc_id"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.least(
+                F.floor(
+                    F.sum("fuzzy_contaminated") * 100 / F.count(F.lit(1))
+                ),
+                F.lit(100),
+            )
+            .cast("long")
+            .alias("recall_floor_pct"),
+        )
+        .select(
+            F.lit("fuzzy_decontam").alias("metric"),
+            "n_items",
+            "recall_floor_pct",
+        )
+    )
+    return sim.unionByName(lsh).unionByName(ivf).unionByName(fz)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1787,6 +1816,9 @@ UNION ALL
 SELECT 'ann_ivf', CAST(count(*) AS BIGINT),
        CAST({ANN_RECALL_FLOOR} AS BIGINT)
 FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
+UNION ALL
+SELECT 'fuzzy_decontam', CAST(count(*) AS BIGINT), CAST(100 AS BIGINT)
+FROM documents WHERE doc_id % 41 = 0
 """,
     # bigram table ∪ winnowing fingerprints in one slot (kind, key, n1,
     # n2, payload) — both sub-oracles restated whole as subqueries
