@@ -1022,3 +1022,53 @@ class TestReviewFindings:
         )
         assert aes.ecb_decrypt(key, enc) == data
         assert aes.ecb_decrypt(key, enc[:40]) == data[:32]  # ragged drop
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pos=st.integers(min_value=0, max_value=100_000),
+        bit=st.integers(0, 7),
+    )
+    def test_encrypted_office_bitflip_contained(self, pos, bit):
+        # corrupting any byte of an encrypted Office container must yield
+        # SUCCESS or a contained ERROR — never an uncontained raise/hang
+        from zerox_spark.synth import render_office_encrypted
+
+        base = bytearray(render_office_encrypted(3))
+        base[pos % len(base)] ^= 1 << bit
+        pages = extract_document(bytes(base), None)
+        assert pages and all(p.status in ("SUCCESS", "ERROR") for p in pages)
+
+    @pytest.mark.parametrize("cut", [4, 16, 60, 150])  # info is ~224 bytes
+    def test_truncated_encryption_info_contained(self, cut):
+        from zerox_spark.extract.cfb import write_cfb
+        from zerox_spark.synth import render_office_encrypted
+
+        whole = render_office_encrypted(11)
+        from zerox_spark.extract.cfb import CfbReader
+
+        r = CfbReader(whole)
+        info = r.read_stream("EncryptionInfo")[:cut]
+        pkg = r.read_stream("EncryptedPackage")
+        p = extract_document(
+            write_cfb([("EncryptionInfo", info), ("EncryptedPackage", pkg)]),
+            None,
+        )[0]
+        assert p.status == "ERROR"
+
+    def test_xls_xor_obfuscation_clear_error(self):
+        import struct
+
+        from zerox_spark.extract.cfb import CfbReader, write_cfb
+        from zerox_spark.synth import render_xls
+
+        wb = CfbReader(render_xls(2)).read_stream("Workbook")
+        op, ln = struct.unpack_from("<HH", wb, 0)
+        fp = struct.pack("<HH", 0x2F, 6) + struct.pack("<HHH", 0, 0, 0)
+        enc = wb[: 4 + ln] + fp + wb[4 + ln :]
+        p = extract_document(write_cfb([("Workbook", enc)]), None)[0]
+        assert p.status == "ERROR"
+        assert "XOR obfuscation" in (p.error or "")
