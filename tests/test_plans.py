@@ -280,3 +280,44 @@ def test_decontaminate_fuzzy_benchmark_side_broadcast(spark):
         .lower()
     )
     assert "broadcast" in plan
+
+
+def test_substring_overlap_catches_shared_passage(spark):
+    """Two documents sharing one long verbatim paragraph but nothing else
+    sit below any whole-doc Jaccard threshold (MinHash misses them); the
+    winnowing fingerprint join must flag the pair."""
+    from zerox_spark.operators.dedup import (
+        dedup_ngram_pairs,
+        substring_overlap_pairs,
+    )
+
+    passage = " ".join(f"shared passage word{i} stays verbatim" for i in range(30))
+    doc_a = " ".join(f"alpha unique{i} content{i*3}" for i in range(120)) + " " + passage
+    doc_b = passage + " " + " ".join(f"beta other{i} stuff{i*7}" for i in range(120))
+    doc_c = " ".join(f"gamma unrelated{i} text{i*11}" for i in range(140))
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fp
+        for r in substring_overlap_pairs(docs, min_shared=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 10
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # and the whole-doc Jaccard view indeed misses the pair at 0.5
+    jac = dedup_ngram_pairs(docs, threshold=0.5).collect()
+    assert not any({r.id_a, r.id_b} == {1, 2} for r in jac)
+
+
+def test_substring_overlap_viral_guard(spark):
+    from zerox_spark.operators.dedup import substring_overlap_pairs
+
+    boiler = " ".join(f"boilerplate footer word{i} repeated" for i in range(30))
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} " * 40 + boiler) for i in range(30)],
+        "doc_id long, text string",
+    )
+    capped = substring_overlap_pairs(docs, min_shared=10, max_bucket=5).count()
+    uncapped = substring_overlap_pairs(docs, min_shared=10).count()
+    assert uncapped == 30 * 29 // 2  # every pair shares the passage
+    assert capped == 0  # viral fingerprints dropped before the join
