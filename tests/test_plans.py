@@ -218,7 +218,7 @@ def test_pdf_crypt_plan_single_exchange(spark):
     from zerox_spark.queries import q_extract_pdf_crypt
 
     plan = (
-        q_extract_pdf_crypt(spark, "/root/testdata/sf0.001")
+        q_extract_pdf_crypt(spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -230,21 +230,26 @@ def test_pdf_crypt_plan_single_exchange(spark):
 
 
 def test_decontaminate_fuzzy_flags_near_duplicates(spark):
-    """Edited benchmark items (the shape exact 8-gram matching misses when
-    edits break every long gram) must still be flagged by the LSH + exact
-    Jaccard pass; unrelated docs must not be."""
+    """The three contamination shapes the exact 8-gram pass misses or
+    partially misses: a lightly-EDITED benchmark item (edits break every
+    long gram), the verbatim copy, and — the containment-measure case —
+    an edited item EMBEDDED inside a much larger page (symmetric Jaccard
+    ~0.1 would ship it to training). Unrelated docs must not be
+    flagged."""
     from zerox_spark.operators.decontam import decontaminate_fuzzy
 
     bench_text = " ".join(f"bench word{i} token{i*3}" for i in range(40))
     words = bench_text.split()
     # edit ~10% of words, spread out — kills most long n-grams, keeps
-    # bigram Jaccard high
+    # bigram containment high
     for i in range(0, len(words), 9):
         words[i] = f"EDIT{i}"
     near_dup = " ".join(words)
+    filler = " ".join(f"page filler{i} prose{i*5}" for i in range(180))
+    embedded = filler + " " + near_dup + " closing remarks here"
     unrelated = " ".join(f"other thing{i} item{i*7}" for i in range(40))
     docs = spark.createDataFrame(
-        [(1, near_dup), (2, unrelated), (3, bench_text)],
+        [(1, near_dup), (2, unrelated), (3, bench_text), (4, embedded)],
         "doc_id long, text string",
     )
     bench = spark.createDataFrame(
@@ -256,6 +261,7 @@ def test_decontaminate_fuzzy_flags_near_duplicates(spark):
     }
     assert rows[3].fuzzy_contaminated == 1  # verbatim copy
     assert rows[1].fuzzy_contaminated == 1  # near-dup edit
+    assert rows[4].fuzzy_contaminated == 1  # edited item inside a big page
     assert rows[2].fuzzy_contaminated == 0  # unrelated
     assert rows[1].fuzzy_hits == 1
 
@@ -279,7 +285,10 @@ def test_decontaminate_fuzzy_benchmark_side_broadcast(spark):
         .toString()
         .lower()
     )
-    assert "broadcast" in plan
+    # THREE benchmark-side broadcasts: band table + short-gram table
+    # (candidates) and shingle arrays (verification) — losing any one of
+    # them means the corpus shuffles for the match
+    assert plan.count("broadcastexchange") >= 3
 
 
 def test_substring_overlap_catches_shared_passage(spark):

@@ -85,9 +85,10 @@ for _ in range(13):
     _RCON.append(_xtime(_RCON[-1]))
 _RCON.insert(0, 0)  # 1-indexed in the spec
 
-# state layout: flat 16 bytes in FIPS input order (column-major:
-# index i holds row i%4 of column i//4)
-_SHIFT = [(4 * ((i // 4 + i % 4) % 4) + i % 4) for i in range(16)]
+# state layout: flat 16 bytes in FIPS input order (column-major: index i
+# holds row i%4 of column i//4). Encryption runs through the T-tables
+# below (ShiftRows is baked into their gather pattern); only decryption
+# needs the explicit permutation.
 _INV_SHIFT = [(4 * ((i // 4 - i % 4) % 4) + i % 4) for i in range(16)]
 
 

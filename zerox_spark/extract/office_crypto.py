@@ -80,10 +80,10 @@ def _ecb_encrypt(key: bytes, data: bytes) -> bytes:
 
     if len(data) % 16:
         data += b"\x00" * (16 - len(data) % 16)
-    rk = aes.expand_key(key)
+    words, nr = aes._expand_key_words(key)  # cached word form, once
     out = bytearray()
     for i in range(0, len(data), 16):
-        out += aes.encrypt_block(rk, data[i : i + 16])
+        out += aes._encrypt_block_w(words, nr, data[i : i + 16])
     return bytes(out)
 
 

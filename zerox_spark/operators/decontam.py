@@ -82,6 +82,10 @@ def decontaminate(
     )
 
 
+CANDIDATE_GRAM_N = 4  # short enough that ~10% word edits leave survivors
+CANDIDATE_MIN_GRAMS = 2  # ≥2 shared 4-grams → candidate (noise filter)
+
+
 def decontaminate_fuzzy(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -90,18 +94,28 @@ def decontaminate_fuzzy(
 ) -> DataFrame:
     """NEAR-duplicate contamination: exact long-n-gram matching (above)
     misses lightly-edited test items — whitespace normalization, swapped
-    numbers, paraphrased stems. This pass runs the MinHash-LSH machinery
-    ACROSS the corpus/benchmark boundary: band-bucket join for candidates,
-    exact shingle-Jaccard verification at ``threshold``.
+    numbers, paraphrased stems. Verification measures CONTAINMENT of the
+    benchmark item (|A∩B| / |B| over bigram shingles), not symmetric
+    Jaccard: a 40-word test item quoted inside a 400-word page is ~0.9
+    contained but ~0.1 Jaccard — the symmetric measure would ship it to
+    training. Candidates come from TWO benchmark-broadcast passes, each
+    covering the other's blind spot:
+
+    - MinHash-LSH band join (whole-document near-duplicates — cheap and
+      high-precision, but bands of a LARGE doc don't match an item
+      embedded in it)
+    - short-n-gram hits (docs sharing ≥ CANDIDATE_MIN_GRAMS benchmark
+      4-grams — survives the word edits that kill every 8-gram AND fires
+      for embedded items, at the cost of more candidates to verify)
 
     Output: (doc_id, fuzzy_hits, fuzzy_contaminated) — distinct benchmark
-    items each corpus doc near-duplicates, and the drop flag.
+    items each corpus doc contains at ≥ threshold, and the drop flag.
 
-    Scale shape (100 TB): the benchmark's band table is eval-set-sized →
-    BROADCAST; the corpus band table streams past it map-side, so the
-    only shuffled rows are candidate pairs (rare by construction) and the
-    per-doc hit agg on the corpus bucketing key. The corpus-side
-    signature agg is the same single Exchange the dedup path reuses."""
+    Scale shape (100 TB): both candidate passes broadcast the eval-sized
+    benchmark side; the corpus streams past them map-side, so the only
+    shuffled rows are candidates (filtered BEFORE any shuffle, the same
+    ordering the exact pass uses) and the per-doc hit agg on the corpus
+    bucketing key."""
     from zerox_spark.operators.dedup import (
         _shingles,
         band_table,
@@ -116,13 +130,22 @@ def decontaminate_fuzzy(
     bench_bands = band_table(
         minhash_signatures(bench.withColumnRenamed("bench_id", "doc_id"))
     ).withColumnRenamed("doc_id", "bench_id")
-    candidates = (
-        corpus_bands.join(
-            F.broadcast(bench_bands), ["band", "sig_hash"]
-        )
+    band_cands = corpus_bands.join(
+        F.broadcast(bench_bands), ["band", "sig_hash"]
+    ).select("doc_id", "bench_id")
+    short = _gram_col("text", CANDIDATE_GRAM_N)
+    bench_grams = bench.select(
+        "bench_id", F.explode(short).alias("gram")
+    ).distinct()
+    gram_cands = (
+        corpus.select("doc_id", F.explode(short).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .filter(F.col("_g") >= CANDIDATE_MIN_GRAMS)
         .select("doc_id", "bench_id")
-        .distinct()
     )
+    candidates = band_cands.unionByName(gram_cands).distinct()
     doc_sh = corpus.select("doc_id", _shingles(F.col("text")).alias("sha"))
     bench_sh = bench.select(
         "bench_id", _shingles(F.col("text")).alias("shb")
@@ -132,13 +155,13 @@ def decontaminate_fuzzy(
         candidates.join(doc_sh, "doc_id")
         .join(F.broadcast(bench_sh), "bench_id")
         .withColumn(
-            "jaccard",
-            n_inter / (F.size("sha") + F.size("shb") - n_inter),
+            "containment",
+            n_inter / F.greatest(F.size("shb"), F.lit(1)),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("containment") >= threshold)
     )
     hits = verified.groupBy("doc_id").agg(
-        F.countDistinct("bench_id").alias("fuzzy_hits")
+        F.count(F.lit(1)).alias("fuzzy_hits")  # one row per (doc, bench)
     )
     return (
         docs.select("doc_id")

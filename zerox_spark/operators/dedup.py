@@ -417,7 +417,10 @@ def substring_overlap_pairs(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
         )
-        .agg(F.countDistinct("a.f").alias("shared_fp"))
+        # both sides explode DISTINCT fingerprints, so each shared value
+        # yields exactly one joined row — plain count == countDistinct,
+        # without the two-phase distinct agg over the join output
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
     )
 

@@ -916,10 +916,11 @@ def q_recall_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recall_floor_pct",
     )
     # fuzzy-decontamination floor: the benchmark is a verbatim corpus
-    # slice, so every benchmark item's own corpus row is an exact near-dup
-    # (Jaccard 1, identical signatures share every band) — the LSH
-    # cross-join + verification must flag 100% of them; any banding or
-    # verification regression drops below and hash-mismatches
+    # slice, so every benchmark item's own corpus row contains it fully
+    # (containment 1; identical signatures share every band) — the
+    # candidate passes + containment verification must flag 100% of them;
+    # any banding/gram/verification regression drops below and
+    # hash-mismatches
     from zerox_spark.operators.decontam import decontaminate_fuzzy
 
     docs = _docs(spark, sf_dir)
@@ -1796,7 +1797,7 @@ SELECT url, CAST(page_no AS INTEGER) AS page_no,
 FROM marked GROUP BY url, page_no
 HAVING coalesce(string_agg(CASE WHEN NOT is_b THEN ln END, chr(10) ORDER BY i), '') <> ''
 """,
-    # the three recall floors in one slot. simhash n_docs is closed-form
+    # the four recall floors in one slot. simhash n_docs is closed-form
     # from the injected-dup derivation and its floor IS 100 by pigeonhole
     # (8 bands over a 64-bit hash at radius 7) — any banding/signature
     # regression drops below and hash-mismatches; the ANN floors restate
