@@ -1072,3 +1072,23 @@ class TestReviewFindings:
         p = extract_document(write_cfb([("Workbook", enc)]), None)[0]
         assert p.status == "ERROR"
         assert "XOR obfuscation" in (p.error or "")
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pos=st.integers(min_value=0, max_value=100_000),
+        bit=st.integers(0, 7),
+        variant=st.integers(0, 2),
+    )
+    def test_encrypted_pdf_bitflip_contained(self, pos, bit, variant):
+        # corrupting any byte of an encrypted PDF (trailer, /Encrypt dict,
+        # IVs, ciphertext, xref) must yield SUCCESS or a contained ERROR
+        base = bytearray(
+            render_pdf_encrypted(2, TEXT, ("rc4", "aesv2", "aesv3")[variant])
+        )
+        base[pos % len(base)] ^= 1 << bit
+        pages = extract_document(bytes(base), None)
+        assert pages and all(p.status in ("SUCCESS", "ERROR") for p in pages)
