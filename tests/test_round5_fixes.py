@@ -1092,3 +1092,138 @@ class TestReviewFindings:
         base[pos % len(base)] ^= 1 << bit
         pages = extract_document(bytes(base), None)
         assert pages and all(p.status in ("SUCCESS", "ERROR") for p in pages)
+
+
+# --------------------------------------------------------------------------
+# symbolic TrueType fonts: text recovery from the embedded font program
+
+
+def _build_symbol_ttf(
+    chars: str, with_uni_cmap: bool, with_post: bool
+) -> bytes:
+    """A minimal sfnt with a (3,0) symbol cmap at 0xF020+i → glyph 3+i,
+    optionally a (3,1) unicode subtable and/or post-2.0 uniXXXX names."""
+    import struct as s
+
+    # one glyph per UNIQUE char (as real fonts do); codes by position
+    uniq = sorted(set(chars))
+    glyph_of_char = {c: 3 + i for i, c in enumerate(uniq)}
+    glyph_of = {i: glyph_of_char[chars[i]] for i in range(len(chars))}
+
+    def fmt4(pairs):  # [(code, glyph)] single-code segments + terminator
+        pairs = sorted(pairs)
+        segs = [(c, c, (g - c) & 0xFFFF) for c, g in pairs]
+        segs.append((0xFFFF, 0xFFFF, 1))
+        n = len(segs)
+        head = s.pack(
+            ">HHHHHHH", 4, 16 + 8 * n, 0, 2 * n, 2, 0, 0
+        )
+        ends = b"".join(s.pack(">H", e) for _, e, _ in segs)
+        starts = b"".join(s.pack(">H", st) for st, _, _ in segs)
+        deltas = b"".join(s.pack(">H", d) for _, _, d in segs)
+        roffs = b"\x00\x00" * n
+        return head + ends + b"\x00\x00" + starts + deltas + roffs
+
+    subs = [((3, 0), fmt4([(0xF020 + i, g) for i, g in glyph_of.items()]))]
+    if with_uni_cmap:
+        subs.append(
+            ((3, 1), fmt4([(ord(c), g) for c, g in glyph_of_char.items()]))
+        )
+    rec_at = 4 + 8 * len(subs)
+    cmap = s.pack(">HH", 0, len(subs))
+    body = b""
+    for (plat, enc), sub in subs:
+        cmap += s.pack(">HHI", plat, enc, rec_at + len(body))
+        body += sub
+    cmap += body
+
+    tables = {b"cmap": cmap}
+    if with_post:
+        num = 3 + len(uniq)
+        idx = [0, 0, 0] + [258 + i for i in range(len(uniq))]
+        pool = b"".join(
+            bytes([len(f"uni{ord(c):04X}")]) + f"uni{ord(c):04X}".encode()
+            for c in uniq
+        )
+        tables[b"post"] = (
+            s.pack(">I", 0x00020000)
+            + b"\x00" * 28
+            + s.pack(">H", num)
+            + b"".join(s.pack(">H", i) for i in idx)
+            + pool
+        )
+    out = s.pack(">IHHHH", 0x00010000, len(tables), 16, 2, 0)
+    off = 12 + 16 * len(tables)
+    recs, blob = b"", b""
+    for tag in sorted(tables):
+        data = tables[tag]
+        recs += tag + s.pack(">III", 0, off + len(blob), len(data))
+        blob += data
+    return out + recs + blob
+
+
+class TestSymbolicTrueType:
+    @staticmethod
+    def _pdf_with_font(ttf: bytes, codes: bytes) -> bytes:
+        from zerox_spark.synth import _assemble_pdf
+
+        content = (
+            b"BT /F1 12 Tf 72 700 Td <" + codes.hex().encode() + b"> Tj ET"
+        )
+        return _assemble_pdf(
+            {
+                1: b"<< /Type /Catalog /Pages 2 0 R >>",
+                2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+                3: (
+                    b"<< /Type /Font /Subtype /TrueType /BaseFont /SymSub"
+                    b" /FontDescriptor 7 0 R >>"
+                ),
+                4: (
+                    b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                    b" /Resources << /Font << /F1 3 0 R >> >>"
+                    b" /Contents 5 0 R >>"
+                ),
+                5: (
+                    f"<< /Length {len(content)} >>\nstream\n".encode()
+                    + content
+                    + b"\nendstream"
+                ),
+                6: (
+                    f"<< /Length {len(ttf)} >>\nstream\n".encode()
+                    + ttf
+                    + b"\nendstream"
+                ),
+                7: (
+                    b"<< /Type /FontDescriptor /FontName /SymSub /Flags 4"
+                    b" /FontFile2 6 0 R >>"
+                ),
+            }
+        )
+
+    @pytest.mark.parametrize("via", ["post", "unicmap", "both"])
+    def test_symbol_font_text_recovered(self, via):
+        text = "Recovered!"
+        ttf = _build_symbol_ttf(
+            text,
+            with_uni_cmap=via in ("unicmap", "both"),
+            with_post=via in ("post", "both"),
+        )
+        codes = bytes(0x20 + i for i in range(len(text)))
+        pages = real_pdf_to_pages(self._pdf_with_font(ttf, codes))
+        assert pages and text in pages[0][1]
+
+    def test_symbolic_without_font_program_drops_not_mojibake(self):
+        # no FontFile2 and no maps: the symbolic font's codes must DROP
+        # (page errors out as text-free) rather than transcribe as cp1252
+        pdf = self._pdf_with_font(b"", bytes(range(0x20, 0x2A))).replace(
+            b" /FontFile2 6 0 R", b""
+        )
+        with pytest.raises(Exception):
+            real_pdf_to_pages(pdf)
+
+    def test_damaged_font_program_contained(self):
+        ttf = _build_symbol_ttf("Ok", True, True)
+        broken = ttf[:20] + b"\xff" * 10 + ttf[30:]
+        pdf = self._pdf_with_font(broken, b"\x20\x21")
+        pages = extract_document(pdf, None)
+        assert all(p.status in ("SUCCESS", "ERROR") for p in pages)

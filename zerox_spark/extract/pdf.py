@@ -29,6 +29,7 @@ decompression budget here (zip-bomb guard, same policy as ooxml._read_member).
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 from dataclasses import dataclass
 
@@ -1188,7 +1189,20 @@ class Font:
             "StandardEncoding": "cp1252",  # close enough for text mining
             None: "cp1252",
         }.get(base, "cp1252")
-        if not self.two_byte:
+        # a SYMBOLIC font with no /Encoding override uses its BUILT-IN
+        # encoding (§9.6.6.4) — filling cp1252 there would transcribe
+        # dingbats as Latin mojibake; leave the map to the embedded-font
+        # fallback below (or to honest drops)
+        symbolic = False
+        if base is None and diffs is None:
+            fd = doc.resolve(fdict.get(Name("FontDescriptor")))
+            flags = (
+                doc.resolve(fd.get(Name("Flags")))
+                if isinstance(fd, dict)
+                else None
+            )
+            symbolic = isinstance(flags, (int, float)) and int(flags) & 4 != 0
+        if not self.two_byte and not symbolic:
             for c in range(32, 256):
                 ch = bytes((c,)).decode(codec, errors="ignore")
                 if ch:
@@ -1207,6 +1221,34 @@ class Font:
                         self.encmap.pop(code, None)
                     code += 1
         self._load_widths(doc, fdict)
+        if (
+            not self.two_byte
+            and not self.byte_codec
+            and not self.tounicode
+            and subtype in (Name("TrueType"), Name("Type1"))
+        ):
+            # symbolic/subsetted embedded fonts without ToUnicode: the
+            # /Encoding chain can't name the glyphs, but the FONT PROGRAM
+            # often can — its cmap (3,0)/(1,0) maps codes to glyph ids and
+            # its (3,1) unicode subtable or post-2.0 glyph names map those
+            # back to characters. Fill only the codes the chain missed.
+            try:
+                self._embedded_font_fallback(doc, fdict)
+            except (PdfError, ValueError, IndexError, struct.error):
+                pass  # a damaged font program never kills the page
+
+    def _embedded_font_fallback(self, doc: Document, fdict: dict) -> None:
+        fd = doc.resolve(fdict.get(Name("FontDescriptor")))
+        if not isinstance(fd, dict):
+            return
+        ff = doc.resolve(fd.get(Name("FontFile2")))
+        if not isinstance(ff, Stream):
+            return
+        from zerox_spark.extract.truetype import decode_map_from_ttf
+
+        extra = decode_map_from_ttf(doc.stream_bytes(ff))
+        for code, ch in extra.items():
+            self.encmap.setdefault(code, ch)
 
     def _load_widths(self, doc: Document, fdict: dict) -> None:
         if self.two_byte or self.byte_codec:

@@ -1,0 +1,201 @@
+"""Minimal TrueType/sfnt table reader — text recovery for symbolic fonts.
+
+A subsetted, symbol-encoded embedded font without a ToUnicode CMap is one
+of the last silent-text-loss shapes in born-digital PDFs: the /Encoding
+chain can't name the glyphs, so the interpreter drops the string. The
+FONT PROGRAM usually still knows:
+
+- ``cmap`` (3,0) "symbol" or (1,0) Macintosh subtables map the 1-byte
+  character codes (often offset into U+F000..U+F0FF) to glyph ids
+- a sibling (3,1) Windows-Unicode subtable, when present, inverts glyph
+  id → Unicode directly
+- a ``post`` table version 2.0 carries per-glyph NAMES, which resolve
+  through the same Adobe-Glyph-List logic the /Differences path uses
+  (``uniXXXX``/``uXXXX``/AGL). Only CUSTOM name indexes (≥ 258) are
+  used — the 258 standard Macintosh order entries are not re-declared
+  here, so glyphs naming into that range simply stay unmapped (drop,
+  never guess).
+
+Everything is bounds-checked slicing over the already-budget-capped
+stream bytes (pdf.MAX_STREAM_BYTES); any structural damage raises and
+the caller treats the font as unmapped. Spec: the public OpenType/sfnt
+specification (cmap formats 0/4/6, post 2.0)."""
+
+from __future__ import annotations
+
+import struct
+
+MAX_SEGMENTS = 10_000  # cmap format-4 sanity bound
+MAX_GLYPHS = 65_536
+
+
+def _tables(data: bytes) -> dict[bytes, bytes]:
+    if len(data) < 12:
+        return {}
+    tag = data[:4]
+    if tag == b"ttcf":  # TrueType collection: first font's offset table
+        if len(data) < 16:
+            return {}
+        (first,) = struct.unpack_from(">I", data, 12)
+        return _tables(data[first:]) if first < len(data) else {}
+    if tag not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+        return {}
+    (num,) = struct.unpack_from(">H", data, 4)
+    out: dict[bytes, bytes] = {}
+    for i in range(min(num, 64)):
+        rec = 12 + 16 * i
+        if rec + 16 > len(data):
+            break
+        t = data[rec : rec + 4]
+        off, length = struct.unpack_from(">II", data, rec + 8)
+        if off < len(data):
+            out[t] = data[off : off + min(length, len(data) - off)]
+    return out
+
+
+def _cmap_subtables(cmap: bytes) -> dict[tuple[int, int], bytes]:
+    if len(cmap) < 4:
+        return {}
+    (num,) = struct.unpack_from(">H", cmap, 2)
+    out = {}
+    for i in range(min(num, 32)):
+        rec = 4 + 8 * i
+        if rec + 8 > len(cmap):
+            break
+        plat, enc, off = struct.unpack_from(">HHI", cmap, rec)
+        if off < len(cmap):
+            out[(plat, enc)] = cmap[off:]
+    return out
+
+
+def _parse_code_to_glyph(sub: bytes) -> dict[int, int]:
+    """cmap subtable formats 0 / 4 / 6 → {code: glyph_id}."""
+    if len(sub) < 4:
+        return {}
+    (fmt,) = struct.unpack_from(">H", sub, 0)
+    out: dict[int, int] = {}
+    if fmt == 0:
+        for c in range(min(256, len(sub) - 6)):
+            g = sub[6 + c]
+            if g:
+                out[c] = g
+        return out
+    if fmt == 6:
+        first, count = struct.unpack_from(">HH", sub, 6)
+        for i in range(min(count, MAX_GLYPHS)):
+            at = 10 + 2 * i
+            if at + 2 > len(sub):
+                break
+            (g,) = struct.unpack_from(">H", sub, at)
+            if g:
+                out[first + i] = g
+        return out
+    if fmt != 4:
+        return {}
+    (seg_x2,) = struct.unpack_from(">H", sub, 6)
+    segs = seg_x2 // 2
+    if not 0 < segs <= MAX_SEGMENTS:
+        return {}
+    end_at = 14
+    start_at = end_at + seg_x2 + 2  # +2: reservedPad
+    delta_at = start_at + seg_x2
+    range_at = delta_at + seg_x2
+    if range_at + seg_x2 > len(sub):
+        return {}
+    for i in range(segs):
+        end, start = (
+            struct.unpack_from(">H", sub, end_at + 2 * i)[0],
+            struct.unpack_from(">H", sub, start_at + 2 * i)[0],
+        )
+        (delta,) = struct.unpack_from(">h", sub, delta_at + 2 * i)
+        (roff,) = struct.unpack_from(">H", sub, range_at + 2 * i)
+        if start > end or start == 0xFFFF:
+            continue
+        for c in range(start, min(end, start + MAX_GLYPHS) + 1):
+            if roff == 0:
+                g = (c + delta) & 0xFFFF
+            else:
+                # the spec's famous self-relative pointer: the glyph id
+                # lives at idRangeOffset[i]'s own position + roff +
+                # 2*(c - start)
+                at = range_at + 2 * i + roff + 2 * (c - start)
+                if at + 2 > len(sub):
+                    continue
+                (g,) = struct.unpack_from(">H", sub, at)
+                if g:
+                    g = (g + delta) & 0xFFFF
+            if g:
+                out[c] = g
+    return out
+
+
+def _post_names(post: bytes) -> dict[int, str]:
+    """post 2.0 → {glyph_id: name} for CUSTOM (index ≥ 258) names only."""
+    if len(post) < 34 or struct.unpack_from(">I", post, 0)[0] != 0x00020000:
+        return {}
+    (num,) = struct.unpack_from(">H", post, 32)
+    num = min(num, MAX_GLYPHS)
+    idx_at = 34
+    names_at = idx_at + 2 * num
+    # decode the pascal-string pool once, in order
+    pool: list[str] = []
+    p = names_at
+    while p < len(post) and len(pool) < num:
+        ln = post[p]
+        pool.append(
+            post[p + 1 : p + 1 + ln].decode("latin-1", errors="ignore")
+        )
+        p += 1 + ln
+    out: dict[int, str] = {}
+    for g in range(num):
+        at = idx_at + 2 * g
+        if at + 2 > len(post):
+            break
+        (idx,) = struct.unpack_from(">H", post, at)
+        if idx >= 258 and idx - 258 < len(pool):
+            out[g] = pool[idx - 258]
+    return out
+
+
+def decode_map_from_ttf(data: bytes) -> dict[int, str]:
+    """Font program bytes → {1-byte code: unicode string} for the codes
+    the PDF /Encoding chain could not resolve. Empty dict on anything
+    unrecognizable — the caller drops silently rather than guessing."""
+    from zerox_spark.extract.pdf import _glyph_to_char
+
+    tables = _tables(data)
+    if b"cmap" not in tables:
+        return {}
+    subs = _cmap_subtables(tables[b"cmap"])
+    code_to_glyph: dict[int, int] = {}
+    for key in ((3, 0), (1, 0)):
+        if key in subs:
+            code_to_glyph = _parse_code_to_glyph(subs[key])
+            break
+    if not code_to_glyph:
+        return {}
+    # glyph → unicode: prefer a sibling (3,1) unicode subtable inverted,
+    # then post-2.0 custom names through the AGL logic
+    glyph_to_char: dict[int, str] = {}
+    if (3, 1) in subs:
+        for uni, g in _parse_code_to_glyph(subs[(3, 1)]).items():
+            if g not in glyph_to_char and 0x20 <= uni and not (
+                0xD800 <= uni <= 0xDFFF or 0xE000 <= uni <= 0xF8FF
+            ):
+                glyph_to_char[g] = chr(uni)
+    if b"post" in tables:
+        for g, name in _post_names(tables[b"post"]).items():
+            if g not in glyph_to_char:
+                ch = _glyph_to_char(name)
+                if ch:
+                    glyph_to_char[g] = ch
+    out: dict[int, str] = {}
+    for code in range(256):
+        # symbol cmaps usually store codes at 0xF000 | code
+        g = code_to_glyph.get(0xF000 | code) or code_to_glyph.get(code)
+        if not g:
+            continue
+        ch = glyph_to_char.get(g)
+        if ch:
+            out[code] = ch
+    return out
