@@ -1212,14 +1212,23 @@ class TestSymbolicTrueType:
         pages = real_pdf_to_pages(self._pdf_with_font(ttf, codes))
         assert pages and text in pages[0][1]
 
-    def test_symbolic_without_font_program_drops_not_mojibake(self):
-        # no FontFile2 and no maps: the symbolic font's codes must DROP
-        # (page errors out as text-free) rather than transcribe as cp1252
-        pdf = self._pdf_with_font(b"", bytes(range(0x20, 0x2A))).replace(
-            b" /FontFile2 6 0 R", b""
-        )
-        with pytest.raises(Exception):
-            real_pdf_to_pages(pdf)
+    def test_symbol_font_program_overrides_cp1252(self):
+        # when the program yields a map, it WINS over the cp1252 guess:
+        # code 0x20 renders 'R' per the font, not a space
+        ttf = _build_symbol_ttf("XY", with_uni_cmap=True, with_post=False)
+        pages = real_pdf_to_pages(self._pdf_with_font(ttf, b"\x20\x21"))
+        assert "XY" in pages[0][1]
+
+    def test_symbolic_without_font_program_falls_back_cp1252(self):
+        # recall-preserving compromise: subsetters set the symbolic flag
+        # on ordinary Latin fonts, so with NO font program and no maps at
+        # all the engine keeps the cp1252 reading instead of flipping the
+        # document to a text-free ERROR
+        pdf = self._pdf_with_font(
+            b"", b"Fallback reading kept"
+        ).replace(b" /FontFile2 6 0 R", b"")
+        pages = real_pdf_to_pages(pdf)
+        assert pages and "Fallback reading kept" in pages[0][1]
 
     def test_damaged_font_program_contained(self):
         ttf = _build_symbol_ttf("Ok", True, True)

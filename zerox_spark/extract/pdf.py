@@ -1225,17 +1225,38 @@ class Font:
             not self.two_byte
             and not self.byte_codec
             and not self.tounicode
+            and (symbolic or not self.encmap)
             and subtype in (Name("TrueType"), Name("Type1"))
         ):
             # symbolic/subsetted embedded fonts without ToUnicode: the
             # /Encoding chain can't name the glyphs, but the FONT PROGRAM
             # often can — its cmap (3,0)/(1,0) maps codes to glyph ids and
             # its (3,1) unicode subtable or post-2.0 glyph names map those
-            # back to characters. Fill only the codes the chain missed.
+            # back to characters. Gated on the symbolic flag (or an empty
+            # map) so the common WinAnsi-TrueType hot path never pays the
+            # font-program parse for near-zero gain.
             try:
                 self._embedded_font_fallback(doc, fdict)
-            except (PdfError, ValueError, IndexError, struct.error):
+            except (
+                PdfError,
+                ValueError,
+                IndexError,
+                struct.error,
+                RecursionError,
+            ):
                 pass  # a damaged font program never kills the page
+        if symbolic and not self.encmap and not self.tounicode:
+            # recall-preserving compromise: subsetters set the symbolic
+            # flag liberally on ordinary Latin fonts. When neither the
+            # font program nor any map yielded ANYTHING, falling back to
+            # cp1252 keeps those pages readable — a TRUE dingbat font
+            # still mostly drops (its codes sit in ranges cp1252 leaves
+            # unmapped or renders as replaceable punctuation), while an
+            # empty map would flip whole documents to text-free ERRORs.
+            for c in range(32, 256):
+                ch = bytes((c,)).decode("cp1252", errors="ignore")
+                if ch:
+                    self.encmap[c] = ch
 
     def _embedded_font_fallback(self, doc: Document, fdict: dict) -> None:
         fd = doc.resolve(fdict.get(Name("FontDescriptor")))

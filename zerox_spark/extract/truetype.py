@@ -30,15 +30,20 @@ MAX_GLYPHS = 65_536
 
 
 def _tables(data: bytes) -> dict[bytes, bytes]:
+    # TrueType collection: hop to the first font's offset table. Bounded
+    # ITERATION, never recursion — a crafted chain of 'ttcf' headers with
+    # tiny/zero offsets must not blow the stack (offset must strictly
+    # advance past the 12-byte header it came from)
+    for _ in range(4):
+        if len(data) < 16 or data[:4] != b"ttcf":
+            break
+        (first,) = struct.unpack_from(">I", data, 12)
+        if not 12 <= first < len(data):
+            return {}
+        data = data[first:]
     if len(data) < 12:
         return {}
-    tag = data[:4]
-    if tag == b"ttcf":  # TrueType collection: first font's offset table
-        if len(data) < 16:
-            return {}
-        (first,) = struct.unpack_from(">I", data, 12)
-        return _tables(data[first:]) if first < len(data) else {}
-    if tag not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
+    if data[:4] not in (b"\x00\x01\x00\x00", b"true", b"OTTO"):
         return {}
     (num,) = struct.unpack_from(">H", data, 4)
     out: dict[bytes, bytes] = {}
@@ -102,7 +107,12 @@ def _parse_code_to_glyph(sub: bytes) -> dict[int, int]:
     range_at = delta_at + seg_x2
     if range_at + seg_x2 > len(sub):
         return {}
+    budget = MAX_GLYPHS  # TOTAL code budget across all segments — a
+    # crafted subtable of full-range segments is a CPU bomb otherwise
+    # (same budget philosophy as the stream decompression caps)
     for i in range(segs):
+        if budget <= 0:
+            break
         end, start = (
             struct.unpack_from(">H", sub, end_at + 2 * i)[0],
             struct.unpack_from(">H", sub, start_at + 2 * i)[0],
@@ -111,7 +121,9 @@ def _parse_code_to_glyph(sub: bytes) -> dict[int, int]:
         (roff,) = struct.unpack_from(">H", sub, range_at + 2 * i)
         if start > end or start == 0xFFFF:
             continue
-        for c in range(start, min(end, start + MAX_GLYPHS) + 1):
+        span = min(end - start + 1, budget)
+        budget -= span
+        for c in range(start, start + span):
             if roff == 0:
                 g = (c + delta) & 0xFFFF
             else:
@@ -173,6 +185,14 @@ def decode_map_from_ttf(data: bytes) -> dict[int, str]:
             code_to_glyph = _parse_code_to_glyph(subs[key])
             break
     if not code_to_glyph:
+        # only a (3,1) unicode subtable: the font addresses glyphs BY
+        # unicode, so a 1-byte code c that the table maps is simply the
+        # character chr(c) — declare exactly those
+        if (3, 1) in subs:
+            uni = _parse_code_to_glyph(subs[(3, 1)])
+            return {
+                c: chr(c) for c in range(0x20, 256) if uni.get(c)
+            }
         return {}
     # glyph → unicode: prefer a sibling (3,1) unicode subtable inverted,
     # then post-2.0 custom names through the AGL logic

@@ -91,6 +91,7 @@ def decontaminate_fuzzy(
     benchmark: DataFrame,
     threshold: float = 0.5,
     text_col: str = "text",
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """NEAR-duplicate contamination: exact long-n-gram matching (above)
     misses lightly-edited test items — whitespace normalization, swapped
@@ -133,14 +134,29 @@ def decontaminate_fuzzy(
     band_cands = corpus_bands.join(
         F.broadcast(bench_bands), ["band", "sig_hash"]
     ).select("doc_id", "bench_id")
-    short = _gram_col("text", CANDIDATE_GRAM_N)
+    # DISTINCT grams on both sides: a benchmark 4-gram repeated inside
+    # one corpus doc is one shared gram, not several — the
+    # CANDIDATE_MIN_GRAMS noise filter counts distinct evidence
+    short = F.array_distinct(_gram_col("text", CANDIDATE_GRAM_N))
     bench_grams = bench.select(
         "bench_id", F.explode(short).alias("gram")
     ).distinct()
+    matched = corpus.select(
+        "doc_id", F.explode(short).alias("gram")
+    ).join(F.broadcast(bench_grams), "gram")
+    if max_gram_df is not None:
+        # 10^12-scale knob (same shape as dedup's max_bucket): ubiquitous
+        # natural-language 4-grams ('one of the most') match a large
+        # fraction of any crawl — cap the per-gram matched-doc count so
+        # candidate volume stays ∝ genuine overlap, not corpus size. A
+        # contaminated doc still surfaces through its RARE grams (a test
+        # item is never made of stopwords alone). None keeps the exact
+        # test-scale contract the recall-floor oracle checks.
+        from zerox_spark.operators.dedup import drop_viral_buckets
+
+        matched = drop_viral_buckets(matched, ["gram"], max_gram_df)
     gram_cands = (
-        corpus.select("doc_id", F.explode(short).alias("gram"))
-        .join(F.broadcast(bench_grams), "gram")
-        .groupBy("doc_id", "bench_id")
+        matched.groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("_g"))
         .filter(F.col("_g") >= CANDIDATE_MIN_GRAMS)
         .select("doc_id", "bench_id")
