@@ -1236,3 +1236,126 @@ class TestSymbolicTrueType:
         pdf = self._pdf_with_font(broken, b"\x20\x21")
         pages = extract_document(pdf, None)
         assert all(p.status in ("SUCCESS", "ERROR") for p in pages)
+
+
+# --------------------------------------------------------------------------
+# bare-CFF (Type1C / FontFile3) fallback
+
+
+def _build_cff(chars: str) -> bytes:
+    """Minimal bare CFF: custom Encoding (code 0x20+i → glyph i+1),
+    custom charset (glyph i+1 → SID 391+i), String INDEX of uniXXXX
+    names, one dummy charstring per glyph."""
+    import struct as s
+
+    def index(items):
+        if not items:
+            return s.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (
+            s.pack(">HB", len(items), 2)
+            + b"".join(s.pack(">H", o) for o in offs)
+            + b"".join(items)
+        )
+
+    uniq = list(dict.fromkeys(chars))
+    names = [f"uni{ord(c):04X}".encode() for c in uniq]
+    header = b"\x01\x00\x04\x02"
+    name_idx = index([b"SynthCFF"])
+    str_idx = index(names)
+    enc = bytes([0, len(uniq)]) + bytes(0x20 + i for i in range(len(uniq)))
+    charset = b"\x00" + b"".join(
+        s.pack(">H", 391 + i) for i in range(len(uniq))
+    )
+    cs_idx = index([b"\x0e"] * (1 + len(uniq)))  # endchar per glyph
+
+    def top_dict(enc_off, charset_off, cs_off):
+        def op29(v, op):
+            return b"\x1d" + s.pack(">i", v) + bytes([op])
+
+        return index(
+            [op29(charset_off, 15) + op29(enc_off, 16) + op29(cs_off, 17)]
+        )
+
+    # two passes: sizes are offset-independent (op29 is fixed width)
+    td_size = len(top_dict(0, 0, 0))
+    base = len(header) + len(name_idx) + td_size + len(str_idx)
+    enc_off = base
+    charset_off = enc_off + len(enc)
+    cs_off = charset_off + len(charset)
+    return (
+        header
+        + name_idx
+        + top_dict(enc_off, charset_off, cs_off)
+        + str_idx
+        + enc
+        + charset
+        + cs_idx
+    )
+
+
+class TestBareCffFallback:
+    def test_cff_custom_names_recovered(self):
+        from zerox_spark.extract.cff import decode_map_from_cff
+
+        text = "Type1C works"
+        mapping = decode_map_from_cff(_build_cff(text))
+        uniq = list(dict.fromkeys(text))
+        assert mapping == {0x20 + i: c for i, c in enumerate(uniq)}
+
+    def test_cff_in_pdf_via_fontfile3(self):
+        from zerox_spark.synth import _assemble_pdf
+
+        text = "CffRecovered"
+        cff = _build_cff(text)
+        uniq = list(dict.fromkeys(text))
+        codes = bytes(0x20 + uniq.index(c) for c in text)
+        content = (
+            b"BT /F1 12 Tf 72 700 Td <" + codes.hex().encode() + b"> Tj ET"
+        )
+        pdf = _assemble_pdf(
+            {
+                1: b"<< /Type /Catalog /Pages 2 0 R >>",
+                2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+                3: (
+                    b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthCFF"
+                    b" /FontDescriptor 7 0 R >>"
+                ),
+                4: (
+                    b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                    b" /Resources << /Font << /F1 3 0 R >> >>"
+                    b" /Contents 5 0 R >>"
+                ),
+                5: (
+                    f"<< /Length {len(content)} >>\nstream\n".encode()
+                    + content
+                    + b"\nendstream"
+                ),
+                6: (
+                    f"<< /Subtype /Type1C /Length {len(cff)} >>"
+                    f"\nstream\n".encode()
+                    + cff
+                    + b"\nendstream"
+                ),
+                7: (
+                    b"<< /Type /FontDescriptor /FontName /SynthCFF"
+                    b" /Flags 4 /FontFile3 6 0 R >>"
+                ),
+            }
+        )
+        pages = real_pdf_to_pages(pdf)
+        assert pages and text in pages[0][1]
+
+    def test_damaged_cff_contained(self):
+        from zerox_spark.extract.cff import decode_map_from_cff
+
+        good = _build_cff("Ok")
+        for cut in (2, 10, 30, len(good) - 3):
+            try:
+                m = decode_map_from_cff(good[:cut])
+            except ValueError:
+                continue
+            assert isinstance(m, dict)
+        assert decode_map_from_cff(b"\x02\x00\x04\x02") == {}  # major 2

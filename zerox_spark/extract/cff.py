@@ -1,0 +1,202 @@
+"""Minimal bare-CFF (Type1C) reader — text recovery for /FontFile3 fonts.
+
+pdfTeX-era generators embed Type1C (bare CFF) font programs; a subsetted
+one without ToUnicode currently loses its text the same way symbolic
+TrueType did before ``extract/truetype.py``. The CFF structures needed
+are small: INDEX arrays, the Top DICT (charset + Encoding + CharStrings
+offsets), the String INDEX, the charset (glyph → SID) and the custom
+Encoding (code → glyph). Name resolution is CUSTOM-SID-only (SID ≥ 391 →
+String INDEX → the same AGL/``uniXXXX`` logic the /Differences path
+uses); the 391 standard strings are deliberately not re-declared here, so
+glyphs naming into that range stay unmapped — drop, never guess.
+
+Budgets: all parsing is bounds-checked slicing over the already
+stream-capped bytes; glyph/SID counts clamp at 65,536. Spec: the public
+Adobe CFF (Compact Font Format) specification, tech note #5176.
+"""
+
+from __future__ import annotations
+
+import struct
+
+MAX_GLYPHS = 65_536
+_STD_STRINGS = 391  # SIDs below this are the standard set (not shipped)
+
+
+def _index(data: bytes, at: int) -> tuple[list[bytes], int]:
+    """CFF INDEX at ``at`` → (items, offset past the INDEX)."""
+    if at + 2 > len(data):
+        raise ValueError("INDEX header out of range")
+    (count,) = struct.unpack_from(">H", data, at)
+    if count == 0:
+        return [], at + 2
+    if count > MAX_GLYPHS:
+        raise ValueError("INDEX count over budget")
+    off_size = data[at + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError("bad INDEX offSize")
+    offs_at = at + 3
+    offs = []
+    for i in range(count + 1):
+        p = offs_at + i * off_size
+        if p + off_size > len(data):
+            raise ValueError("INDEX offsets out of range")
+        offs.append(int.from_bytes(data[p : p + off_size], "big"))
+    data_at = offs_at + (count + 1) * off_size - 1  # offsets are 1-based
+    items = []
+    for i in range(count):
+        a, b = data_at + offs[i], data_at + offs[i + 1]
+        if not (0 <= a <= b <= len(data)):
+            raise ValueError("INDEX item out of range")
+        items.append(data[a:b])
+    return items, data_at + offs[count]
+
+
+def _parse_dict(blob: bytes) -> dict[int, list[int]]:
+    """CFF DICT → {op: operands}; op 12 xx encoded as 1200+xx. Reals are
+    skipped (none of the offsets we need are reals)."""
+    out: dict[int, list[int]] = {}
+    operands: list[int] = []
+    i = 0
+    n = len(blob)
+    while i < n:
+        b = blob[i]
+        if b <= 21:  # operator
+            if b == 12:
+                i += 1
+                op = 1200 + (blob[i] if i < n else 0)
+            else:
+                op = b
+            out[op] = operands
+            operands = []
+        elif 32 <= b <= 246:
+            operands.append(b - 139)
+        elif 247 <= b <= 250:
+            i += 1
+            operands.append((b - 247) * 256 + (blob[i] if i < n else 0) + 108)
+        elif 251 <= b <= 254:
+            i += 1
+            operands.append(
+                -(b - 251) * 256 - (blob[i] if i < n else 0) - 108
+            )
+        elif b == 28:
+            operands.append(
+                struct.unpack_from(">h", blob, i + 1)[0]
+                if i + 3 <= n
+                else 0
+            )
+            i += 2
+        elif b == 29:
+            operands.append(
+                struct.unpack_from(">i", blob, i + 1)[0]
+                if i + 5 <= n
+                else 0
+            )
+            i += 4
+        elif b == 30:  # real number: skip nibbles to the 0xF terminator
+            i += 1
+            while i < n and blob[i] & 0x0F != 0x0F and blob[i] >> 4 != 0x0F:
+                i += 1
+            operands.append(0)
+        i += 1
+    return out
+
+
+def _charset(data: bytes, at: int, n_glyphs: int) -> list[int]:
+    """glyph id → SID (glyph 0 is .notdef, SID 0)."""
+    sids = [0]
+    if at >= len(data):
+        return sids
+    fmt = data[at]
+    p = at + 1
+    if fmt == 0:
+        for _ in range(n_glyphs - 1):
+            if p + 2 > len(data):
+                break
+            sids.append(struct.unpack_from(">H", data, p)[0])
+            p += 2
+    elif fmt in (1, 2):
+        step = 3 if fmt == 1 else 4
+        while len(sids) < n_glyphs:
+            if p + step > len(data):
+                break
+            (first,) = struct.unpack_from(">H", data, p)
+            n_left = (
+                data[p + 2]
+                if fmt == 1
+                else struct.unpack_from(">H", data, p + 2)[0]
+            )
+            for k in range(min(n_left + 1, n_glyphs - len(sids))):
+                sids.append(first + k)
+            p += step
+    return sids
+
+
+def _encoding(data: bytes, at: int) -> dict[int, int]:
+    """custom Encoding at offset → {code: glyph_id}."""
+    if at >= len(data):
+        return {}
+    fmt = data[at]
+    out: dict[int, int] = {}
+    if fmt & 0x7F == 0:
+        n_codes = data[at + 1] if at + 1 < len(data) else 0
+        for i in range(n_codes):
+            p = at + 2 + i
+            if p >= len(data):
+                break
+            out[data[p]] = i + 1  # code of glyph i+1
+    elif fmt & 0x7F == 1:
+        n_ranges = data[at + 1] if at + 1 < len(data) else 0
+        g = 1
+        for i in range(n_ranges):
+            p = at + 2 + 2 * i
+            if p + 2 > len(data):
+                break
+            first, n_left = data[p], data[p + 1]
+            for k in range(n_left + 1):
+                out[first + k] = g
+                g += 1
+    return out
+
+
+def decode_map_from_cff(data: bytes) -> dict[int, str]:
+    """Bare-CFF font program → {1-byte code: unicode} from the custom
+    Encoding → charset → custom-SID names chain. Empty on anything
+    unrecognizable or on fonts using only standard SIDs/encodings."""
+    from zerox_spark.extract.pdf import _glyph_to_char
+
+    if len(data) < 4 or data[0] != 1:  # CFF major version 1
+        return {}
+    hdr_size = data[2]
+    _names, at = _index(data, hdr_size)
+    top_dicts, at = _index(data, at)
+    strings, _ = _index(data, at)
+    if not top_dicts:
+        return {}
+    top = _parse_dict(top_dicts[0])
+    cs_off = top.get(17, [0])[-1]  # CharStrings
+    charset_off = top.get(15, [0])[-1]
+    enc_off = top.get(16, [0])[-1]
+    if cs_off <= 0 or charset_off <= 2 or enc_off <= 1:
+        # 0/1/2 mean standard charsets/encodings — nothing custom to read
+        return {}
+    charstrings, _ = _index(data, cs_off)
+    n_glyphs = len(charstrings)
+    if not n_glyphs:
+        return {}
+    sids = _charset(data, charset_off, n_glyphs)
+    code_to_glyph = _encoding(data, enc_off)
+    out: dict[int, str] = {}
+    for code, g in code_to_glyph.items():
+        if not 0 < g < len(sids):
+            continue
+        sid = sids[g]
+        if sid < _STD_STRINGS or sid - _STD_STRINGS >= len(strings):
+            continue  # standard SID — not re-declared here; drop
+        name = strings[sid - _STD_STRINGS].decode(
+            "latin-1", errors="ignore"
+        )
+        ch = _glyph_to_char(name)
+        if ch:
+            out[code] = ch
+    return out

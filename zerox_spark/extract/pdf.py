@@ -1262,12 +1262,28 @@ class Font:
         fd = doc.resolve(fdict.get(Name("FontDescriptor")))
         if not isinstance(fd, dict):
             return
+        extra: dict[int, str] = {}
         ff = doc.resolve(fd.get(Name("FontFile2")))
-        if not isinstance(ff, Stream):
-            return
-        from zerox_spark.extract.truetype import decode_map_from_ttf
+        if isinstance(ff, Stream):
+            from zerox_spark.extract.truetype import decode_map_from_ttf
 
-        extra = decode_map_from_ttf(doc.stream_bytes(ff))
+            extra = decode_map_from_ttf(doc.stream_bytes(ff))
+        else:
+            ff = doc.resolve(fd.get(Name("FontFile3")))
+            if isinstance(ff, Stream):
+                prog = doc.stream_bytes(ff)
+                if prog[:4] == b"OTTO":
+                    # CFF-in-sfnt: the wrapper's cmap drives the decode
+                    from zerox_spark.extract.truetype import (
+                        decode_map_from_ttf,
+                    )
+
+                    extra = decode_map_from_ttf(prog)
+                else:
+                    # bare CFF (Type1C, the pdfTeX-era shape)
+                    from zerox_spark.extract.cff import decode_map_from_cff
+
+                    extra = decode_map_from_cff(prog)
         for code, ch in extra.items():
             self.encmap.setdefault(code, ch)
 
