@@ -32,6 +32,8 @@ def _index(data: bytes, at: int) -> tuple[list[bytes], int]:
         return [], at + 2
     if count > MAX_GLYPHS:
         raise ValueError("INDEX count over budget")
+    if at + 3 > len(data):
+        raise ValueError("INDEX offSize out of range")
     off_size = data[at + 2]
     if not 1 <= off_size <= 4:
         raise ValueError("bad INDEX offSize")
