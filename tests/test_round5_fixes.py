@@ -1359,3 +1359,38 @@ class TestBareCffFallback:
                 continue
             assert isinstance(m, dict)
         assert decode_map_from_cff(b"\x02\x00\x04\x02") == {}  # major 2
+
+    def test_cff_standard_charset_and_encoding(self):
+        # a fully standard Type1C subset: identity charset (offset 0),
+        # StandardEncoding (offset 0) — ASCII text decodes through the
+        # fixed standard-string order, quote glyphs map to ’/‘
+        import struct as s
+
+        from zerox_spark.extract.cff import decode_map_from_cff
+
+        def index(items):
+            offs = [1]
+            for it in items:
+                offs.append(offs[-1] + len(it))
+            return (
+                s.pack(">HB", len(items), 2)
+                + b"".join(s.pack(">H", o) for o in offs)
+                + b"".join(items)
+            )
+
+        def op29(v, op):
+            return b"\x1d" + s.pack(">i", v) + bytes([op])
+
+        header = b"\x01\x00\x04\x02"
+        name_idx = index([b"StdCFF"])
+        str_idx = s.pack(">H", 0)  # empty String INDEX
+        n_glyphs = 96  # .notdef + SIDs 1..95 (identity charset)
+        cs_idx = index([b"\x0e"] * n_glyphs)
+        td = index([op29(0, 15) + op29(0, 16) + op29(0, 17)])
+        base = len(header) + len(name_idx) + len(td) + len(str_idx)
+        td = index([op29(0, 15) + op29(0, 16) + op29(base, 17)])
+        cff = header + name_idx + td + str_idx + cs_idx
+        m = decode_map_from_cff(cff)
+        assert m[ord("A")] == "A" and m[ord("z")] == "z"
+        assert m[0x20] == " " and m[ord("~")] == "~"
+        assert m[39] == "’" and m[96] == "‘"  # quote glyphs

@@ -20,7 +20,24 @@ from __future__ import annotations
 import struct
 
 MAX_GLYPHS = 65_536
-_STD_STRINGS = 391  # SIDs below this are the standard set (not shipped)
+_STD_STRINGS = 391  # SIDs below this are the standard set
+
+# CFF standard strings 1..95 (Appendix A) are the StandardEncoding
+# printable-ASCII glyph names in codepoint order — SID k names the glyph
+# StandardEncoding assigns to code 31+k. Note SID 8 is quoteRIGHT and 65
+# quoteLEFT (StandardEncoding's 0x27/0x60), not the ASCII apostrophe and
+# grave. The remaining standard strings (accented sets, small caps) are
+# not re-declared here — glyphs naming into them stay unmapped.
+_STD_NAMES_1_95 = (
+    "space exclam quotedbl numbersign dollar percent ampersand quoteright "
+    "parenleft parenright asterisk plus comma hyphen period slash "
+    "zero one two three four five six seven eight nine colon semicolon "
+    "less equal greater question at "
+    "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z "
+    "bracketleft backslash bracketright asciicircum underscore quoteleft "
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z "
+    "braceleft bar braceright asciitilde"
+).split()
 
 
 def _index(data: bytes, at: int) -> tuple[list[bytes], int]:
@@ -179,26 +196,46 @@ def decode_map_from_cff(data: bytes) -> dict[int, str]:
     cs_off = top.get(17, [0])[-1]  # CharStrings
     charset_off = top.get(15, [0])[-1]
     enc_off = top.get(16, [0])[-1]
-    if cs_off <= 0 or charset_off <= 2 or enc_off <= 1:
-        # 0/1/2 mean standard charsets/encodings — nothing custom to read
+    if cs_off <= 0:
         return {}
     charstrings, _ = _index(data, cs_off)
     n_glyphs = len(charstrings)
     if not n_glyphs:
         return {}
-    sids = _charset(data, charset_off, n_glyphs)
-    code_to_glyph = _encoding(data, enc_off)
+    if charset_off > 2:
+        sids = _charset(data, charset_off, n_glyphs)
+    elif charset_off == 0:
+        # ISOAdobe charset: glyph g has SID g (identity)
+        sids = list(range(n_glyphs))
+    else:
+        return {}  # Expert charsets: small-caps sets, not re-declared
+
+    def sid_name(sid: int) -> str | None:
+        if 1 <= sid <= 95:
+            return _STD_NAMES_1_95[sid - 1]
+        if sid >= _STD_STRINGS and sid - _STD_STRINGS < len(strings):
+            return strings[sid - _STD_STRINGS].decode(
+                "latin-1", errors="ignore"
+            )
+        return None  # other standard SIDs: not re-declared — drop
+
+    if enc_off > 1:
+        code_to_glyph = _encoding(data, enc_off)
+    else:
+        # Standard (0) / Expert (1) encoding: code 31+k shows the glyph
+        # NAMED by standard string k — invert through the charset
+        sid_to_glyph = {s: g for g, s in enumerate(sids) if g}
+        code_to_glyph = {
+            31 + k: sid_to_glyph[k]
+            for k in range(1, 96)
+            if k in sid_to_glyph
+        }
     out: dict[int, str] = {}
     for code, g in code_to_glyph.items():
         if not 0 < g < len(sids):
             continue
-        sid = sids[g]
-        if sid < _STD_STRINGS or sid - _STD_STRINGS >= len(strings):
-            continue  # standard SID — not re-declared here; drop
-        name = strings[sid - _STD_STRINGS].decode(
-            "latin-1", errors="ignore"
-        )
-        ch = _glyph_to_char(name)
+        name = sid_name(sids[g])
+        ch = _glyph_to_char(name) if name else ""
         if ch:
             out[code] = ch
     return out
