@@ -33,6 +33,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "directly into the pages schema (zerox_spark/warc.py)",
     )
     ap.add_argument("--synth-sf-dir", help="synthesize pages from this TESTDATA dir")
+    from zerox_spark.synth import SYNTH_FAMILIES
+
+    ap.add_argument(
+        "--synth-family",
+        default="taxonomy",
+        choices=sorted(SYNTH_FAMILIES),
+        help="which synthesized corpus to run (with --synth-sf-dir): "
+        "the mixed taxonomy default, or a per-format family incl. the "
+        "encrypted-PDF/Office ones",
+    )
     ap.add_argument("--output", required=True, help="sink root dir (parquet mode)")
     ap.add_argument("--iceberg", action="store_true", help="treat --input/--output as iceberg tables")
     ap.add_argument("--partitions", type=int, default=256)
@@ -85,9 +95,9 @@ def main(argv: list[str] | None = None) -> int:
         return _run_streaming(spark, args, named_extractor)
 
     if args.synth_sf_dir:
-        from zerox_spark.synth import synth_pages
+        from zerox_spark.synth import SYNTH_FAMILIES
 
-        pages = synth_pages(spark, args.synth_sf_dir)
+        pages = SYNTH_FAMILIES[args.synth_family](spark, args.synth_sf_dir)
     elif args.input_warc:
         from zerox_spark.warc import read_warc
 

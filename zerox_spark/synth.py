@@ -1800,3 +1800,21 @@ def synth_poison_pages(
     deterministically-corrupt CFB header (trusted text emptied) — the
     containment-contract corpus."""
     return _pages_from_docs(spark, sf_dir, _row_poison, num_partitions)
+
+
+# every synthesized corpus by name — the job CLI's --synth-family choices
+# (taxonomy is the default mixed corpus the driver smoke-checks)
+SYNTH_FAMILIES = {
+    "taxonomy": synth_pages,
+    "ooxml": synth_ooxml_pages,
+    "legacy": synth_legacy_pages,
+    "misc": synth_misc_pages,
+    "rtf": synth_rtf_pages,
+    "odf": synth_odf_pages,
+    "delimited": synth_delimited_pages,
+    "pres": synth_pres_pages,
+    "pdf_real": synth_pdf_real_pages,
+    "pdf_crypt": synth_pdf_crypt_pages,
+    "binary": synth_binary_pages,
+    "poison": synth_poison_pages,
+}
