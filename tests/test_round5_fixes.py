@@ -1394,3 +1394,56 @@ class TestBareCffFallback:
         assert m[ord("A")] == "A" and m[ord("z")] == "z"
         assert m[0x20] == " " and m[ord("~")] == "~"
         assert m[39] == "’" and m[96] == "‘"  # quote glyphs
+
+    def test_type1_cleartext_encoding_recovered(self):
+        # original Type 1 (/FontFile): dup <code> /<name> put lines in the
+        # cleartext header drive the decode; PFB segment headers strip
+        import struct as s
+
+        from zerox_spark.extract.cff import decode_map_from_type1
+        from zerox_spark.synth import _assemble_pdf
+
+        header = (
+            b"%!PS-AdobeFont-1.0: SynthT1\n"
+            b"/Encoding 256 array\n"
+            b"0 1 255 {1 index exch /.notdef put} for\n"
+            b"dup 40 /T put\ndup 41 /one put\ndup 42 /quoteright put\n"
+            b"readonly def\n"
+        )
+        pfa = header + b"eexec\n" + b"\xaa" * 64
+        assert decode_map_from_type1(pfa) == {40: "T", 41: "1", 42: "’"}
+        pfb = b"\x80\x01" + s.pack("<I", len(pfa)) + pfa
+        assert decode_map_from_type1(pfb)[40] == "T"
+        # end to end: symbolic Type1 via FontFile
+        content = b"BT /F1 12 Tf 72 700 Td <282A29> Tj ET"  # T ' 1
+        pdf = _assemble_pdf(
+            {
+                1: b"<< /Type /Catalog /Pages 2 0 R >>",
+                2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+                3: (
+                    b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthT1"
+                    b" /FontDescriptor 7 0 R >>"
+                ),
+                4: (
+                    b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                    b" /Resources << /Font << /F1 3 0 R >> >>"
+                    b" /Contents 5 0 R >>"
+                ),
+                5: (
+                    f"<< /Length {len(content)} >>\nstream\n".encode()
+                    + content
+                    + b"\nendstream"
+                ),
+                6: (
+                    f"<< /Length {len(pfa)} >>\nstream\n".encode()
+                    + pfa
+                    + b"\nendstream"
+                ),
+                7: (
+                    b"<< /Type /FontDescriptor /FontName /SynthT1"
+                    b" /Flags 4 /FontFile 6 0 R >>"
+                ),
+            }
+        )
+        pages = real_pdf_to_pages(pdf)
+        assert pages and "T’1" in pages[0][1]

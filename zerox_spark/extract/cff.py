@@ -178,6 +178,36 @@ def _encoding(data: bytes, at: int) -> dict[int, int]:
     return out
 
 
+def decode_map_from_type1(data: bytes) -> dict[int, str]:
+    """Original Type 1 (/FontFile, PFA/PFB) fonts: the /Encoding array is
+    CLEARTEXT PostScript before the eexec section — ``dup <code> /<name>
+    put`` lines give code → glyph name directly; names resolve through
+    the same AGL logic. PFB segment headers (0x80 0x01) are stripped;
+    only the pre-eexec header is read, so the encrypted charstring body
+    is never touched."""
+    import re
+
+    from zerox_spark.extract.pdf import _glyph_to_char
+
+    if data[:1] == b"\x80":  # PFB: take the first ASCII segment
+        if len(data) < 6:
+            return {}
+        (seg_len,) = struct.unpack("<I", data[2:6])
+        data = data[6 : 6 + min(seg_len, len(data))]
+    head = data.split(b"eexec", 1)[0][: 1 << 20]
+    out: dict[int, str] = {}
+    for m in re.finditer(
+        rb"dup\s+(\d{1,3})\s*/([A-Za-z0-9._]+)\s+put", head
+    ):
+        code = int(m.group(1))
+        if code > 255:
+            continue
+        ch = _glyph_to_char(m.group(2).decode("latin-1", errors="ignore"))
+        if ch:
+            out[code] = ch
+    return out
+
+
 def decode_map_from_cff(data: bytes) -> dict[int, str]:
     """Bare-CFF font program → {1-byte code: unicode} from the custom
     Encoding → charset → custom-SID names chain. Empty on anything

@@ -1284,6 +1284,15 @@ class Font:
                     from zerox_spark.extract.cff import decode_map_from_cff
 
                     extra = decode_map_from_cff(prog)
+            else:
+                ff = doc.resolve(fd.get(Name("FontFile")))
+                if isinstance(ff, Stream):
+                    # original Type 1: cleartext /Encoding header
+                    from zerox_spark.extract.cff import (
+                        decode_map_from_type1,
+                    )
+
+                    extra = decode_map_from_type1(doc.stream_bytes(ff))
         for code, ch in extra.items():
             self.encmap.setdefault(code, ch)
 
