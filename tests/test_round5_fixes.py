@@ -1447,3 +1447,29 @@ class TestBareCffFallback:
         )
         pages = real_pdf_to_pages(pdf)
         assert pages and "T’1" in pages[0][1]
+
+    @settings(max_examples=150, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=400))
+    def test_font_readers_contained_on_arbitrary_bytes(self, data):
+        # every font-program reader either returns a dict or raises one of
+        # the exception types Font.__init__ contains — never anything else
+        from zerox_spark.extract.cff import (
+            decode_map_from_cff,
+            decode_map_from_type1,
+        )
+        from zerox_spark.extract.truetype import decode_map_from_ttf
+
+        for fn in (decode_map_from_ttf, decode_map_from_cff,
+                   decode_map_from_type1):
+            for payload in (data, b"ttcf" + data, b"\x01\x00\x04\x02" + data,
+                            b"\x00\x01\x00\x00" + data):
+                try:
+                    out = fn(payload)
+                except (ValueError, IndexError) as _:
+                    continue
+                except Exception as exc:  # noqa: BLE001
+                    import struct as s
+
+                    assert isinstance(exc, (s.error,)), type(exc)
+                    continue
+                assert isinstance(out, dict)
