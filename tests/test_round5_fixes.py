@@ -1242,23 +1242,36 @@ class TestSymbolicTrueType:
 # bare-CFF (Type1C / FontFile3) fallback
 
 
+def _cff_index(items):
+    """CFF INDEX builder (test-side; shared by every CFF fixture)."""
+    import struct as s
+
+    if not items:
+        return s.pack(">H", 0)
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    return (
+        s.pack(">HB", len(items), 2)
+        + b"".join(s.pack(">H", o) for o in offs)
+        + b"".join(items)
+    )
+
+
+def _cff_op29(v, op):
+    """Fixed-width (5-byte) DICT integer operand + operator."""
+    import struct as s
+
+    return b"\x1d" + s.pack(">i", v) + bytes([op])
+
+
 def _build_cff(chars: str) -> bytes:
     """Minimal bare CFF: custom Encoding (code 0x20+i → glyph i+1),
     custom charset (glyph i+1 → SID 391+i), String INDEX of uniXXXX
     names, one dummy charstring per glyph."""
     import struct as s
 
-    def index(items):
-        if not items:
-            return s.pack(">H", 0)
-        offs = [1]
-        for it in items:
-            offs.append(offs[-1] + len(it))
-        return (
-            s.pack(">HB", len(items), 2)
-            + b"".join(s.pack(">H", o) for o in offs)
-            + b"".join(items)
-        )
+    index = _cff_index
 
     uniq = list(dict.fromkeys(chars))
     names = [f"uni{ord(c):04X}".encode() for c in uniq]
@@ -1368,19 +1381,7 @@ class TestBareCffFallback:
 
         from zerox_spark.extract.cff import decode_map_from_cff
 
-        def index(items):
-            offs = [1]
-            for it in items:
-                offs.append(offs[-1] + len(it))
-            return (
-                s.pack(">HB", len(items), 2)
-                + b"".join(s.pack(">H", o) for o in offs)
-                + b"".join(items)
-            )
-
-        def op29(v, op):
-            return b"\x1d" + s.pack(">i", v) + bytes([op])
-
+        index, op29 = _cff_index, _cff_op29
         header = b"\x01\x00\x04\x02"
         name_idx = index([b"StdCFF"])
         str_idx = s.pack(">H", 0)  # empty String INDEX
@@ -1473,3 +1474,51 @@ class TestBareCffFallback:
                     assert isinstance(exc, (s.error,)), type(exc)
                     continue
                 assert isinstance(out, dict)
+
+    def test_job_family_choices_match_registry(self):
+        from zerox_spark.job import SYNTH_FAMILY_CHOICES
+        from zerox_spark.synth import SYNTH_FAMILIES
+
+        assert set(SYNTH_FAMILY_CHOICES) == set(SYNTH_FAMILIES)
+
+    def test_cff_empty_operand_and_expert_shapes_return_empty(self):
+        import struct as s
+
+        from zerox_spark.extract.cff import decode_map_from_cff
+
+        index, op29 = _cff_index, _cff_op29
+        # Top DICT with op 17 and NO operands — documented contract is {}
+        bare = (
+            b"\x01\x00\x04\x02" + index([b"F"]) + index([b"\x11"])
+            + s.pack(">H", 0)
+        )
+        assert decode_map_from_cff(bare) == {}
+
+        # Expert encoding (offset 1): drop, never decode as Standard
+        header = b"\x01\x00\x04\x02"
+        name_idx = index([b"X"])
+        str_idx = s.pack(">H", 0)
+        cs_idx = index([b"\x0e"] * 96)
+        td = index([op29(0, 15) + op29(1, 16) + op29(0, 17)])
+        base = len(header) + len(name_idx) + len(td) + len(str_idx)
+        td = index([op29(0, 15) + op29(1, 16) + op29(base, 17)])
+        assert decode_map_from_cff(
+            header + name_idx + td + str_idx + cs_idx
+        ) == {}
+
+    def test_cff_identity_charset_clamped_at_isoadobe(self):
+        from zerox_spark.extract.cff import decode_map_from_cff
+
+        index, op29 = _cff_index, _cff_op29
+        # 500 glyphs with identity charset + a custom string pool: glyphs
+        # past SID 228 must NOT alias into the String INDEX
+        header = b"\x01\x00\x04\x02"
+        name_idx = index([b"X"])
+        str_idx = index([b"uni4E2D"] * 4)
+        cs_idx = index([b"\x0e"] * 500)
+        td = index([op29(0, 15) + op29(0, 16) + op29(0, 17)])
+        base = len(header) + len(name_idx) + len(td) + len(str_idx)
+        td = index([op29(0, 15) + op29(0, 16) + op29(base, 17)])
+        m = decode_map_from_cff(header + name_idx + td + str_idx + cs_idx)
+        assert "中" not in m.values()
+        assert m.get(ord("A")) == "A"  # standard slice still resolves

@@ -223,9 +223,14 @@ def decode_map_from_cff(data: bytes) -> dict[int, str]:
     if not top_dicts:
         return {}
     top = _parse_dict(top_dicts[0])
-    cs_off = top.get(17, [0])[-1]  # CharStrings
-    charset_off = top.get(15, [0])[-1]
-    enc_off = top.get(16, [0])[-1]
+
+    def op(key: int, default: int = 0) -> int:
+        v = top.get(key)
+        return v[-1] if v else default  # empty operand list → default
+
+    cs_off = op(17)  # CharStrings
+    charset_off = op(15)
+    enc_off = op(16)
     if cs_off <= 0:
         return {}
     charstrings, _ = _index(data, cs_off)
@@ -235,8 +240,10 @@ def decode_map_from_cff(data: bytes) -> dict[int, str]:
     if charset_off > 2:
         sids = _charset(data, charset_off, n_glyphs)
     elif charset_off == 0:
-        # ISOAdobe charset: glyph g has SID g (identity)
-        sids = list(range(n_glyphs))
+        # ISOAdobe charset: glyph g has SID g (identity), clamped at the
+        # ISOAdobe maximum (228) — glyph ids beyond it must NOT alias
+        # into the custom String INDEX range
+        sids = list(range(min(n_glyphs, 229)))
     else:
         return {}  # Expert charsets: small-caps sets, not re-declared
 
@@ -251,15 +258,19 @@ def decode_map_from_cff(data: bytes) -> dict[int, str]:
 
     if enc_off > 1:
         code_to_glyph = _encoding(data, enc_off)
-    else:
-        # Standard (0) / Expert (1) encoding: code 31+k shows the glyph
-        # NAMED by standard string k — invert through the charset
+    elif enc_off == 0:
+        # StandardEncoding: code 31+k shows the glyph NAMED by standard
+        # string k — invert through the charset
         sid_to_glyph = {s: g for g, s in enumerate(sids) if g}
         code_to_glyph = {
             31 + k: sid_to_glyph[k]
             for k in range(1, 96)
             if k in sid_to_glyph
         }
+    else:
+        # Expert encoding (1): assigns those codes to small-caps/fraction
+        # glyphs whose table is not re-declared here — drop, never guess
+        return {}
     out: dict[int, str] = {}
     for code, g in code_to_glyph.items():
         if not 0 < g < len(sids):

@@ -23,6 +23,14 @@ import sys
 # root on sys.path so the package resolves (harmless under --py-files)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# static mirror of synth.SYNTH_FAMILIES (test-asserted equal): importing
+# synth at parse time would pay the pandas+pyspark import on every --help
+# or arg-error invocation, against this file's lazy-import policy
+SYNTH_FAMILY_CHOICES = (
+    "binary", "delimited", "legacy", "misc", "odf", "ooxml",
+    "pdf_crypt", "pdf_real", "poison", "pres", "rtf", "taxonomy",
+)
+
 
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     ap = argparse.ArgumentParser(prog="zerox-spark-job")
@@ -33,12 +41,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "directly into the pages schema (zerox_spark/warc.py)",
     )
     ap.add_argument("--synth-sf-dir", help="synthesize pages from this TESTDATA dir")
-    from zerox_spark.synth import SYNTH_FAMILIES
-
     ap.add_argument(
         "--synth-family",
         default="taxonomy",
-        choices=sorted(SYNTH_FAMILIES),
+        choices=sorted(SYNTH_FAMILY_CHOICES),
         help="which synthesized corpus to run (with --synth-sf-dir): "
         "the mixed taxonomy default, or a per-format family incl. the "
         "encrypted-PDF/Office ones",
