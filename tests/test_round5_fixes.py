@@ -216,15 +216,26 @@ class TestEncryptedPdfRoundtrip:
         assert "Perms" in (p.error or "")
 
     def test_crypt_family_dispatch(self):
-        for doc_id in range(5):
+        from zerox_spark.synth import (
+            expected_pdf_accent_page,
+            expected_pdf_xfa_page,
+        )
+
+        for doc_id in range(8):
             got = _success_pages(render_pdf_crypt(doc_id, TEXT))
-            v = doc_id % 5
+            v = doc_id % 8
             if v in (0, 1, 2):
                 assert got == expected_pdf_real_pages(doc_id, TEXT)
             elif v == 3:
                 assert got == [(1, expected_pdf_form_page(doc_id))]
-            else:
+            elif v == 4:
                 assert got == [(1, expected_pdf_cjk_page(doc_id))]
+            elif v == 5:
+                assert got == [(1, expected_pdf_accent_page(doc_id, "cff"))]
+            elif v == 6:
+                assert got == [(1, expected_pdf_accent_page(doc_id, "post"))]
+            else:
+                assert got == [(1, expected_pdf_xfa_page(doc_id))]
 
 
 # --------------------------------------------------------------------------

@@ -49,6 +49,11 @@ H1_SIZE = 18.0
 H2_SIZE = 14.0
 FOOTER_Y = 60.0
 
+# the deterministic image placeholder the born-digital interpreter emits
+# for image XObjects (reference dialect: shared/systemPrompt.txt mandates
+# image placeholders; goldens use ``![...](#)``)
+FIGURE_PLACEHOLDER = "![figure](#)"
+
 _PAGE_RE = re.compile(r"^%%page\s+no=(\d+)\s+w=([\d.]+)\s+h=([\d.]+)\s*$")
 _LINE_RE = re.compile(
     r"^%%line\s+y=([\d.]+)\s+x=([\d.]+)\s+size=([\d.]+)"
@@ -136,7 +141,14 @@ def segment_page(page: LayoutPage) -> list[Block]:
             groups.append([line])
     blocks: list[Block] = []
     for group in groups:
-        blocks.extend(_classify(group, page))
+        for blk in _classify(group, page):
+            if (
+                blk.kind == "figure"
+                and blocks
+                and blocks[-1].kind == "figure"
+            ):
+                continue  # strips of one tiled image → one placeholder
+            blocks.append(blk)
     return blocks
 
 
@@ -164,6 +176,10 @@ def _classify(group: list[LayoutLine], page: LayoutPage) -> list[Block]:
     ):
         return [Block("page_number", f"<page_number>{first.text.strip()}</page_number>")]
     text = " ".join(l.text.strip() for l in group if l.text.strip())
+    if text and set(text.split(" ")) == {FIGURE_PLACEHOLDER}:
+        # an image tiled into strips paints one placeholder per piece —
+        # a placeholder-only block collapses to a single figure mark
+        return [Block("figure", FIGURE_PLACEHOLDER)]
     return [Block("para", text)] if text else []
 
 

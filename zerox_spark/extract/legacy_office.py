@@ -295,17 +295,23 @@ def doc_to_text(payload: bytes, cfb: CfbReader | None = None) -> str:
     if struct.unpack_from("<H", word, 0)[0] != _FIB_WIDENT:
         raise ValueError("not a Word97 FIB")
     flags = struct.unpack_from("<H", word, _FIB_FLAGS_OFF)[0]
-    if flags & 0x0100:  # fEncrypted ([MS-DOC] 2.5.2) — Word has no
-        # default password (the VelvetSweatshop convention is Excel's),
-        # so this is honestly locked: clear contained error, never a
-        # garbled piece-table walk
-        raise ValueError("encrypted doc (password required)")
     table_name = "1Table" if flags & _F_WHICH_TBL_STM else "0Table"
+    table = cfb.read_stream(table_name)
+    if flags & 0x0100:  # fEncrypted ([MS-DOC] 2.5.2)
+        if flags & 0x8000:
+            # fObfuscation: XOR obfuscation — the XOR array is a table
+            # this engine deliberately does not fabricate; contained
+            raise ValueError("obfuscated doc (XOR — password required)")
+        # RC4 / RC4-CryptoAPI under the default or empty password
+        # (office_crypto.transform_doc_streams); a real password raises
+        # a contained ValueError there — never a garbled piece-table walk
+        from zerox_spark.extract.office_crypto import transform_doc_streams
+
+        word, table = transform_doc_streams(word, table)
     ccp_text = struct.unpack_from("<I", word, _FIB_CCPTEXT_OFF)[0]
     fc_clx, lcb_clx = struct.unpack_from("<II", word, _FIB_FCCLX_OFF)
     if lcb_clx == 0:
         raise ValueError("doc has no Clx (piece table)")
-    table = cfb.read_stream(table_name)
     clx = table[fc_clx : fc_clx + lcb_clx]
 
     # Clx = Prc* then Pcdt(0x02 lcb PlcPcd)
@@ -418,6 +424,17 @@ def ppt_to_pages(
     if cfb is None:
         cfb = CfbReader(payload)
     stream = cfb.read_stream("PowerPoint Document")
+    if "Current User" in cfb.stream_names():
+        # encrypted decks flag themselves in the CurrentUserAtom header
+        # token; RC4-CryptoAPI persist objects decrypt under the default/
+        # empty password (office_crypto.decrypt_ppt_document), a real
+        # password raises a contained ValueError — clear decks pass
+        # through untouched
+        from zerox_spark.extract.office_crypto import decrypt_ppt_document
+
+        stream = decrypt_ppt_document(
+            stream, cfb.read_stream("Current User")
+        )
     slides: list[list[tuple[int, str]]] = []
     tx_type = [1]
 

@@ -345,8 +345,21 @@ _XLS_BOUNDSHEET = 0x0085
 _XLS_INTERFACEHDR = 0x00E1
 # records whose PAYLOAD is stored in the clear (MS-XLS 2.2.10); record
 # headers (4 bytes) are always clear. BoundSheet8 additionally stores its
-# first 4 bytes (lbPlyPos) in the clear.
-_CLEAR_RECORDS = frozenset({_XLS_BOF, XLS_FILEPASS, _XLS_INTERFACEHDR})
+# first 4 bytes (lbPlyPos) in the clear. The full §2.2.10 exemption list
+# includes the revision/locking records (UsrExcl, FileLock, RRDInfo,
+# RRDHeadEr) — the text reader ignores them, but decrypting a clear
+# payload would garble it for any future consumer (ADVICE r5 #3).
+_CLEAR_RECORDS = frozenset(
+    {
+        _XLS_BOF,
+        XLS_FILEPASS,
+        _XLS_INTERFACEHDR,
+        0x0194,  # UsrExcl
+        0x0195,  # FileLock
+        0x0196,  # RRDInfo
+        0x0138,  # RRDHeadEr
+    }
+)
 
 
 @lru_cache(maxsize=64)
@@ -372,62 +385,60 @@ def _xls_block_key(base: bytes, block: int, capi: bool, klen: int) -> bytes:
 
 
 class _Rc4Stream:
-    """Position-addressed RC4 keystream with 1024-byte rekeying — the
-    BIFF8 convention: the keystream advances over EVERY stream byte
-    (clear bytes included), and the cipher re-keys at each 1 KB boundary."""
+    """Position-addressed RC4 keystream with per-block rekeying — the
+    keystream advances over EVERY stream byte (clear bytes included), and
+    the cipher re-keys at each block boundary. BIFF8 uses 1024-byte
+    blocks (MS-XLS §2.2.10); Word97 uses 512-byte blocks ([MS-DOC]
+    §2.2.6.2/.3)."""
 
-    def __init__(self, base: bytes, capi: bool, klen: int):
+    def __init__(
+        self, base: bytes, capi: bool, klen: int, block_bytes: int = 1024
+    ):
         from zerox_spark.extract.pdf import _rc4
 
         self._rc4 = _rc4
         self.base = base
         self.capi = capi
         self.klen = klen
+        self.block_bytes = block_bytes
         self._block = -1
         self._ks = b""
 
     def keystream_at(self, pos: int, n: int) -> bytes:
         out = bytearray()
         while n:
-            block, off = divmod(pos, 1024)
+            block, off = divmod(pos, self.block_bytes)
             if block != self._block:
                 key = _xls_block_key(self.base, block, self.capi, self.klen)
-                self._ks = self._rc4(key, b"\x00" * 1024)
+                self._ks = self._rc4(key, b"\x00" * self.block_bytes)
                 self._block = block
-            take = min(n, 1024 - off)
+            take = min(n, self.block_bytes - off)
             out += self._ks[off : off + take]
             pos += take
             n -= take
         return bytes(out)
 
 
-def _parse_filepass(body: bytes):
-    """FilePass payload → (base_key_material, capi, klen, verify_fn)."""
-    (enc_type,) = struct.unpack_from("<H", body, 0)
-    if enc_type == 0x0000:
-        raise ValueError("xls XOR obfuscation unsupported")
-    vmajor, vminor = struct.unpack_from("<HH", body, 2)
-    if vmajor == 1 and vminor == 1:  # RC4 standard
-        salt = body[6:22]
-        enc_verifier = body[22:38]
-        enc_vhash = body[38:54]
-        base = _xls_rc4_base(salt, DEFAULT_PASSWORD)
-
-        def verify(stream: _Rc4Stream) -> bool:
-            ks = stream.keystream_at(0, 32)
-            verifier = bytes(a ^ b for a, b in zip(enc_verifier, ks[:16]))
-            vhash = bytes(a ^ b for a, b in zip(enc_vhash, ks[16:32]))
-            return hashlib.md5(verifier).digest() == vhash
-
-        return base, False, 16, verify
-    if vminor == 2 and vmajor in (2, 3, 4):  # RC4 CryptoAPI
-        # wEncryptionType(2) vMajor(2) vMinor(2) headerFlags(4)
-        # headerSize(4) EncryptionHeader(headerSize) EncryptionVerifier
-        (hdr_size,) = struct.unpack_from("<I", body, 10)
-        hdr = body[14 : 14 + hdr_size]
+def _parse_encryption_header(body: bytes):
+    """A VERSION-FIRST EncryptionHeader (no FilePass wEncryptionType
+    prefix — the layout the Word97 Table stream ([MS-DOC] §2.2.6) and the
+    PPT CryptSession10Container ([MS-PPT] §2.3.5) store) → (kind, salt,
+    enc_verifier, enc_vhash, vh_size, klen). kind 'rc4' = MS-OFFCRYPTO
+    §2.3.6.1 (version 1.1: salt + verifier + hash); 'capi' = §2.3.5.1
+    (flags + sized header + verifier)."""
+    vmajor, vminor = struct.unpack_from("<HH", body, 0)
+    if vmajor == 1 and vminor == 1:
+        if len(body) < 52:
+            raise ValueError("RC4 encryption header truncated")
+        return "rc4", body[4:20], body[20:36], body[36:52], 16, 16
+    if vminor == 2 and vmajor in (2, 3, 4):
+        # vMajor(2) vMinor(2) headerFlags(4) headerSize(4)
+        # EncryptionHeader(headerSize) EncryptionVerifier
+        (hdr_size,) = struct.unpack_from("<I", body, 8)
+        hdr = body[12 : 12 + hdr_size]
         (key_size,) = struct.unpack_from("<I", hdr, 16)
         klen = (key_size // 8) or 5
-        at = 14 + hdr_size
+        at = 12 + hdr_size
         (salt_size,) = struct.unpack_from("<I", body, at)
         at += 4
         salt = body[at : at + salt_size]
@@ -436,18 +447,58 @@ def _parse_filepass(body: bytes):
         enc_vhash = body[
             at + salt_size + 20 : at + salt_size + 20 + max(vh_size, 20)
         ]
-        base = _xls_capi_base(salt, DEFAULT_PASSWORD)
+        return "capi", salt, enc_verifier, enc_vhash, vh_size, klen
+    raise ValueError(
+        f"encryption header version {vmajor}.{vminor} unsupported"
+    )
 
-        def verify(stream: _Rc4Stream) -> bool:
-            ks = stream.keystream_at(0, 36)
-            verifier = bytes(a ^ b for a, b in zip(enc_verifier, ks[:16]))
-            vhash = bytes(
-                a ^ b for a, b in zip(enc_vhash, ks[16 : 16 + vh_size])
-            )
-            return hashlib.sha1(verifier).digest()[:vh_size] == vhash
 
-        return base, True, klen, verify
-    raise ValueError(f"xls FilePass version {vmajor}.{vminor} unsupported")
+def _try_passwords(fields, passwords, block_bytes: int = 1024):
+    """Run the §2.3.5.6/§2.3.6.4 password verifier for each candidate;
+    → (base, capi, klen) for the first that validates, else None."""
+    kind, salt, enc_verifier, enc_vhash, vh_size, klen = fields
+    capi = kind == "capi"
+    for pwd in passwords:
+        base = (
+            _xls_capi_base(salt, pwd) if capi else _xls_rc4_base(salt, pwd)
+        )
+        ks = _Rc4Stream(base, capi, klen, block_bytes).keystream_at(
+            0, 16 + vh_size
+        )
+        verifier = bytes(a ^ b for a, b in zip(enc_verifier, ks[:16]))
+        vhash = bytes(
+            a ^ b for a, b in zip(enc_vhash, ks[16 : 16 + vh_size])
+        )
+        hfn = hashlib.sha1 if capi else hashlib.md5
+        if hfn(verifier).digest()[:vh_size] == vhash:
+            return base, capi, klen
+    return None
+
+
+def _parse_filepass(body: bytes):
+    """FilePass payload → (base_key_material, capi, klen, verify_fn)."""
+    (enc_type,) = struct.unpack_from("<H", body, 0)
+    if enc_type == 0x0000:
+        raise ValueError("xls XOR obfuscation unsupported")
+    fields = _parse_encryption_header(body[2:])
+    kind, salt, enc_verifier, enc_vhash, vh_size, klen = fields
+    capi = kind == "capi"
+    base = (
+        _xls_capi_base(salt, DEFAULT_PASSWORD)
+        if capi
+        else _xls_rc4_base(salt, DEFAULT_PASSWORD)
+    )
+
+    def verify(stream: _Rc4Stream) -> bool:
+        ks = stream.keystream_at(0, 16 + vh_size)
+        verifier = bytes(a ^ b for a, b in zip(enc_verifier, ks[:16]))
+        vhash = bytes(
+            a ^ b for a, b in zip(enc_vhash, ks[16 : 16 + vh_size])
+        )
+        hfn = hashlib.sha1 if capi else hashlib.md5
+        return hfn(verifier).digest()[:vh_size] == vhash
+
+    return base, capi, klen, verify
 
 
 def _xls_transform(wb: bytes, encrypt: bool, base, capi, klen) -> bytes:
@@ -562,3 +613,208 @@ def encrypt_xls_stream(
                 struct.pack_into("<I", with_fp, pos + 4, ply + len(fp))
         pos += 4 + rln
     return _xls_transform(bytes(with_fp), True, base, capi, klen)
+
+
+# --------------------------------------------------------------------------
+# Word97 .doc ([MS-DOC] 2.2.6.2 Office Binary RC4 / 2.2.6.3 RC4 CryptoAPI)
+
+DOC_BLOCK_BYTES = 512  # Word rekeys every 512 bytes (BIFF8 uses 1024)
+# candidate passwords: Excel's implicit default first (mixed-producer
+# crawls reuse it), then the empty password; anything else is honestly
+# locked → contained error
+_LEGACY_PASSWORDS = (DEFAULT_PASSWORD, "")
+
+
+def build_legacy_encryption_header(
+    salt: bytes, capi: bool, block_bytes: int = DOC_BLOCK_BYTES
+) -> bytes:
+    """Fixture-synthesis inverse: a VERSION-FIRST EncryptionHeader whose
+    verifier validates under DEFAULT_PASSWORD (the layout Word97 Table
+    streams and PPT CryptSession containers store — no FilePass
+    wEncryptionType prefix)."""
+    verifier = b"\xa5" * 16
+    if capi:
+        base = _xls_capi_base(salt, DEFAULT_PASSWORD)
+        ks = _Rc4Stream(base, True, 16, block_bytes).keystream_at(0, 36)
+        enc_verifier = bytes(a ^ b for a, b in zip(verifier, ks[:16]))
+        vhash = hashlib.sha1(verifier).digest()
+        enc_vhash = bytes(a ^ b for a, b in zip(vhash, ks[16:36]))
+        csp = "Microsoft Enhanced Cryptographic Provider v1.0\x00".encode(
+            "utf-16-le"
+        )
+        header = (
+            struct.pack("<IIIIIIII", 0, 0, 0x6801, 0x8004, 128, 0x18, 0, 0)
+            + csp
+        )
+        return (
+            struct.pack("<HH", 4, 2)
+            + struct.pack("<II", 0, len(header))
+            + header
+            + struct.pack("<I", 16)
+            + salt
+            + enc_verifier
+            + struct.pack("<I", 20)
+            + enc_vhash
+        )
+    base = _xls_rc4_base(salt, DEFAULT_PASSWORD)
+    ks = _Rc4Stream(base, False, 16, block_bytes).keystream_at(0, 32)
+    enc_verifier = bytes(a ^ b for a, b in zip(verifier, ks[:16]))
+    vhash = hashlib.md5(verifier).digest()
+    enc_vhash = bytes(a ^ b for a, b in zip(vhash, ks[16:32]))
+    return struct.pack("<HH", 1, 1) + salt + enc_verifier + enc_vhash
+
+
+def transform_doc_streams(
+    word: bytes, table: bytes
+) -> tuple[bytes, bytes]:
+    """[MS-DOC] stream decryption (XOR-symmetric — the synth fixtures run
+    the SAME transform to encrypt): FibBase.lKey (offset 0x0E) sizes the
+    EncryptionHeader stored at the START of the Table stream; everything
+    past the 0x44-byte FibBase in WordDocument and past the header in the
+    Table stream is RC4-encrypted, keystream positions addressed by
+    ABSOLUTE stream offset in 512-byte blocks ([MS-OFFCRYPTO] §2.3.6.2 —
+    the clear prefixes consume keystream but are stored clear, the same
+    convention BIFF8's clear records follow). Raises ValueError when no
+    candidate password validates."""
+    if len(word) < 0x44:
+        raise ValueError("encrypted doc (WordDocument too short)")
+    (lkey,) = struct.unpack_from("<I", word, 0x0E)
+    if not 4 <= lkey <= len(table):
+        raise ValueError(f"encrypted doc (bad lKey {lkey})")
+    fields = _parse_encryption_header(table[:lkey])
+    got = _try_passwords(fields, _LEGACY_PASSWORDS, DOC_BLOCK_BYTES)
+    if got is None:
+        raise ValueError(
+            "encrypted doc (password verifier rejected the default and "
+            "empty passwords)"
+        )
+    base, capi, klen = got
+
+    def xor_from(buf: bytes, start: int) -> bytes:
+        out = bytearray(buf)
+        if start < len(buf):
+            ks = _Rc4Stream(base, capi, klen, DOC_BLOCK_BYTES).keystream_at(
+                start, len(buf) - start
+            )
+            for i, k in enumerate(ks):
+                out[start + i] ^= k
+        return bytes(out)
+
+    return xor_from(word, 0x44), xor_from(table, lkey)
+
+
+# --------------------------------------------------------------------------
+# PowerPoint97 .ppt ([MS-PPT] 2.3.5 CryptSession10Container — RC4
+# CryptoAPI over persist objects, block number = persist object id)
+
+PPT_CRYPTSESSION = 0x2F14
+PPT_USEREDIT = 0x0FF5
+PPT_PERSISTDIR = 0x1772
+PPT_CURRENTUSER = 0x0FF6
+# CurrentUserAtom.headerToken ([MS-PPT] 2.3.2): the two magic values
+PPT_TOKEN_CLEAR = 0xE391C05F
+PPT_TOKEN_ENCRYPTED = 0xF3D1C4DF
+_PPT_MAX_EDITS = 64
+
+
+def _ppt_persist_map(stream: bytes, edit_off: int):
+    """Chase the UserEditAtom chain (offsetLastEdit) collecting persist
+    directories; the CURRENT edit's entries win. → ({persist_id: offset},
+    encrypt_session_persist_id | None)."""
+    persists: dict[int, int] = {}
+    crypt_ref = None
+    seen: set[int] = set()
+    off = edit_off
+    while off and off not in seen and len(seen) < _PPT_MAX_EDITS:
+        seen.add(off)
+        if off + 8 > len(stream):
+            break
+        _vi, rectype, reclen = struct.unpack_from("<HHI", stream, off)
+        if rectype != PPT_USEREDIT or off + 8 + reclen > len(stream):
+            break
+        body = stream[off + 8 : off + 8 + reclen]
+        # lastSlideIdRef(4) version(2) minor(1) major(1) offsetLastEdit(4)
+        # offsetPersistDirectory(4) docPersistIdRef(4) persistIdSeed(4)
+        # lastView(2) unused(2) [encryptSessionPersistIdRef(4)]
+        if len(body) < 24:
+            break
+        (off_last,) = struct.unpack_from("<I", body, 8)
+        (off_pd,) = struct.unpack_from("<I", body, 12)
+        if crypt_ref is None and len(body) >= 32:
+            (crypt_ref,) = struct.unpack_from("<I", body, 28)
+        if off_pd + 8 <= len(stream):
+            _vi2, t2, l2 = struct.unpack_from("<HHI", stream, off_pd)
+            if t2 == PPT_PERSISTDIR and off_pd + 8 + l2 <= len(stream):
+                p = off_pd + 8
+                end = off_pd + 8 + l2
+                while p + 4 <= end:
+                    (ent,) = struct.unpack_from("<I", stream, p)
+                    pid, count = ent & 0xFFFFF, ent >> 20
+                    p += 4
+                    for k in range(count):
+                        if p + 4 > end:
+                            break
+                        (o,) = struct.unpack_from("<I", stream, p)
+                        p += 4
+                        # earlier edits must not clobber the current one
+                        persists.setdefault(pid + k, o)
+        off = off_last
+    return persists, crypt_ref
+
+
+def decrypt_ppt_document(stream: bytes, current_user: bytes) -> bytes:
+    """Decrypt an RC4-CryptoAPI-encrypted ``PowerPoint Document`` stream
+    in place ([MS-PPT] 2.3.5): the CurrentUserAtom's headerToken flags
+    encryption; UserEditAtom/PersistDirectoryAtom (stored CLEAR) locate
+    every persist object and the CryptSession10Container, whose payload
+    is a CryptoAPI EncryptionHeader. Each persist object EXCEPT the crypt
+    session is one RC4 unit keyed with block number = its persist id.
+    Every decrypted record header is bounds-validated — a structural
+    mismatch raises a contained error, never garbled SUCCESS text. A
+    clear-token stream passes through untouched."""
+    if len(current_user) < 20:
+        return stream
+    (token,) = struct.unpack_from("<I", current_user, 12)
+    if token != PPT_TOKEN_ENCRYPTED:
+        return stream
+    (edit_off,) = struct.unpack_from("<I", current_user, 16)
+    persists, crypt_ref = _ppt_persist_map(stream, edit_off)
+    if crypt_ref is None or crypt_ref not in persists:
+        raise ValueError("encrypted ppt (no crypt session persist)")
+    cs_off = persists[crypt_ref]
+    if cs_off + 8 > len(stream):
+        raise ValueError("encrypted ppt (crypt session out of range)")
+    _vi, cs_type, cs_len = struct.unpack_from("<HHI", stream, cs_off)
+    if cs_type != PPT_CRYPTSESSION or cs_off + 8 + cs_len > len(stream):
+        raise ValueError("encrypted ppt (bad crypt session record)")
+    fields = _parse_encryption_header(
+        stream[cs_off + 8 : cs_off + 8 + cs_len]
+    )
+    got = _try_passwords(fields, _LEGACY_PASSWORDS)
+    if got is None:
+        raise ValueError(
+            "encrypted ppt (password verifier rejected the default and "
+            "empty passwords)"
+        )
+    base, _capi, klen = got
+    from zerox_spark.extract.pdf import _rc4
+
+    out = bytearray(stream)
+    for pid, off in persists.items():
+        if pid == crypt_ref or off + 8 > len(stream):
+            continue
+        key = _xls_block_key(base, pid, True, klen)
+        head = _rc4(key, bytes(out[off : off + 8]))
+        _vi, rectype, reclen = struct.unpack("<HHI", head)
+        if off + 8 + reclen > len(stream):
+            raise ValueError(
+                "encrypted ppt (decrypted persist header fails bounds "
+                "check — structure mismatch, refusing to emit garbage)"
+            )
+        dec = _rc4(key, bytes(out[off : off + 8 + reclen]))
+        out[off : off + 8 + reclen] = dec
+    # neutralize the crypt-session record so the plain walker (which
+    # treats 0x2F14 as "encrypted, contained error") skips it as an
+    # unknown atom; its length stays intact for the linear walk
+    struct.pack_into("<H", out, cs_off + 2, 0x0000)
+    return bytes(out)

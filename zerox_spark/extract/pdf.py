@@ -554,6 +554,11 @@ class _StandardCrypt:
             raise PdfError(f"unsupported security handler {filt}")
         v = int(resolve(enc.get(Name("V"))) or 0)
         r = int(resolve(enc.get(Name("R"))) or 2)
+        # /EncryptMetadata false → the /Metadata stream is stored in the
+        # CLEAR and must not be run through the cipher (ADVICE r5 #4)
+        self.encrypt_metadata = (
+            resolve(enc.get(Name("EncryptMetadata"))) is not False
+        )
         self.cfm = "rc4"  # stream filter mode
         self.str_cfm = "rc4"  # string filter mode (/StrF may differ)
         if v == 5:
@@ -582,8 +587,15 @@ class _StandardCrypt:
                 ln = int(ln) if isinstance(ln, (int, float)) else 0
                 if cfm == Name("AESV2"):
                     return "aesv2", 128
-                if cfm in (Name("V2"), None):
+                if cfm == Name("V2"):
                     return "rc4", ln
+                if cfm is None or cfm == Name("None"):
+                    # §7.6.5: the default /CFM is /None — "do not decrypt".
+                    # A named filter missing from /CF (or a /CF entry with
+                    # no /CFM) therefore passes data through; defaulting to
+                    # RC4 here would garble CLEARTEXT into SUCCESS mojibake
+                    # (ADVICE r5 #1)
+                    return "identity", 0
                 raise PdfError(f"encrypted PDF (crypt filter {cfm})")
 
             self.cfm, cf_length = filter_mode("StmF")
@@ -882,10 +894,17 @@ class Document:
         if key in self._decoded:
             return self._decoded[key]
         data = st.raw
+        st_type = st.dict.get(Name("Type"))
         if (
             self.crypt is not None
             and st.objnum
-            and st.dict.get(Name("Type")) != Name("XRef")  # spec: never encrypted
+            and st_type != Name("XRef")  # spec: never encrypted
+            # /EncryptMetadata false stores /Metadata in the clear —
+            # running the cipher over it would GARBLE cleartext XMP
+            and not (
+                st_type == Name("Metadata")
+                and not self.crypt.encrypt_metadata
+            )
         ):
             data = self.crypt.decrypt(st.objnum, st.gen, data)
         filters = [
@@ -1007,17 +1026,123 @@ _AGL: dict[str, str] = {
     "quotedblleft": "“", "quotedblright": "”",
     "endash": "–", "emdash": "—", "bullet": "•",
     "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "ff": "ﬀ", "ffi": "ﬃ", "ffl": "ﬄ",
     "dagger": "†", "daggerdbl": "‡", "degree": "°",
     "copyright": "©", "registered": "®", "trademark": "™",
     "cent": "¢", "sterling": "£", "yen": "¥",
-    "Euro": "€", "section": "§", "paragraph": "¶",
+    "Euro": "€", "euro": "€", "section": "§", "paragraph": "¶",
     "plusminus": "±", "multiply": "×", "divide": "÷",
-    "agrave": "à", "aacute": "á", "acircumflex": "â",
-    "adieresis": "ä", "eacute": "é", "egrave": "è",
-    "ecircumflex": "ê", "edieresis": "ë", "iacute": "í",
-    "oacute": "ó", "odieresis": "ö", "uacute": "ú",
-    "udieresis": "ü", "ntilde": "ñ", "ccedilla": "ç",
+    # Latin-1 punctuation / symbols (the CFF standard-string and Mac
+    # glyph-order sets — VERDICT r5 lead item)
+    "exclamdown": "¡", "questiondown": "¿", "fraction": "⁄",
+    "florin": "ƒ", "currency": "¤", "brokenbar": "¦",
+    "dieresis": "¨", "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "macron": "¯", "twosuperior": "²",
+    "threesuperior": "³", "acute": "´", "mu": "µ",
+    "periodcentered": "·", "cedilla": "¸", "onesuperior": "¹",
+    "ordmasculine": "º", "guillemotright": "»", "onequarter": "¼",
+    "onehalf": "½", "threequarters": "¾",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "quotesinglbase": "‚", "quotedblbase": "„", "perthousand": "‰",
+    "minus": "−", "nonbreakingspace": " ", "nbspace": " ",
+    "circumflex": "ˆ", "tilde": "˜", "breve": "˘", "dotaccent": "˙",
+    "ring": "˚", "ogonek": "˛", "caron": "ˇ", "hungarumlaut": "˝",
+    "figuredash": "‒", "onedotenleader": "․", "twodotenleader": "‥",
+    "colonmonetary": "₡", "franc": "₣",
+    "oneeighth": "⅛", "threeeighths": "⅜", "fiveeighths": "⅝",
+    "seveneighths": "⅞", "onethird": "⅓", "twothirds": "⅔",
+    # math / Mac-order symbols
+    "notequal": "≠", "infinity": "∞", "lessequal": "≤",
+    "greaterequal": "≥", "partialdiff": "∂", "summation": "∑",
+    "product": "∏", "pi": "π", "integral": "∫", "Omega": "Ω",
+    "radical": "√", "approxequal": "≈", "Delta": "∆", "lozenge": "◊",
+    # accented capitals
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Eth": "Ð", "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø",
+    "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û", "Udieresis": "Ü",
+    "Yacute": "Ý", "Thorn": "Þ", "Ydieresis": "Ÿ",
+    "OE": "Œ", "Scaron": "Š", "Zcaron": "Ž", "Lslash": "Ł",
+    "Gbreve": "Ğ", "Idotaccent": "İ", "Scedilla": "Ş", "Cacute": "Ć",
+    "Ccaron": "Č",
+    # accented lowercase
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "eth": "ð", "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö", "oslash": "ø",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û", "udieresis": "ü",
+    "yacute": "ý", "thorn": "þ", "ydieresis": "ÿ",
+    "oe": "œ", "scaron": "š", "zcaron": "ž", "germandbls": "ß",
+    "dotlessi": "ı", "lslash": "ł", "gbreve": "ğ", "scedilla": "ş",
+    "cacute": "ć", "ccaron": "č", "dcroat": "đ",
+    # superscript/subscript digits (real Unicode points)
+    "zerosuperior": "⁰", "foursuperior": "⁴", "fivesuperior": "⁵",
+    "sixsuperior": "⁶", "sevensuperior": "⁷", "eightsuperior": "⁸",
+    "ninesuperior": "⁹", "zeroinferior": "₀", "oneinferior": "₁",
+    "twoinferior": "₂", "threeinferior": "₃", "fourinferior": "₄",
+    "fiveinferior": "₅", "sixinferior": "₆", "seveninferior": "₇",
+    "eightinferior": "₈", "nineinferior": "₉",
 }
+
+# Expert-set presentation variants (CFF standard strings 229-378): small
+# caps, oldstyle figures, superior/inferior letters. These glyphs RENDER
+# as size/case variants of an ordinary character; the text the author
+# typed is that base character, so extraction folds to it (the same
+# stance pdfminer/poppler take via rasterized forms — a text-mining
+# engine wants "Chapter 1", not a dropped line, from a small-caps title).
+# Accent "small" forms fold to the spacing accent; names with no
+# defensible base (rupiah, apple, .null) stay unmapped and drop.
+_EXPERT_VARIANTS: dict[str, str] = {}
+for _base, _ch in [
+    ("exclam", "!"), ("question", "?"), ("exclamdown", "¡"),
+    ("questiondown", "¿"), ("ampersand", "&"), ("dollar", "$"),
+    ("cent", "¢"), ("period", "."), ("comma", ","), ("hyphen", "-"),
+    ("colon", ":"), ("semicolon", ";"), ("parenleft", "("),
+    ("parenright", ")"),
+    ("Grave", "`"), ("Acute", "´"), ("Circumflex", "ˆ"),
+    ("Tilde", "˜"), ("Dieresis", "¨"), ("Macron", "¯"),
+    ("Breve", "˘"), ("Dotaccent", "˙"), ("Ring", "˚"),
+    ("Cedilla", "¸"), ("Hungarumlaut", "˝"), ("Ogonek", "˛"),
+    ("Caron", "ˇ"),
+]:
+    _EXPERT_VARIANTS[_base + "small"] = _ch
+    _EXPERT_VARIANTS[_base + "superior"] = _ch
+    _EXPERT_VARIANTS[_base + "inferior"] = _ch
+    _EXPERT_VARIANTS[_base + "oldstyle"] = _ch
+for _i, _digit in enumerate(
+    "zero one two three four five six seven eight nine".split()
+):
+    _EXPERT_VARIANTS[_digit + "oldstyle"] = str(_i)
+for _lc in "abcdefghijklmnopqrstuvwxyz":
+    # Asmall → a (small-caps render of the letter the author typed);
+    # asuperior → a (ordinal/footnote superior form)
+    _EXPERT_VARIANTS[_lc.upper() + "small"] = _lc
+    _EXPERT_VARIANTS[_lc + "superior"] = _lc
+for _name, _ch in [
+    ("AEsmall", "æ"), ("OEsmall", "œ"), ("Oslashsmall", "ø"),
+    ("Lslashsmall", "ł"), ("Scaronsmall", "š"), ("Zcaronsmall", "ž"),
+    ("Ethsmall", "ð"), ("Thornsmall", "þ"), ("onefitted", "1"),
+    ("threequartersemdash", "—"),
+]:
+    _EXPERT_VARIANTS[_name] = _ch
+for _acc, _ch in [
+    ("Agrave", "à"), ("Aacute", "á"), ("Acircumflex", "â"),
+    ("Atilde", "ã"), ("Adieresis", "ä"), ("Aringsmall", "å"),
+    ("Ccedilla", "ç"), ("Egrave", "è"), ("Eacute", "é"),
+    ("Ecircumflex", "ê"), ("Edieresis", "ë"), ("Igrave", "ì"),
+    ("Iacute", "í"), ("Icircumflex", "î"), ("Idieresis", "ï"),
+    ("Ntilde", "ñ"), ("Ograve", "ò"), ("Oacute", "ó"),
+    ("Ocircumflex", "ô"), ("Otilde", "õ"), ("Odieresis", "ö"),
+    ("Ugrave", "ù"), ("Uacute", "ú"), ("Ucircumflex", "û"),
+    ("Udieresis", "ü"), ("Yacute", "ý"), ("Ydieresis", "ÿ"),
+]:
+    _EXPERT_VARIANTS[_acc if _acc.endswith("small") else _acc + "small"] = _ch
+_AGL.update(_EXPERT_VARIANTS)
 
 
 def _glyph_to_char(name: str) -> str:
@@ -1135,6 +1260,31 @@ _CODEC_CMAPS = {
 }
 
 
+# BaseFont families that are REAL symbol/pi fonts: for these the cp1252
+# last-resort fill would transcribe dingbats as Latin mojibake, so they
+# drop instead (the "never emit garbage" promise). Matched case-insensitive
+# against the BaseFont name with any ABCDEF+ subset prefix stripped.
+_SYMBOL_FAMILIES = (
+    "symbol",
+    "zapfdingbats",
+    "dingbats",
+    "wingdings",
+    "webdings",
+    "marlett",
+    "monotypesorts",
+    "mtextra",
+    "cambriamath",
+)
+
+
+def _is_symbol_family(doc: "Document", fdict: dict) -> bool:
+    base = doc.resolve(fdict.get(Name("BaseFont")))
+    if not isinstance(base, Name):
+        return False
+    name = str(base).split("+", 1)[-1].lower().replace("-", "")
+    return any(name.startswith(fam) for fam in _SYMBOL_FAMILIES)
+
+
 class Font:
     """Per-font byte→unicode decoder: ToUnicode CMap first, then the
     /Encoding (+/Differences) map, then cp1252 (≈WinAnsi) fallback.
@@ -1245,14 +1395,19 @@ class Font:
                 RecursionError,
             ):
                 pass  # a damaged font program never kills the page
-        if symbolic and not self.encmap and not self.tounicode:
+        if (
+            symbolic
+            and not self.encmap
+            and not self.tounicode
+            and not _is_symbol_family(doc, fdict)
+        ):
             # recall-preserving compromise: subsetters set the symbolic
             # flag liberally on ordinary Latin fonts. When neither the
             # font program nor any map yielded ANYTHING, falling back to
-            # cp1252 keeps those pages readable — a TRUE dingbat font
-            # still mostly drops (its codes sit in ranges cp1252 leaves
-            # unmapped or renders as replaceable punctuation), while an
-            # empty map would flip whole documents to text-free ERRORs.
+            # cp1252 keeps those pages readable. cp1252 maps nearly all
+            # of 0x20-0xFF, so a GENUINE pi/dingbat font would transcribe
+            # as Latin mojibake here — hence the gate on known symbol
+            # BaseFont families above, which drop instead (ADVICE r5 #2).
             for c in range(32, 256):
                 ch = bytes((c,)).decode("cp1252", errors="ignore")
                 if ch:
@@ -1453,6 +1608,30 @@ class Run:
 
 # a TJ kern more negative than this (thousandths of em) reads as a word gap
 _TJ_WORD_GAP = -180.0
+
+# Image XObjects / inline images: the reference's output dialect mandates
+# an image placeholder for every figure (shared/systemPrompt.txt; goldens
+# like shared/outputs/0004.md use ``![...](#)``) — this engine cannot
+# describe pixels, so the deterministic analog marks the position:
+from zerox_spark.extract.layout import FIGURE_PLACEHOLDER  # noqa: E402
+# images smaller than this on both axes (device points) are decorations —
+# list bullets, rules, border art — not figures
+_FIGURE_MIN_PTS = 24.0
+
+
+def _emit_figure(runs: list[Run], ctm: Matrix) -> None:
+    """Record a figure placeholder where an image paints: the unit square
+    through the CTM gives the device-space box; the run anchors at the
+    box's top-left so XY-cut / reading order place it exactly where the
+    figure starts (size 11 = body text — a figure is never a heading)."""
+    pts = [_mat_apply(ctm, ux, uy) for ux in (0.0, 1.0) for uy in (0.0, 1.0)]
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    if max(xs) - min(xs) < _FIGURE_MIN_PTS and (
+        max(ys) - min(ys) < _FIGURE_MIN_PTS
+    ):
+        return
+    runs.append(Run(min(xs), max(ys), 11.0, FIGURE_PLACEHOLDER))
 
 
 # fast content-stream tokenizer: content streams contain no indirect refs
@@ -1743,9 +1922,17 @@ def _interpret(
                         )
                     except PdfError:
                         pass  # a broken form XObject drops, page survives
+                elif isinstance(xo, Stream) and doc.resolve(
+                    xo.dict.get(Name("Subtype"))
+                ) == Name("Image"):
+                    # image XObject: emit the dialect's figure placeholder
+                    # at the painted position (never decode pixels)
+                    _emit_figure(runs, ctm)
             elif op == b"BI":
                 # inline image: binary payload would derail the scanner —
-                # skip to the EI delimiter (whitespace-bounded, spec §8.9.7)
+                # skip to the EI delimiter (whitespace-bounded, spec §8.9.7);
+                # it paints the same CTM unit square as an image XObject
+                _emit_figure(runs, ctm)
                 m = re.compile(rb"\sEI(?=[\s\x00]|$)").search(content, pos)
                 pos = m.end() if m else n
             elif op in (b"true", b"false", b"null"):
@@ -1992,12 +2179,18 @@ _DEFAULT_MEDIABOX = [0.0, 0.0, 612.0, 792.0]
 
 def parse_real_pdf(payload: bytes):
     """Real ``%PDF-1.x`` → LayoutPage list (the parse_pdf analog for the
-    born-digital grammar)."""
+    born-digital grammar). Two stages: build each page's positioned runs
+    (content streams + annotation harvest), then — if NO annotation
+    carried a field value and the catalog's /AcroForm names an /XFA
+    packet — fold the XFA ``datasets`` values onto page 1 (LiveCycle
+    forms are AcroForm-empty: the values live only in that XML packet),
+    and finally run XY-cut + line assembly per page."""
     from zerox_spark.extract.layout import LayoutPage
 
     doc = Document(payload)
-    pages_out = []
-    for idx, page in enumerate(doc.pages(), start=1):
+    staged: list[tuple[float, float, list[Run]]] = []
+    annot_runs = 0
+    for page in doc.pages():
         mb = doc.resolve(page.get(Name("MediaBox"))) or _DEFAULT_MEDIABOX
         try:
             x0, y0, x1, y1 = (float(doc.resolve(v)) for v in mb[:4])
@@ -2018,21 +2211,94 @@ def parse_real_pdf(payload: bytes):
         runs: list[Run] = []
         if content:
             _interpret(doc, content, resources, runs, _IDENTITY, 0)
+        before = len(runs)
         _harvest_annots(doc, page, resources, runs)
+        annot_runs += len(runs) - before
         rotate = doc.resolve(page.get(Name("Rotate")))
         rotate = int(rotate) % 360 if isinstance(rotate, (int, float)) else 0
         if rotate in (90, 180, 270) and runs:
             runs = _apply_rotation(runs, rotate, width or 612.0, height or 792.0)
             if rotate in (90, 270):
                 width, height = height, width
+        staged.append((width or 612.0, height or 792.0, runs))
+    if annot_runs == 0 and staged:
+        # XFA-only form: no widget carried a value — the datasets packet
+        # is the only place the filled data exists (VERDICT r5 next #7)
+        vals = _xfa_dataset_values(doc)
+        if vals:
+            _, h0, runs0 = staged[0]
+            y = min((r.y for r in runs0), default=h0 - 72.0) - 48.0
+            for fname, fval in vals:
+                # one field per block (48 > VALLEY_GAP first step, then
+                # 40 between fields keeps each its own paragraph)
+                runs0.append(Run(72.0, y, 11.0, f"{fname}: {fval}"))
+                y -= 40.0
+    pages_out = []
+    for idx, (width, height, runs) in enumerate(staged, start=1):
         lines = []
         for region, leaf in enumerate(_xycut(runs) if runs else []):
             for ln in runs_to_lines(leaf):
                 ln.region = region
                 lines.append(ln)
-        lp = LayoutPage(idx, width or 612.0, height or 792.0, lines)
-        pages_out.append(lp)
+        pages_out.append(LayoutPage(idx, width, height, lines))
     return pages_out
+
+
+MAX_XFA_BYTES = 4 * 1024 * 1024  # an XFA packet is small; a bomb is not
+MAX_XFA_FIELDS = 512
+
+
+def _xfa_dataset_values(doc: Document) -> list[tuple[str, str]]:
+    """/AcroForm /XFA → the ``datasets`` packet's (field, value) leaves in
+    document order. The packet is plain XML ([XFA] spec, the
+    ``xfa:datasets``/``xfa:data`` envelope); leaf elements with text are
+    the filled field values. Empty on anything malformed — a broken form
+    never kills the document."""
+    acro = None
+    for num in sorted(doc.objects):
+        obj = doc.resolve(doc.objects[num])
+        if isinstance(obj, dict) and obj.get(Name("Type")) == Name("Catalog"):
+            af = doc.resolve(obj.get(Name("AcroForm")))
+            if isinstance(af, dict):
+                acro = af  # last catalog wins (incremental updates)
+    if acro is None:
+        return []
+    xfa = doc.resolve(acro.get(Name("XFA")))
+    packet = None
+    if isinstance(xfa, Stream):
+        packet = xfa  # single-stream form: the whole XDP
+    elif isinstance(xfa, list):
+        items = [doc.resolve(v) for v in xfa]
+        for name, st in zip(items, items[1:]):
+            if name == b"datasets" and isinstance(st, Stream):
+                packet = st
+                break
+    if packet is None:
+        return []
+    try:
+        data = doc.stream_bytes(packet)[:MAX_XFA_BYTES]
+    except PdfError:
+        return []
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(data)
+    except ET.ParseError:
+        return []
+    if not root.tag.endswith("datasets"):
+        # whole-XDP packet: narrow to the datasets subtree
+        root = next(
+            (el for el in root.iter() if el.tag.endswith("datasets")), root
+        )
+    out: list[tuple[str, str]] = []
+    for el in root.iter():
+        if len(el) == 0:
+            txt = " ".join((el.text or "").split())
+            if txt:
+                out.append((el.tag.rsplit("}", 1)[-1], txt))
+                if len(out) >= MAX_XFA_FIELDS:
+                    break
+    return out
 
 
 def _pdf_text_string(v) -> str:
@@ -2232,7 +2498,14 @@ def real_pdf_to_pages(payload: bytes):
 
     out = []
     for page in parse_real_pdf(payload):
-        if not page.lines:
+        # figure placeholders mark where images sit WITHIN text — they do
+        # not make an image-only (scanned) page count as having a text
+        # layer, so the honest no-OCR contained-ERROR contract holds
+        has_text = any(
+            set(l.text.split(" ")) != {FIGURE_PLACEHOLDER}
+            for l in page.lines
+        )
+        if not page.lines or not has_text:
             continue
         markdown, spans = join_blocks(segment_page(page))
         if markdown:

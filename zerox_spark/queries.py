@@ -222,13 +222,17 @@ def q_extract_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_pdf_crypt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-5 real-world PDF gaps, driver-hashed (doc_id % 5 variants):
+    """Round-5/6 real-world PDF gaps, driver-hashed (doc_id % 8 variants):
     RC4 /V2, AES-128 /AESV2 and AES-256 /AESV3 encryption with empty
     passwords (the 'owner-locked' crawl shape the reference decrypts
     implicitly via poppler, node-zerox/src/utils/file.ts:153-207), a
-    filled AcroForm (appearance streams + /V fallbacks + checkbox ☑), and
-    a Type0 font on the predefined /UniGB-UCS2-H CJK CMap without
-    ToUnicode."""
+    filled AcroForm (appearance streams + /V fallbacks + checkbox ☑), a
+    Type0 font on the predefined /UniGB-UCS2-H CJK CMap without
+    ToUnicode, ToUnicode-less SYMBOLIC subset fonts whose accented text
+    is reachable ONLY through the embedded font program (Type1C/CFF
+    standard SIDs; TrueType post-2.0 standard Macintosh names — the
+    pdfTeX-era European-document shape, round 6), and an XFA-only
+    LiveCycle form whose values live in the ``datasets`` packet."""
     from zerox_spark.synth import synth_pdf_crypt_pages
 
     pages = synth_pdf_crypt_pages(spark, sf_dir)
@@ -1614,11 +1618,13 @@ SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown FROM (
   FROM docs
 )
 """,
-    # the encrypted/form/CJK family (doc_id % 5): RC4 / AESV2 / AESV3
-    # variants carry render_pdf_real's variant-0 layout → the same
-    # closed-form two pages; the AcroForm and CJK variants carry their own
-    # closed forms (synth.expected_pdf_form_page / expected_pdf_cjk_page,
-    # restated here independently)
+    # the encrypted/form/CJK/accent/XFA family (doc_id % 8): RC4 / AESV2
+    # / AESV3 variants carry render_pdf_real's variant-0 layout → the
+    # same closed-form two pages; the AcroForm, CJK, accented-subset-font
+    # (CFF-SID / TrueType-post — round 6) and XFA-datasets variants carry
+    # their own closed forms (synth.expected_pdf_form_page /
+    # expected_pdf_cjk_page / expected_pdf_accent_page /
+    # expected_pdf_xfa_page, restated here independently)
     "extract_pdf_crypt": f"""
 WITH docs AS (
   SELECT doc_id, text, source, {_URL} AS url FROM documents
@@ -1627,24 +1633,40 @@ SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown FROM (
   SELECT url, 1 AS page_no,
     '# Document ' || doc_id || {_NL2} || text || {_NL2} ||
     '<page_number>1</page_number>' AS markdown
-  FROM docs WHERE doc_id % 5 IN (0, 1, 2)
+  FROM docs WHERE doc_id % 8 IN (0, 1, 2)
   UNION ALL
   SELECT url, 2 AS page_no,
     '## Section ' || doc_id || {_NL2} ||
     array_to_string(list_slice(string_split(text, ' '), 1, 10), ' ')
     || {_NL2} || '<page_number>2</page_number>' AS markdown
-  FROM docs WHERE doc_id % 5 IN (0, 1, 2)
+  FROM docs WHERE doc_id % 8 IN (0, 1, 2)
   UNION ALL
   SELECT url, 1 AS page_no,
     '# Form ' || doc_id || {_NL2} || 'Applicant ' || doc_id || {_NL2} ||
     'Ref ' || ((doc_id * 7) % 1000) || {_NL2} ||
     'Note ' || ((doc_id * 3) % 100) || {_NL2} || '☑' AS markdown
-  FROM docs WHERE doc_id % 5 = 3
+  FROM docs WHERE doc_id % 8 = 3
   UNION ALL
   SELECT url, 1 AS page_no,
     '# 文档 ' || doc_id || {_NL2} ||
     '中文内容 第' || (doc_id % 7) || '节 测试' AS markdown
-  FROM docs WHERE doc_id % 5 = 4
+  FROM docs WHERE doc_id % 8 = 4
+  UNION ALL
+  SELECT url, 1 AS page_no,
+    '# Résumé ' || doc_id || {_NL2} ||
+    'Le café coûte ' || (doc_id % 90 + 10) || ' euros déjà' AS markdown
+  FROM docs WHERE doc_id % 8 = 5
+  UNION ALL
+  SELECT url, 1 AS page_no,
+    '# Übersicht ' || doc_id || {_NL2} ||
+    'Straße Nr ' || (doc_id % 90 + 10) || ' für Köln' AS markdown
+  FROM docs WHERE doc_id % 8 = 6
+  UNION ALL
+  SELECT url, 1 AS page_no,
+    '# XForm ' || doc_id || {_NL2} ||
+    'applicant: Applicant ' || doc_id || {_NL2} ||
+    'amount: ' || ((doc_id * 7) % 1000) AS markdown
+  FROM docs WHERE doc_id % 8 = 7
 )
 """,
     # binary-guard contract (media_sniff folded in, r4 registry

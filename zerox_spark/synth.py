@@ -1530,8 +1530,292 @@ def expected_pdf_cjk_page(doc_id: int) -> str:
     return f"# 文档 {doc_id}\n\n{_CJK_BODY.format(n=doc_id % 7)}"
 
 
+# --------------------------------------------------------------------------
+# accented-subset-font PDFs (round 6): a ToUnicode-less SYMBOLIC font whose
+# only name source is the embedded font program — Type1C/CFF standard SIDs
+# in one variant, TrueType post-2.0 standard Macintosh indexes in the
+# other. Character codes are deliberately NON-ASCII (0x80+i) so a cp1252
+# fallback would emit mojibake, never the oracle text: only the true
+# font-program chain can pass.
+#
+# The SID / Mac-index constants below RESTATE the public tables
+# independently of extract/cff.py / extract/truetype.py (CFF spec
+# Appendix A; OpenType `post` spec) — the synth and the parser must not
+# share one table, or a wrong entry would cancel out.
+
+_CFF_ACCENT_SIDS = {
+    "é": 207, "è": 210, "à": 203, "ç": 206, "û": 223, "ü": 224,
+    "É": 178, "ß": 149, "ö": 218, "R": 51,
+}
+
+_MAC_ACCENT_IDX = {
+    "é": 112, "è": 113, "ç": 111, "û": 128, "ü": 129, "ö": 124,
+    "ß": 137, "É": 101, "Ü": 104, "ñ": 120,
+}
+
+
+def _cff_sid(ch: str) -> int:
+    """StandardEncoding ASCII printables sit at SID code-31 (quotesingle
+    and grave are the exceptions — avoided in the templates)."""
+    o = ord(ch)
+    if 32 <= o <= 126 and ch not in "'`":
+        return o - 31
+    return _CFF_ACCENT_SIDS[ch]
+
+
+def _mac_idx(ch: str) -> int:
+    """Mac glyph order: ASCII printables at index code-29."""
+    o = ord(ch)
+    if 32 <= o <= 126:
+        return o - 29
+    return _MAC_ACCENT_IDX[ch]
+
+
+def _accent_charmap(text: str, keyfn) -> tuple[dict[str, int], list[int]]:
+    """chars of ``text`` → {char: code} with codes 0x80.., plus the
+    per-glyph name key (SID or Mac index) list in glyph order 1..n."""
+    chars = sorted(set(text))
+    return (
+        {c: 0x80 + i for i, c in enumerate(chars)},
+        [keyfn(c) for c in chars],
+    )
+
+
+def render_cff_font(sids: list[int]) -> bytes:
+    """A minimal, structurally-valid bare-CFF (Type1C) font program:
+    glyphs 1..n carry the given SIDs (charset format 0), codes 0x80+i map
+    to glyph i+1 (Encoding format 0), CharStrings are 1-byte endchar
+    stubs. Offsets are computed exactly; the CFF spec's INDEX/DICT
+    encodings are restated here independently of the reader."""
+    n = len(sids)
+
+    def index(items: list[bytes]) -> bytes:
+        if not items:
+            return _struct.pack(">H", 0)
+        offs = [1]
+        for it in items:
+            offs.append(offs[-1] + len(it))
+        return (
+            _struct.pack(">HB", len(items), 4)
+            + b"".join(_struct.pack(">I", o) for o in offs)
+            + b"".join(items)
+        )
+
+    name_idx = index([b"SynthAccent"])
+    # Top DICT: three absolute-offset operators, each a 5-byte int29
+    # operand + 1-byte op (fixed 18-byte dict → offsets computable)
+    top_dict_size = 18
+    top_idx_size = 2 + 1 + 2 * 4 + top_dict_size  # count offSize offs dict
+    string_idx = index([])
+    gsubr_idx = index([])
+    header = b"\x01\x00\x04\x04"
+    fixed = (
+        len(header)
+        + len(name_idx)
+        + top_idx_size
+        + len(string_idx)
+        + len(gsubr_idx)
+    )
+    encoding = bytes([0, n]) + bytes(0x80 + i for i in range(n))
+    charset = b"\x00" + b"".join(_struct.pack(">H", s) for s in sids)
+    charstrings = index([b"\x0e"] * (n + 1))  # .notdef + n endchars
+    enc_off = fixed
+    charset_off = enc_off + len(encoding)
+    cs_off = charset_off + len(charset)
+
+    def op29(value: int, op: int) -> bytes:
+        return b"\x1d" + _struct.pack(">i", value) + bytes([op])
+
+    top_dict = op29(charset_off, 15) + op29(enc_off, 16) + op29(cs_off, 17)
+    assert len(top_dict) == top_dict_size
+    top_idx = (
+        _struct.pack(">HB", 1, 4)
+        + _struct.pack(">II", 1, 1 + top_dict_size)
+        + top_dict
+    )
+    assert len(top_idx) == top_idx_size
+    return (
+        header
+        + name_idx
+        + top_idx
+        + string_idx
+        + gsubr_idx
+        + encoding
+        + charset
+        + charstrings
+    )
+
+
+def render_ttf_post_font(mac_indexes: list[int]) -> bytes:
+    """A minimal sfnt with a (1,0) cmap format-6 subtable (codes 0x80+i →
+    glyphs 1..n) and a post 2.0 table whose glyphNameIndex entries are the
+    given STANDARD Macintosh order indexes (< 258, no string pool)."""
+    n = len(mac_indexes)
+    cmap_sub = _struct.pack(
+        ">HHHHH", 6, 10 + 2 * n, 0, 0x80, n
+    ) + b"".join(_struct.pack(">H", g + 1) for g in range(n))
+    cmap = _struct.pack(">HH", 0, 1) + _struct.pack(">HHI", 1, 0, 12) + cmap_sub
+    post = (
+        _struct.pack(">IihhIIIII", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0)
+        + _struct.pack(">H", n + 1)
+        + _struct.pack(">H", 0)  # glyph 0 → .notdef
+        + b"".join(_struct.pack(">H", i) for i in mac_indexes)
+    )
+    tables = [(b"cmap", cmap), (b"post", post)]
+    out = bytearray(_struct.pack(">IHHHH", 0x00010000, len(tables), 0, 0, 0))
+    off = 12 + 16 * len(tables)
+    recs = b""
+    body = b""
+    for tag, data in tables:
+        recs += tag + _struct.pack(">III", 0, off, len(data))
+        body += data
+        off += len(data)
+    return bytes(out) + recs + body
+
+
+_ACCENT_CFF_HEAD = "Résumé {d}"
+_ACCENT_CFF_BODY = "Le café coûte {n} euros déjà"
+_ACCENT_POST_HEAD = "Übersicht {d}"
+_ACCENT_POST_BODY = "Straße Nr {n} für Köln"
+
+
+def _render_accent_pdf(doc_id: int, kind: str) -> bytes:
+    if kind == "cff":
+        head = _ACCENT_CFF_HEAD.format(d=doc_id)
+        body = _ACCENT_CFF_BODY.format(n=doc_id % 90 + 10)
+        cmap, keys = _accent_charmap(head + body, _cff_sid)
+        prog = render_cff_font(keys)
+        ff_key = b"/FontFile3"
+        ff_extra = b" /Subtype /Type1C"
+        subtype = b"/Type1"
+    else:
+        head = _ACCENT_POST_HEAD.format(d=doc_id)
+        body = _ACCENT_POST_BODY.format(n=doc_id % 90 + 10)
+        cmap, keys = _accent_charmap(head + body, _mac_idx)
+        prog = render_ttf_post_font(keys)
+        ff_key = b"/FontFile2"
+        ff_extra = b""
+        subtype = b"/TrueType"
+
+    def hexstr(s: str) -> str:
+        return "<" + "".join(f"{cmap[c]:02x}" for c in s) + ">"
+
+    ops = (
+        f"BT /F1 20 Tf 72 720 Td {hexstr(head)} Tj ET\n"
+        f"BT /F1 11 Tf 72 660 Td {hexstr(body)} Tj ET"
+    ).encode("ascii")
+    comp = _zlib.compress(ops)
+    fcomp = _zlib.compress(prog)
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Font /Subtype " + subtype
+            + b" /BaseFont /SynthAccent /FontDescriptor 6 0 R >>"
+        ),
+        4: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents 5 0 R >>"
+        ),
+        5: (
+            f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+            + comp
+            + b"\nendstream"
+        ),
+        6: (
+            b"<< /Type /FontDescriptor /FontName /SynthAccent /Flags 4 "
+            + ff_key
+            + b" 7 0 R >>"
+        ),
+        7: (
+            f"<< /Length {len(fcomp)} /Filter /FlateDecode".encode()
+            + ff_extra
+            + b" >>\nstream\n"
+            + fcomp
+            + b"\nendstream"
+        ),
+    }
+    return _assemble_pdf(objs)
+
+
+def render_pdf_accent_cff(doc_id: int) -> bytes:
+    return _render_accent_pdf(doc_id, "cff")
+
+
+def render_pdf_accent_post(doc_id: int) -> bytes:
+    return _render_accent_pdf(doc_id, "post")
+
+
+def expected_pdf_accent_page(doc_id: int, kind: str) -> str:
+    n = doc_id % 90 + 10
+    if kind == "cff":
+        return (
+            f"# {_ACCENT_CFF_HEAD.format(d=doc_id)}\n\n"
+            + _ACCENT_CFF_BODY.format(n=n)
+        )
+    return (
+        f"# {_ACCENT_POST_HEAD.format(d=doc_id)}\n\n"
+        + _ACCENT_POST_BODY.format(n=n)
+    )
+
+
+_XFA_DATASETS = (
+    '<xfa:datasets xmlns:xfa="http://www.xfa.org/schema/xfa-data/1.0/">'
+    "<xfa:data><form1>"
+    "<applicant>Applicant {d}</applicant>"
+    "<amount>{a}</amount>"
+    "</form1></xfa:data></xfa:datasets>"
+)
+
+
+def render_pdf_xfa(doc_id: int) -> bytes:
+    """An XFA-only (LiveCycle-style) form: the catalog /AcroForm carries
+    an /XFA packet array and NO widget values — the filled data exists
+    only in the ``datasets`` XML packet (VERDICT r5 next #7)."""
+    ops = f"BT /F1 20 Tf 72 720 Td (XForm {doc_id}) Tj ET".encode()
+    comp = _zlib.compress(ops)
+    ds = _XFA_DATASETS.format(d=doc_id, a=(doc_id * 7) % 1000).encode()
+    objs: dict[int, bytes] = {
+        1: (
+            b"<< /Type /Catalog /Pages 2 0 R"
+            b" /AcroForm << /Fields [] /XFA"
+            b" [(preamble) 7 0 R (datasets) 6 0 R] >> >>"
+        ),
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        ),
+        4: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents 5 0 R >>"
+        ),
+        5: (
+            f"<< /Length {len(comp)} /Filter /FlateDecode >>\nstream\n".encode()
+            + comp
+            + b"\nendstream"
+        ),
+        6: (
+            f"<< /Length {len(ds)} >>\nstream\n".encode() + ds + b"\nendstream"
+        ),
+        7: (
+            b"<< /Length 22 >>\nstream\n<xdp:xdp xmlns:xdp=''>\nendstream"
+        ),
+    }
+    return _assemble_pdf(objs)
+
+
+def expected_pdf_xfa_page(doc_id: int) -> str:
+    return (
+        f"# XForm {doc_id}\n\napplicant: Applicant {doc_id}\n\n"
+        f"amount: {(doc_id * 7) % 1000}"
+    )
+
+
 def render_pdf_crypt(doc_id: int, text: str) -> bytes:
-    v = doc_id % 5
+    v = doc_id % 8
     if v == 0:
         return render_pdf_encrypted(doc_id, text, "rc4")
     if v == 1:
@@ -1540,7 +1824,13 @@ def render_pdf_crypt(doc_id: int, text: str) -> bytes:
         return render_pdf_encrypted(doc_id, text, "aesv3")
     if v == 3:
         return render_pdf_form(doc_id, text)
-    return render_pdf_cjk(doc_id, text)
+    if v == 4:
+        return render_pdf_cjk(doc_id, text)
+    if v == 5:
+        return render_pdf_accent_cff(doc_id)
+    if v == 6:
+        return render_pdf_accent_post(doc_id)
+    return render_pdf_xfa(doc_id)
 
 
 def _row_pdf_crypt(doc_id: int, text: str, lang: str, source: str):
@@ -1551,8 +1841,11 @@ def synth_pdf_crypt_pages(
     spark: SparkSession, sf_dir: str, num_partitions: int | None = None
 ) -> DataFrame:
     """documents.parquet → pages whose payloads are encrypted (RC4/AESV2/
-    AESV3, empty passwords), filled-AcroForm, and predefined-CJK-CMap
-    %PDF-1.4 files — the round-5 real-world PDF gaps, end to end."""
+    AESV3, empty passwords), filled-AcroForm, predefined-CJK-CMap,
+    ToUnicode-less accented-subset-font (Type1C/CFF standard SIDs and
+    TrueType post-2.0 Macintosh names — round 6), and XFA-only LiveCycle
+    form %PDF-1.4 files — the round-5/6 real-world PDF gaps, end to
+    end (doc_id % 8 variants)."""
     return _pages_from_docs(spark, sf_dir, _row_pdf_crypt, num_partitions)
 
 
@@ -1569,9 +1862,14 @@ def _row_ooxml(doc_id: int, text: str, lang: str, source: str):
 
 
 def _row_legacy(doc_id: int, text: str, lang: str, source: str):
-    return (
-        render_xls(doc_id) if doc_id % 2 == 0 else render_doc(doc_id, text)
-    ), ""
+    if doc_id % 2 == 0:
+        return render_xls(doc_id), ""
+    if doc_id % 4 == 1:
+        # encrypted .doc (round 6): [MS-DOC] RC4 (doc_id%8==1) or RC4
+        # CryptoAPI (%8==5) under the default password — decryption is
+        # transparent, so the closed-form oracle is UNCHANGED
+        return render_doc_encrypted(doc_id, text, capi=doc_id % 8 == 5), ""
+    return render_doc(doc_id, text), ""
 
 
 def render_office_encrypted(doc_id: int) -> bytes:
@@ -1599,6 +1897,103 @@ def render_office_encrypted(doc_id: int) -> bytes:
     return write_cfb(
         [("Workbook", oc.encrypt_xls_stream(wb, salt, capi=doc_id % 16 == 7))]
     )
+
+
+def render_doc_encrypted(doc_id: int, text: str, capi: bool) -> bytes:
+    """render_doc's streams encrypted per [MS-DOC] 2.2.6.2/.3 under the
+    default password: FibBase stays clear with fEncrypted + lKey set, the
+    EncryptionHeader prepends the Table stream (fcClx shifts with it),
+    and the XOR-symmetric transform_doc_streams does the encryption —
+    the reader must run the exact inverse to extract the same text."""
+    from zerox_spark.extract import office_crypto as oc
+    from zerox_spark.extract.cfb import CfbReader, write_cfb
+
+    plain = render_doc(doc_id, text)
+    cfb = CfbReader(plain)
+    word = bytearray(cfb.read_stream("WordDocument"))
+    clx = cfb.read_stream("1Table")
+    salt = _det_bytes(f"docc:{doc_id}", 16)
+    header = oc.build_legacy_encryption_header(salt, capi=capi)
+    flags = _struct.unpack_from("<H", word, 0x0A)[0] | 0x0100
+    _struct.pack_into("<H", word, 0x0A, flags)
+    _struct.pack_into("<I", word, 0x0E, len(header))  # lKey
+    (fc_clx,) = _struct.unpack_from("<I", word, 0x01A2)
+    _struct.pack_into("<I", word, 0x01A2, fc_clx + len(header))
+    w_enc, t_enc = oc.transform_doc_streams(bytes(word), header + clx)
+    return write_cfb([("WordDocument", w_enc), ("1Table", t_enc)])
+
+
+def render_ppt_encrypted(doc_id: int, text: str) -> bytes:
+    """render_ppt's DocumentContainer as an RC4-CryptoAPI-encrypted
+    persist object ([MS-PPT] 2.3.5): persist 1 = the encrypted document
+    record (RC4 block number = persist id), persist 2 = the clear
+    CryptSession10Container, located by a PersistDirectoryAtom +
+    UserEditAtom chain from the CurrentUserAtom (headerToken =
+    PPT_TOKEN_ENCRYPTED)."""
+    from zerox_spark.extract import office_crypto as oc
+    from zerox_spark.extract.cfb import write_cfb
+    from zerox_spark.extract.pdf import _rc4
+
+    first10 = " ".join(text.split(" ")[:SECTION_WORDS])
+
+    def slide(title: str, paras: list[str]) -> bytes:
+        recs = _ppt_rec(0, 0, 0x03F3, bytes(20))
+        recs += _ppt_rec(0, 0, 0x0F9F, _struct.pack("<I", 0))
+        recs += _ppt_rec(0, 0, 0x0FA0, title.encode("utf-16-le"))
+        for p in paras:
+            recs += _ppt_rec(0, 0, 0x0F9F, _struct.pack("<I", 1))
+            recs += _ppt_rec(0, 0, 0x0FA0, p.encode("utf-16-le"))
+        return recs
+
+    sltw = _ppt_rec(
+        0xF,
+        0,
+        0x0FF0,
+        slide(f"Document {doc_id}", [text])
+        + slide(f"Section {doc_id}", [first10]),
+    )
+    doc_rec = _ppt_rec(0xF, 0, 0x03E8, sltw)
+    salt = _det_bytes(f"pptc:{doc_id}", 16)
+    cs_rec = _ppt_rec(
+        0xF, 0, oc.PPT_CRYPTSESSION,
+        oc.build_legacy_encryption_header(salt, capi=True),
+    )
+    off_doc, off_cs = 0, len(doc_rec)
+    off_pd = off_cs + len(cs_rec)
+    # one PersistDirectoryEntry: ids 1..2 (persistId=1, cPersist=2)
+    pd_rec = _ppt_rec(
+        0, 0, oc.PPT_PERSISTDIR,
+        _struct.pack("<III", (2 << 20) | 1, off_doc, off_cs),
+    )
+    off_ue = off_pd + len(pd_rec)
+    ue_rec = _ppt_rec(
+        0, 0, oc.PPT_USEREDIT,
+        _struct.pack(
+            "<IHBBIIIIHHI",
+            0, 0, 0, 3,  # lastSlideIdRef, version, minor, major
+            0,            # offsetLastEdit (no earlier edit)
+            off_pd,       # offsetPersistDirectory
+            1,            # docPersistIdRef
+            3,            # persistIdSeed
+            0, 0,         # lastView, unused
+            2,            # encryptSessionPersistIdRef → persist 2
+        ),
+    )
+    base = oc._xls_capi_base(salt, oc.DEFAULT_PASSWORD)
+    enc_doc = _rc4(oc._xls_block_key(base, 1, True, 16), doc_rec)
+    stream = enc_doc + cs_rec + pd_rec + ue_rec
+    cu = _ppt_rec(
+        0, 0, oc.PPT_CURRENTUSER,
+        _struct.pack(
+            "<IIIHHBBHI",
+            0x14,                    # size
+            oc.PPT_TOKEN_ENCRYPTED,  # headerToken
+            off_ue,                  # offsetToCurrentEdit
+            0, 0x03F4, 3, 0, 0,      # lenUserName, docFileVersion, maj/min, unused
+            0,                       # relVersion
+        ),
+    )
+    return write_cfb([("PowerPoint Document", stream), ("Current User", cu)])
 
 
 def _row_misc(doc_id: int, text: str, lang: str, source: str):
@@ -1629,11 +2024,14 @@ def _row_delimited(doc_id: int, text: str, lang: str, source: str):
 
 
 def _row_pres(doc_id: int, text: str, lang: str, source: str):
-    return (
-        render_pptx(doc_id, text)
-        if doc_id % 2 == 0
-        else render_ppt(doc_id, text)
-    ), ""
+    if doc_id % 2 == 0:
+        return render_pptx(doc_id, text), ""
+    if doc_id % 4 == 3:
+        # encrypted .ppt (round 6): [MS-PPT] RC4-CryptoAPI persist
+        # objects under the default password — transparent decryption,
+        # closed-form oracle UNCHANGED
+        return render_ppt_encrypted(doc_id, text), ""
+    return render_ppt(doc_id, text), ""
 
 
 def _row_pdf_real(doc_id: int, text: str, lang: str, source: str):
