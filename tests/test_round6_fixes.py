@@ -230,3 +230,277 @@ def test_metadata_stream_decrypts_when_encrypt_metadata_true():
 
 
 _ = zlib  # keep import for later fixture additions
+
+
+# --------------------------------------------------------------------------
+# round-6 features: figure placeholders, Type 3 fonts, accented subset
+# fonts, XFA datasets, encrypted legacy .doc/.ppt
+
+import pathlib
+import struct
+
+from zerox_spark.extract.core import extract_document
+from zerox_spark.synth import (
+    _assemble_pdf as _asm,
+    expected_pdf_accent_page,
+    expected_pdf_real_pages,
+    expected_pdf_xfa_page,
+    render_doc_encrypted,
+    render_pdf_accent_cff,
+    render_pdf_accent_post,
+    render_pdf_real,
+    render_pdf_xfa,
+    render_ppt_encrypted,
+)
+
+_FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+TEXT = (
+    "quarterly revenue grew nine percent across the northern region"
+    " while costs held flat"
+)
+
+
+def _success_pages(payload: bytes):
+    pages = extract_document(payload, None)
+    assert all(p.status == "SUCCESS" for p in pages), [
+        (p.status, p.error) for p in pages
+    ]
+    return [(p.page_no, p.markdown) for p in pages]
+
+
+class TestFigurePlaceholder:
+    def test_figure_variant_roundtrip(self):
+        for doc_id in (4, 10, 16, 22):
+            got = _success_pages(render_pdf_real(doc_id, TEXT))
+            assert got == expected_pdf_real_pages(doc_id, TEXT)
+            assert "![figure](#)" in got[0][1]
+            assert "![figure](#)" not in got[1][1]
+
+    def test_type3_variant_roundtrip(self):
+        for doc_id in (5, 11, 17, 23):
+            got = _success_pages(render_pdf_real(doc_id, TEXT))
+            assert got == expected_pdf_real_pages(doc_id, TEXT)
+
+    def _one_page(self, content: bytes, xobj: bytes | None = None) -> bytes:
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >>"
+                + (b" /XObject << /Im0 6 0 R >>" if xobj else b"")
+                + b" >> /Contents 5 0 R >>"
+            ),
+            5: (
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            ),
+        }
+        if xobj:
+            objs[6] = xobj
+        return _asm(objs)
+
+    _IMG = (
+        b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >>\n"
+        b"stream\n\x00\x01\x02\x03\nendstream"
+    )
+
+    def test_small_image_is_decoration_not_figure(self):
+        # a 12×12-pt bullet never becomes a figure placeholder
+        content = (
+            b"BT /F1 20 Tf 72 720 Td (Head line) Tj ET\n"
+            b"q 12 0 0 12 72 600 cm /Im0 Do Q\n"
+            b"BT /F1 11 Tf 72 500 Td (Body line) Tj ET"
+        )
+        md = _success_pages(self._one_page(content, self._IMG))[0][1]
+        assert "![figure](#)" not in md
+        assert "Head line" in md and "Body line" in md
+
+    def test_inline_image_emits_placeholder(self):
+        content = (
+            b"BT /F1 20 Tf 72 720 Td (Head line) Tj ET\n"
+            b"q 100 0 0 80 72 580 cm"
+            b" BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\x01\x02\x03 EI Q\n"
+            b"BT /F1 11 Tf 72 500 Td (Body line) Tj ET"
+        )
+        md = _success_pages(self._one_page(content))[0][1]
+        assert md == "# Head line\n\n![figure](#)\n\nBody line"
+
+    def test_tiled_strips_collapse_to_one_placeholder(self):
+        # one image painted as four adjacent strips (a common generator
+        # pattern) → a single placeholder block
+        strips = b"\n".join(
+            b"q 400 0 0 30 72 %d cm /Im0 Do Q" % (600 - 30 * i)
+            for i in range(4)
+        )
+        content = (
+            b"BT /F1 20 Tf 72 720 Td (Head line) Tj ET\n" + strips +
+            b"\nBT /F1 11 Tf 72 400 Td (Body line) Tj ET"
+        )
+        md = _success_pages(self._one_page(content, self._IMG))[0][1]
+        assert md.count("![figure](#)") == 1
+
+    def test_image_only_page_stays_contained_error(self):
+        # a scanned page (one full-page image, no text) keeps the honest
+        # no-OCR contract: contained ERROR, not a placeholder-only SUCCESS
+        content = b"q 468 0 0 648 72 72 cm /Im0 Do Q"
+        pages = extract_document(self._one_page(content, self._IMG), None)
+        assert [p.status for p in pages] == ["ERROR"]
+
+
+class TestAccentSubsetFonts:
+    def test_cff_sid_roundtrip(self):
+        for doc_id in (5, 13, 21, 77):
+            got = _success_pages(render_pdf_accent_cff(doc_id))
+            assert got == [(1, expected_pdf_accent_page(doc_id, "cff"))]
+
+    def test_ttf_post_roundtrip(self):
+        for doc_id in (6, 14, 22, 78):
+            got = _success_pages(render_pdf_accent_post(doc_id))
+            assert got == [(1, expected_pdf_accent_page(doc_id, "post"))]
+
+    def test_fixture_pins(self):
+        assert _success_pages(
+            (_FIXTURES / "accent_cff.pdf").read_bytes()
+        ) == [(1, "# Résumé 5\n\nLe café coûte 15 euros déjà")]
+        assert _success_pages(
+            (_FIXTURES / "accent_post.pdf").read_bytes()
+        ) == [(1, "# Übersicht 6\n\nStraße Nr 16 für Köln")]
+
+    def test_font_program_bitflip_contained(self):
+        # flipping any byte of the embedded font program must never raise
+        # and never emit DIFFERENT accented chars — drops and errors only
+        base = render_pdf_accent_cff(5)
+        start = base.find(b"stream", base.find(b"/FontFile3"))
+        for pos in range(start + 10, start + 60):
+            broken = bytearray(base)
+            broken[pos] ^= 0xFF
+            pages = extract_document(bytes(broken), None)
+            for p in pages:
+                assert p.status in ("SUCCESS", "ERROR")
+
+
+class TestXfaDatasets:
+    def test_roundtrip(self):
+        for doc_id in (7, 15, 23, 55):
+            got = _success_pages(render_pdf_xfa(doc_id))
+            assert got == [(1, expected_pdf_xfa_page(doc_id))]
+
+    def test_fixture_pin(self):
+        assert _success_pages((_FIXTURES / "xfa_form.pdf").read_bytes()) == [
+            (1, "# XForm 7\n\napplicant: Applicant 7\n\namount: 49")
+        ]
+
+    def test_malformed_datasets_xml_contained(self):
+        pdf = render_pdf_xfa(7).replace(b"</xfa:datasets>", b"</broken")
+        pages = extract_document(pdf, None)
+        # broken packet → values drop, the page's own text survives
+        assert pages[0].status == "SUCCESS"
+        assert "XForm 7" in pages[0].markdown
+        assert "applicant" not in pages[0].markdown
+
+    def test_widget_values_suppress_datasets_fold(self):
+        # when ANY annotation carried a value, the datasets fold must not
+        # run (it would duplicate the widget harvest)
+        from zerox_spark.synth import render_pdf_form
+
+        pdf = render_pdf_form(3, TEXT)
+        md = _success_pages(pdf)[0][1]
+        assert md.count("Applicant 3") == 1
+
+
+class TestEncryptedLegacyOffice:
+    def test_doc_rc4_roundtrip(self):
+        from zerox_spark.synth import render_doc
+
+        for doc_id, capi in ((9, False), (13, True)):
+            got = _success_pages(render_doc_encrypted(doc_id, TEXT, capi))
+            clear = _success_pages(render_doc(doc_id, TEXT))
+            assert got == clear
+
+    def test_ppt_capi_roundtrip(self):
+        got = _success_pages(render_ppt_encrypted(11, TEXT))
+        assert got[0][1].startswith("# Document 11")
+        assert TEXT in got[0][1]
+        assert got[1][1].startswith("# Section 11")
+
+    def test_fixture_pins(self):
+        for name, did in (("doc_rc4.cfb", 9), ("doc_capi.cfb", 13)):
+            got = _success_pages((_FIXTURES / name).read_bytes())
+            assert got == [
+                (1, f"Document {did}\n\n{TEXT}"),
+                (
+                    2,
+                    f"Section {did}\n\n"
+                    "quarterly revenue grew nine percent across the"
+                    " northern region while",
+                ),
+            ], name
+        got = _success_pages((_FIXTURES / "ppt_capi.cfb").read_bytes())
+        assert got[0] == (1, f"# Document 11\n\n{TEXT}")
+
+    def test_wrong_password_contained(self):
+        # a non-default password is indistinguishable from a corrupted
+        # verifier: flip one verifier byte → the reader must refuse with
+        # a clear password error, never walk a garbled piece table
+        from zerox_spark.extract.cfb import CfbReader, write_cfb
+
+        doc = render_doc_encrypted(9, TEXT, capi=False)
+        cfb = CfbReader(doc)
+        table = bytearray(cfb.read_stream("1Table"))
+        table[20] ^= 0xFF  # RC4 header: ver(4) + salt(16) + verifier
+        p = extract_document(
+            write_cfb(
+                [
+                    ("WordDocument", cfb.read_stream("WordDocument")),
+                    ("1Table", bytes(table)),
+                ]
+            ),
+            None,
+        )[0]
+        assert p.status == "ERROR" and "password" in (p.error or "")
+
+        ppt = render_ppt_encrypted(11, TEXT)
+        cfb = CfbReader(ppt)
+        stream = bytearray(cfb.read_stream("PowerPoint Document"))
+        csp = "Microsoft Enhanced Cryptographic Provider v1.0\x00".encode(
+            "utf-16-le"
+        )
+        idx = bytes(stream).find(csp)
+        assert idx > 0
+        stream[idx + len(csp) + 4 + 16] ^= 0xFF  # CAPI verifier byte
+        p = extract_document(
+            write_cfb(
+                [
+                    ("PowerPoint Document", bytes(stream)),
+                    ("Current User", cfb.read_stream("Current User")),
+                ]
+            ),
+            None,
+        )[0]
+        assert p.status == "ERROR" and "password" in (p.error or "")
+
+    def test_doc_bitflip_never_raises(self):
+        base = render_doc_encrypted(9, TEXT, capi=False)
+        for pos in range(700, len(base), max(1, len(base) // 80)):
+            broken = bytearray(base)
+            broken[pos] ^= 0xFF
+            for p in extract_document(bytes(broken), None):
+                assert p.status in ("SUCCESS", "ERROR")
+
+    def test_ppt_bitflip_never_raises(self):
+        base = render_ppt_encrypted(11, TEXT)
+        for pos in range(600, len(base), max(1, len(base) // 80)):
+            broken = bytearray(base)
+            broken[pos] ^= 0xFF
+            for p in extract_document(bytes(broken), None):
+                assert p.status in ("SUCCESS", "ERROR")
+
+
+_ = struct  # symmetry with the fuzz helpers above

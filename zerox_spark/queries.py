@@ -210,10 +210,14 @@ def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GENUINE born-digital %PDF-1.4 payloads (xref + FlateDecode +
-    WinAnsi/Differences/Type0+ToUnicode/declared-Widths fonts, four variants by doc_id%4)
-    through the real PDF parser (extract/pdf.py) — the reference's #1 input
-    type (README.md:489), read from the text layer instead of rasterize+OCR
-    (node-zerox/src/utils/file.ts:153-207)."""
+    WinAnsi/Differences/Type0+ToUnicode/declared-Widths fonts, plus — new
+    in round 6 — an image-XObject figure page that emits the dialect's
+    ![figure](#) placeholder and a Type 3 /Differences-only font; six
+    variants by doc_id%6) through the real PDF parser (extract/pdf.py) —
+    the reference's #1 input type (README.md:489), read from the text
+    layer instead of rasterize+OCR (node-zerox/src/utils/file.ts:153-207).
+    Figure placeholders follow the reference dialect's mandate
+    (shared/systemPrompt.txt; goldens shared/outputs/*.md use ![...](#))."""
     from zerox_spark.synth import synth_pdf_real_pages
 
     pages = synth_pdf_real_pages(spark, sf_dir)
@@ -1607,7 +1611,9 @@ WITH docs AS (
 )
 SELECT url, CAST(page_no AS INTEGER) AS page_no, markdown FROM (
   SELECT url, 1 AS page_no,
-    '# Document ' || doc_id || {_NL2} || text || {_NL2} ||
+    '# Document ' || doc_id || {_NL2} ||
+    CASE WHEN doc_id % 6 = 4 THEN '![figure](#)' || {_NL2} ELSE '' END ||
+    text || {_NL2} ||
     '<page_number>1</page_number>' AS markdown
   FROM docs
   UNION ALL

@@ -895,9 +895,10 @@ def render_ppt(doc_id: int, text: str) -> bytes:
 
 # ---------------------------------------------------------------------------
 # REAL born-digital PDF synthesis (%PDF-1.4, spec-conformant: xref table,
-# FlateDecode streams, WinAnsi + Type0/ToUnicode fonts). Four variants per
-# doc_id % 4 exercise the distinct parser paths in extract/pdf.py, all
-# producing the SAME expected markdown so one closed-form oracle covers all:
+# FlateDecode streams, WinAnsi + Type0/ToUnicode fonts). Six variants per
+# doc_id % 6 exercise the distinct parser paths in extract/pdf.py; all but
+# the figure one produce the SAME expected markdown (variant 4 adds the
+# image placeholder line), so one closed-form oracle covers all:
 #   0: uncompressed content, Td/T* line motion, literal (…) strings
 #   1: FlateDecode content, TD leading, TJ arrays (kern word-gaps) + hex
 #      strings, an /Encoding dict with /Differences (estimate-mode spacing)
@@ -906,6 +907,11 @@ def render_ppt(doc_id: int, text: str) -> bytes:
 #   3: FlateDecode content, a font WITH /Widths and LETTER-SPACED TJ
 #      arrays (small kerns inside words, wide kerns between words) — the
 #      exact-advance line-assembly path (the "U N ITED → UNITED" case)
+#   4: an 8×8 DeviceRGB image XObject painted between heading and body —
+#      the interpreter emits the dialect's ![figure](#) placeholder at
+#      the painted position (round 6)
+#   5: a Type 3 glyph-procedure font — no BaseFont, no program; text is
+#      reachable only through /Encoding /Differences (round 6)
 import zlib as _zlib
 
 
@@ -1039,10 +1045,48 @@ end"""
     return body.encode("ascii")
 
 
+# Adobe StandardEncoding glyph names for the printable-ASCII codes — the
+# independent restatement the Type 3 variant's /Differences array uses
+# (synth and parser must not share one table); non-ASCII cp1252 chars go
+# through AGL ``uniXXXX`` names, the convention Type 3 generators use.
+_T3_ASCII_NAMES = (
+    "space exclam quotedbl numbersign dollar percent ampersand quotesingle"
+    " parenleft parenright asterisk plus comma hyphen period slash"
+    " zero one two three four five six seven eight nine"
+    " colon semicolon less equal greater question at"
+).split() + list("ABCDEFGHIJKLMNOPQRSTUVWXYZ") + (
+    "bracketleft backslash bracketright asciicircum underscore grave"
+).split() + list("abcdefghijklmnopqrstuvwxyz") + (
+    "braceleft bar braceright asciitilde"
+).split()
+
+
+def _t3_glyph_name(ch: str) -> str:
+    o = ord(ch)
+    if 32 <= o <= 126:
+        return _T3_ASCII_NAMES[o - 32]
+    return f"uni{o:04X}"
+
+
+# the figure variant's image box (device points): 200×36 at x=72, top 40pt
+# under the heading — both axes over the 24-pt decoration floor
+_FIG_W, _FIG_H = 200.0, 36.0
+
+
 def render_pdf_real(doc_id: int, text: str) -> bytes:
     """A genuine, spec-conformant %PDF-1.4 document (2 pages)."""
-    variant = doc_id % 4
+    variant = doc_id % 6
     layout = _pdf_real_layout(doc_id, text)
+    if variant == 4:
+        # page 1 gains an image XObject between heading and body: grow the
+        # page 48 pt and raise the heading with it; the body and footer
+        # keep their absolute positions, leaving a 48-pt slot for the
+        # figure box at (72, newheight-148)..(272, newheight-112)
+        height0, lines0 = layout[0]
+        lines0 = [lines0[0][:1] + (lines0[0][1] + 48.0,) + lines0[0][2:]] + (
+            lines0[1:]
+        )
+        layout[0] = (height0 + 48.0, lines0)
     objs: dict[int, bytes] = {}
     n_pages = len(layout)
     page_nums = [4 + 2 * i for i in range(n_pages)]
@@ -1085,22 +1129,69 @@ def render_pdf_real(doc_id: int, text: str) -> bytes:
             b" /Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 255"
             b" /Widths [" + widths.encode() + b"] >>"
         )
+    elif variant == 5:
+        # Type 3 glyph-procedure font (VERDICT r5 next #8): no BaseFont,
+        # no embedded program — the ONLY route to text is /Encoding
+        # /Differences naming every used code; /CharProcs streams all
+        # share one trivial d0 proc (pixels are not this engine's concern)
+        chars = sorted(
+            {c for _, lines in layout for *_, t in lines for c in t}
+        )
+        names = [_t3_glyph_name(c) for c in chars]
+        diffs = " ".join(
+            f"{ord(c)} /{nm}" for c, nm in zip(chars, names)
+        )
+        procs = " ".join(f"/{nm} 9 0 R" for nm in names)
+        objs[3] = (
+            b"<< /Type /Font /Subtype /Type3"
+            b" /FontBBox [0 0 1000 1000]"
+            b" /FontMatrix [0.001 0 0 0.001 0 0]"
+            b" /CharProcs << " + procs.encode() + b" >>"
+            b" /Encoding << /Type /Encoding /Differences ["
+            + diffs.encode()
+            + b"] >> /FirstChar 32 /LastChar 255 /Widths ["
+            + b" ".join([b"500"] * 224)
+            + b"] >>"
+        )
+        objs[9] = b"<< /Length 8 >>\nstream\n500 0 d0\nendstream"
     else:
         objs[3] = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
             b" /Encoding /WinAnsiEncoding >>"
         )
+    if variant == 4:
+        # 8×8 DeviceRGB image XObject, deterministic pixels
+        px = bytes((doc_id * 31 + i * 7) % 256 for i in range(192))
+        objs[10] = (
+            f"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+            f" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            f" /Length {len(px)} >>\nstream\n".encode()
+            + px
+            + b"\nendstream"
+        )
     content_fn = (
-        _pdf_content_v0, _pdf_content_v1, _pdf_content_v2, _pdf_content_v3
+        _pdf_content_v0, _pdf_content_v1, _pdf_content_v2, _pdf_content_v3,
+        _pdf_content_v0, _pdf_content_v0,
     )[variant]
     for i, (height, lines) in enumerate(layout):
         pnum, cnum = page_nums[i], page_nums[i] + 1
+        res = "<< /Font << /F1 3 0 R >> >>"
+        if variant == 4 and i == 0:
+            res = "<< /Font << /F1 3 0 R >> /XObject << /Im0 10 0 R >> >>"
         objs[pnum] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 {height:g}]"
-            f" /Resources << /Font << /F1 3 0 R >> >>"
+            f" /Resources {res}"
             f" /Contents {cnum} 0 R >>".encode()
         )
         raw = content_fn(lines)
+        if variant == 4 and i == 0:
+            # paint the figure: unit square through the CTM → the
+            # 200×36 box whose top sits 40 pt under the heading
+            raw = (
+                f"q {_FIG_W:g} 0 0 {_FIG_H:g} 72"
+                f" {height - 112.0 - _FIG_H:g} cm /Im0 Do Q\n".encode()
+                + raw
+            )
         if variant:
             comp = _zlib.compress(raw)
             objs[cnum] = (
@@ -1145,10 +1236,18 @@ def _assemble_pdf(objs: dict[int, bytes], trailer_extra: bytes = b"") -> bytes:
 
 def expected_pdf_real_pages(doc_id: int, text: str) -> list[tuple[int, str]]:
     """Closed-form expected markdown for render_pdf_real — the Python
-    statement of the extract_pdf_real oracle contract."""
+    statement of the extract_pdf_real oracle contract. The figure variant
+    (doc_id % 6 == 4) carries the image placeholder between the heading
+    and the body; every other variant changes only the font/content
+    machinery, never the markdown."""
     sect = " ".join(text.split(" ")[:SECTION_WORDS])
+    fig = "![figure](#)\n\n" if doc_id % 6 == 4 else ""
     return [
-        (1, f"# Document {doc_id}\n\n{text}\n\n<page_number>1</page_number>"),
+        (
+            1,
+            f"# Document {doc_id}\n\n{fig}{text}\n\n"
+            f"<page_number>1</page_number>",
+        ),
         (2, f"## Section {doc_id}\n\n{sect}\n\n<page_number>2</page_number>"),
     ]
 
@@ -2177,8 +2276,10 @@ def synth_pdf_real_pages(
 ) -> DataFrame:
     """documents.parquet → pages whose payloads are GENUINE %PDF-1.4 files
     (xref, FlateDecode, WinAnsi/Differences/Type0+ToUnicode fonts across
-    doc_id % 4 variants, incl. the letter-spaced /Widths exact-advance one) — exercises the born-digital PDF parser
-    (extract/pdf.py) end to end."""
+    doc_id % 6 variants, incl. the letter-spaced /Widths exact-advance
+    one, an image-XObject figure page, and a Type 3 /Differences-only
+    font) — exercises the born-digital PDF parser (extract/pdf.py) end
+    to end."""
     return _pages_from_docs(spark, sf_dir, _row_pdf_real, num_partitions)
 
 
