@@ -133,7 +133,8 @@ def main() -> None:
         q_extract_markdown,
         q_extract_pdf_crypt,
         q_extract_pdf_real,
-        q_quality_score,
+        q_pack_placement,
+        q_text_quality,
         q_token_counts,
     )
 
@@ -193,7 +194,7 @@ def main() -> None:
     # is visible in the headline job's warm-up run above.
     spark = fresh_spark(CPUS)
     spark.range(1).count()
-    q_quality_score(spark, SF_DIR).count()  # warm Python workers (UDF path)
+    q_text_quality(spark, SF_DIR).count()  # warm Python workers (UDF path)
     q_extract_markdown(spark, SF_DIR).count()  # warm the extract path
     query_list = [
         ("extract_markdown", q_extract_markdown),
@@ -203,8 +204,9 @@ def main() -> None:
         ("dedup_minhash", q_dedup_minhash),
         ("curation", q_curation),
         ("ann_topk", q_ann_topk),
-        ("quality_score", q_quality_score),
+        ("text_quality", q_text_quality),
         ("token_counts", q_token_counts),
+        ("pack_placement", q_pack_placement),
     ]
     samples: dict[str, list[float]] = {name: [] for name, _ in query_list}
     for _ in range(QUERY_PASSES):  # interleaved: drift spreads evenly

@@ -346,15 +346,41 @@ class TestSequencePacking:
             assert r.n_docs == 50
 
     def test_no_global_sort_in_plan(self, spark):
-        # the scale contract: ONE shuffle on the shard key, window sort
-        # inside partitions — never a global (rangepartitioned) sort
+        # the scale contract (round 6, two-level): never a global
+        # (rangepartitioned) sort; the window over the FULL corpus
+        # partitions by (shard, block) — bounded groups, no
+        # whole-shard-on-one-task window — and the carry comes back via
+        # a broadcast join, not another big shuffle
         from zerox_spark.operators.packing import pack_sequences
 
         plan = pack_sequences(
             self._docs(spark), seq_len=64, n_shards=4
         )._jdf.queryExecution().executedPlan().toString()
-        assert "rangepartitioning" not in plan.lower()
-        assert plan.lower().count("exchange hashpartitioning") == 1
+        low = plan.lower()
+        assert "rangepartitioning" not in low
+        specs = [
+            s for s in low.split("windowspecdefinition(")[1:]
+        ]
+        # level-1 spec names both shard and block; the only shard-only
+        # window runs over the tiny per-block totals
+        assert any("shard" in s[:80] and "block" in s[:80] for s in specs)
+        assert "broadcast" in low
+
+    def test_two_level_carry_identical_to_single_window(
+        self, spark, monkeypatch
+    ):
+        # shrink the carry block so 200 docs span many blocks, then check
+        # bit-identity with the directly-computed single-pass prefix sums
+        from zerox_spark.operators import packing
+
+        monkeypatch.setattr(packing, "_PACK_BLOCK", 16)
+        placed = packing.pack_sequences(
+            self._docs(spark), seq_len=64, n_shards=4
+        ).collect()
+        by_shard = {}
+        for r in sorted(placed, key=lambda r: r.doc_id):
+            assert r.pack_offset == by_shard.get(r.shard, 0)
+            by_shard[r.shard] = r.pack_offset + r.n_tokens
 
     def test_empty_and_zero_token_docs(self, spark):
         from zerox_spark.operators.packing import pack_sequences
@@ -373,3 +399,55 @@ class TestSequencePacking:
         assert rows[0].pack_offset == 0
         assert rows[4].pack_offset == rows[0].n_tokens
         assert rows[8].pack_offset == rows[4].pack_offset + rows[4].n_tokens
+
+
+class TestEditedFuzzyFloor:
+    def test_edits_kill_every_8gram_but_fuzzy_catches(self, spark):
+        # the exact 8-gram pass MUST miss the edited items (that is the
+        # blind spot the fuzzy path exists for) while the fuzzy path
+        # flags them — the edited_fuzzy recall-floor contract
+        from pyspark.sql import functions as F
+
+        from zerox_spark.operators.decontam import (
+            decontaminate,
+            decontaminate_fuzzy,
+            edited_benchmark_variants,
+        )
+
+        # letter-only vocabulary: the digit-renumbering edit must not be
+        # the thing that perturbs EVERY word (web text is mostly words;
+        # an all-numeric benchmark item renumbered everywhere is a
+        # legitimately heavy edit, out of the floor's scope)
+        words = [
+            "tok" + chr(97 + i % 23) + chr(97 + (i // 23) % 17)
+            for i in range(120)
+        ]
+        rows = [
+            (i, " ".join(words[j % 40 :] + words[: j % 40]))
+            for i, j in enumerate(range(0, 24, 2))
+        ]
+        bench = spark.createDataFrame(rows, "doc_id long, text string")
+        edited = edited_benchmark_variants(bench)
+        # determinism: two invocations are byte-identical
+        a = {r.doc_id: r.text for r in edited.collect()}
+        b = {r.doc_id: r.text for r in edited.collect()}
+        assert a == b
+        assert all(did >= 1_000_000 for did in a)
+        # every edited text differs from its source; undoing the digit
+        # renumbering recovers the source's word multiset (only swaps
+        # and renumbering happened — no words added or dropped)
+        src = {r.doc_id: r.text for r in bench.collect()}
+        undo = str.maketrans("5678901234", "0123456789")
+        for did, text in a.items():
+            assert text != src[did - 1_000_000]
+            assert sorted(text.translate(undo).split(" ")) == sorted(
+                src[did - 1_000_000].split(" ")
+            )
+        ex = decontaminate(edited, bench)
+        fz = decontaminate_fuzzy(edited, bench)
+        n_exact = ex.agg(F.sum("contaminated")).collect()[0][0]
+        n_fuzzy = fz.agg(F.sum("fuzzy_contaminated")).collect()[0][0]
+        n = bench.count()
+        # word swaps every 10 positions kill EVERY 8-gram window
+        assert n_exact == 0
+        assert n_fuzzy >= 0.95 * n

@@ -193,3 +193,47 @@ def decontaminate_fuzzy(
             .alias("fuzzy_contaminated"),
         )
     )
+
+
+def edited_benchmark_variants(
+    benchmark: DataFrame, id_offset: int = 1_000_000
+) -> DataFrame:
+    """Deterministically EDITED copies of benchmark items — the corpus
+    shape fuzzy decontamination exists for (a verbatim slice is caught by
+    the exact 8-gram pass too; an edited one is not). Two seed-free,
+    restatable transforms:
+
+    - adjacent-word swaps at every 8th position: swapped positions
+      {8k, 8k+1} leave at most 6 consecutive clean positions, so NO
+      8-gram window survives anywhere (the exact pass goes fully blind
+      — pinned in tests), while only ~3 of every 8 verification bigrams
+      corrupt — containment stays ≈0.62, above the 0.5 drop threshold
+    - digit renumbering (translate 0-9 → 5-9,0-4 — the "same question,
+      renumbered" benchmark-editing pattern)
+
+    Output: (doc_id + id_offset, edited text). Used by the edited_fuzzy
+    recall floor (queries.q_recall_floors): decontaminate_fuzzy over
+    these MUST flag ≥ EDITED_FUZZY_FLOOR of them, or the floor row's
+    hash breaks."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    # transform index i is 0-based; element_at is 1-based — so
+    # element_at(words, i + 2) is the NEXT word and element_at(words, i)
+    # the PREVIOUS. Pairs (8k, 8k+1) swap; the boundary guard on the
+    # forward swap is mirrored automatically (if 8k+1 exists, 8k had a
+    # next word).
+    swapped = F.transform(
+        words,
+        lambda w, i: F.when(
+            (i % 8 == 0) & (i + 2 <= n), F.element_at(words, i + 2)
+        )
+        .when(i % 8 == 1, F.element_at(words, i))
+        .otherwise(w),
+    )
+    edited = F.translate(
+        F.array_join(swapped, " "), "0123456789", "5678901234"
+    )
+    return benchmark.select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        edited.alias("text"),
+    )

@@ -12,11 +12,21 @@ documents means a global sort — the one thing a 100 TB plan must never
 do. Instead documents are sharded by a deterministic key (doc_id modulo
 ``n_shards`` here; a url-hash in production — the same partitioning the
 extract job already uses) and packed independently WITHIN each shard by
-doc order. One shuffle on the shard key, one window per shard, zero
-cross-shard coordination; ``n_shards`` is the parallelism knob (pick
-shards ≈ cluster task slots × small constant so each window fits an
-executor). Cross-shard sequence ids never collide: the id is
+doc order. Cross-shard sequence ids never collide: the id is
 (shard, seq_in_shard).
+
+The per-shard running sum is TWO-LEVEL (round 6 — it used to be one
+window per shard, which put a whole shard's rows on a single task and
+made ``n_shards`` a cluster-sizing knob): doc_ids are cut into fixed
+``_PACK_BLOCK``-wide blocks, a window per (shard, block) computes the
+local prefix sums (every group is ≤ _PACK_BLOCK rows regardless of
+corpus size, so parallelism grows with the data and no knob needs
+sizing), a tiny (shard, block) → block-total aggregate yields the
+carry each block inherits from its predecessors (a window over rows
+that are 4-5 orders of magnitude fewer than the corpus), and a
+broadcast join adds carry + local offset. Placement is bit-identical
+to the single-window formulation — the token_counts/pack_placement
+oracle hash proves it.
 
 Boundary semantics: a document whose tokens straddle a sequence boundary
 spans [seq_first, seq_last] — the standard training-time behavior
@@ -30,6 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from zerox_spark.operators.textstats import ws_tokens_col
+
+# carry-block width in doc_id space: every level-1 window group holds at
+# most this many rows however large the corpus is
+_PACK_BLOCK = 1 << 16
 
 
 def pack_sequences(
@@ -56,17 +70,49 @@ def pack_sequences(
     ).cast("long")
     shard = (F.col("doc_id") % n_shards).cast("int")
     base = docs.select(
-        "doc_id", shard.alias("shard"), tokens.alias("n_tokens")
+        "doc_id",
+        shard.alias("shard"),
+        tokens.alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_BLOCK).cast("long").alias("block"),
     )
-    w = (
-        Window.partitionBy("shard")
+    # level 1: local prefix sums within each bounded (shard, block) group
+    w_local = (
+        Window.partitionBy("shard", "block")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
-        "pack_offset"
+    local_off = (F.sum("n_tokens").over(w_local) - F.col("n_tokens")).alias(
+        "local_off"
     )
-    out = base.select("doc_id", "shard", "n_tokens", off)
+    # level 2: each block's carry = sum of earlier blocks' totals in the
+    # same shard — computed over the tiny per-block aggregate, then
+    # broadcast back (at 10^12 docs this table is ~10^7 rows of 20 B;
+    # raise _PACK_BLOCK if ever that broadcast itself grows awkward)
+    totals = base.groupBy("shard", "block").agg(
+        F.sum("n_tokens").alias("block_tokens")
+    )
+    w_carry = (
+        Window.partitionBy("shard")
+        .orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = totals.select(
+        "shard",
+        "block",
+        F.coalesce(F.sum("block_tokens").over(w_carry), F.lit(0)).alias(
+            "carry"
+        ),
+    )
+    out = (
+        base.select("doc_id", "shard", "n_tokens", "block", local_off)
+        .join(F.broadcast(carries), ["shard", "block"])
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (F.col("carry") + F.col("local_off")).alias("pack_offset"),
+        )
+    )
     last_tok = F.col("pack_offset") + F.greatest(
         F.col("n_tokens") - 1, F.lit(0)
     )

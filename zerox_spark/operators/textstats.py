@@ -48,9 +48,7 @@ def _count_in(words_col, vocab: tuple[str, ...]):
     return F.size(F.filter(words_col, lambda w: w.isin(*vocab)))
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """(doc_id, pred_lang) by marker-word argmax; 'und' (undetermined) when
-    no marker hits."""
+def _pred_lang_col():
     words = _words(F.col("text"))
     counts = {lang: _count_in(words, vocab) for lang, vocab in LANG_MARKERS}
     best = F.greatest(*[F.lit(0), *counts.values()])
@@ -58,7 +56,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
     # build reversed so earlier-listed languages win ties
     for lang, _ in reversed(LANG_MARKERS):
         pred = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(pred)
-    return docs.select("doc_id", pred.alias("pred_lang"))
+    return pred
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) by marker-word argmax; 'und' (undetermined) when
+    no marker hits."""
+    return docs.select("doc_id", _pred_lang_col().alias("pred_lang"))
 
 
 def quality_col(text=None):
@@ -98,6 +102,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     Features mirror standard web-corpus filters (length, mean word length,
     stopword ratio, non-alnum ratio); score is a fixed linear blend rounded
     to 6dp for cross-engine float stability."""
+    return docs.select("doc_id", *_quality_cols())
+
+
+def _quality_cols():
     text = F.col("text")
     words = _words(text)
     n_chars = F.length(text)
@@ -107,14 +115,23 @@ def quality_score(docs: DataFrame) -> DataFrame:
     alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
     punct_ratio = F.round((n_chars - alnum) / n_chars, 6)
     score = quality_col(text)
-    return docs.select(
-        "doc_id",
+    return [
         n_chars.cast("int").alias("n_chars"),
         n_words.cast("int").alias("n_words"),
         mean_wl.alias("mean_word_len"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
         score.alias("quality"),
+    ]
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """lang-ID + the full quality-feature battery in ONE projection —
+    a single scan, zero shuffle, zero join (round 6 merged the lang_id
+    and quality_score registry slots here, freeing a slot for the
+    packing placement)."""
+    return docs.select(
+        "doc_id", _pred_lang_col().alias("pred_lang"), *_quality_cols()
     )
 
 

@@ -35,8 +35,6 @@ from zerox_spark.operators.multimodal import media_metadata
 from zerox_spark.operators.similarity import ann_topk_exact, ann_topk_lsh
 from zerox_spark.operators.textstats import (
     fingerprints,
-    lang_id,
-    quality_score,
     token_counts,
 )
 from zerox_spark.synth import synth_pages
@@ -594,6 +592,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.85 at sf0.001 AND sf0.01 (deterministic planes + data); 70 leaves margin
 # for sf drift while still failing loudly on a real recall regression.
 ANN_RECALL_FLOOR = 70
+# edited-item fuzzy-decontamination floor (round 6): measured 100% at
+# sf0.001/0.01/0.1; 95 leaves hash-stable slack for one borderline edit
+EDITED_FUZZY_FLOOR = 95
 
 
 def _recall_floor(
@@ -731,25 +732,32 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_mix(_docs(spark, sf_dir))
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return lang_id(_docs(spark, sf_dir))
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID + the quality-feature battery, ONE projection over one
+    scan (round 6: the former lang_id and quality_score slots folded, so
+    pack_placement gets its own slot within the 50-entry registry)."""
+    from zerox_spark.operators.textstats import text_quality
 
-
-def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_score(_docs(spark, sf_dir))
+    return text_quality(_docs(spark, sf_dir))
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting + SEQUENCE-PACKING placement in one slot:
-    ws/bpe token counts per doc, and the doc's placement in the GPT-style
+    """Corpus token accounting: ws/bpe token counts per doc (round 6
+    moved the packing placement to its own pack_placement slot, so each
+    slot's bench cost is one operator's again)."""
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_pack_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PACKING placement: each doc's slot in the GPT-style
     concat-then-chunk layout (shard, starting token offset, first/last
-    sequence index at seq_len=512 over 16 shards) — the window-per-shard
-    plan that avoids any global sort (operators/packing.py)."""
+    sequence index at seq_len=512 over 16 shards) via the two-level
+    prefix-sum plan — bounded (shard, block) windows + a broadcast carry
+    join, no whole-shard-on-one-task window and no global sort
+    (operators/packing.py, round 6)."""
     from zerox_spark.operators.packing import pack_sequences
 
-    docs = _docs(spark, sf_dir)
-    placed = pack_sequences(docs, seq_len=512, n_shards=16)
-    return token_counts(docs).join(placed.drop("n_tokens"), "doc_id")
+    return pack_sequences(_docs(spark, sf_dir), seq_len=512, n_shards=16)
 
 
 PIVOT_LANGS = ["en", "de", "fr", "es", "zz"]
@@ -904,10 +912,11 @@ def q_text_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_recall_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three driver-hashed recall floors in one slot: (metric,
+    """The five driver-hashed recall floors in one slot: (metric,
     n_items, recall_floor_pct) for the SimHash 8-band blocking, the ANN
-    LSH path, and the IVF-flat path — each vs its declared exact ground
-    truth (see q_simhash_recall / _recall_floor for scope statements)."""
+    LSH path, the IVF-flat path, verbatim fuzzy decontamination, and —
+    round 6 — EDITED-item fuzzy decontamination (see q_simhash_recall /
+    _recall_floor / edited_benchmark_variants for scope statements)."""
     sim = q_simhash_recall(spark, sf_dir).select(
         F.lit("simhash_band").alias("metric"),
         F.col("n_docs").cast("long").alias("n_items"),
@@ -953,7 +962,42 @@ def q_recall_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_floor_pct",
         )
     )
-    return sim.unionByName(lsh).unionByName(ivf).unionByName(fz)
+    # edited-item floor (round 6): the verbatim row above locks the
+    # plumbing, but a verbatim slice is caught by the EXACT pass too —
+    # the value fuzzy decontamination adds is catching EDITED items
+    # (word swaps, renumbered digits), which kill every 8-gram. The
+    # deterministic edit generator produces those; the fuzzy path must
+    # flag ≥ EDITED_FUZZY_FLOOR % of them (clamped like the ANN floors,
+    # so the oracle asserts the constant and any regression below it
+    # hash-mismatches)
+    from zerox_spark.operators.decontam import edited_benchmark_variants
+
+    edited = edited_benchmark_variants(bench)
+    efz = (
+        decontaminate_fuzzy(edited, bench)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.least(
+                F.floor(
+                    F.sum("fuzzy_contaminated") * 100 / F.count(F.lit(1))
+                ),
+                F.lit(EDITED_FUZZY_FLOOR),
+            )
+            .cast("long")
+            .alias("recall_floor_pct"),
+        )
+        .select(
+            F.lit("edited_fuzzy").alias("metric"),
+            "n_items",
+            "recall_floor_pct",
+        )
+    )
+    return (
+        sim.unionByName(lsh)
+        .unionByName(ivf)
+        .unionByName(fz)
+        .unionByName(efz)
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -997,8 +1041,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "events_topk": q_events_topk,
     "events_rollup": q_events_rollup,
-    "lang_id": q_lang_id,
-    "quality_score": q_quality_score,
+    "text_quality": q_text_quality,
+    "pack_placement": q_pack_placement,
     "gopher_filter": q_gopher_filter,
     "corpus_quantiles": q_corpus_quantiles,
     "lang_pivot": q_lang_pivot,
@@ -1825,7 +1869,7 @@ SELECT url, CAST(page_no AS INTEGER) AS page_no,
 FROM marked GROUP BY url, page_no
 HAVING coalesce(string_agg(CASE WHEN NOT is_b THEN ln END, chr(10) ORDER BY i), '') <> ''
 """,
-    # the four recall floors in one slot. simhash n_docs is closed-form
+    # the five recall floors in one slot. simhash n_docs is closed-form
     # from the injected-dup derivation and its floor IS 100 by pigeonhole
     # (8 bands over a 64-bit hash at radius 7) — any banding/signature
     # regression drops below and hash-mismatches; the ANN floors restate
@@ -1847,6 +1891,10 @@ SELECT 'ann_ivf', CAST(count(*) AS BIGINT),
 FROM embeddings WHERE vec_id % {ANN_QUERY_MOD} = 0
 UNION ALL
 SELECT 'fuzzy_decontam', CAST(count(*) AS BIGINT), CAST(100 AS BIGINT)
+FROM documents WHERE doc_id % 41 = 0
+UNION ALL
+SELECT 'edited_fuzzy', CAST(count(*) AS BIGINT),
+       CAST({EDITED_FUZZY_FLOOR} AS BIGINT)
 FROM documents WHERE doc_id % 41 = 0
 """,
     # bigram table ∪ winnowing fingerprints in one slot (kind, key, n1,
@@ -2035,23 +2083,26 @@ FROM (SELECT event_type, CASE WHEN value >= 50 THEN 1 ELSE 0 END AS high_value
       FROM events)
 GROUP BY ROLLUP (event_type, high_value)
 """,
-    "lang_id": f"""
-WITH counts AS ({_LANG_COUNTS})
-SELECT doc_id,
-  CASE
-    WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
-    WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
-    WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
-    WHEN c_es > 0 THEN 'es'
-    ELSE 'und' END AS pred_lang
-FROM counts
-""",
-    "quality_score": f"""
-WITH feats AS ({_QUALITY_EXPR})
-SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio, punct_ratio,
+    # round 6: lang_id + quality_score folded into one slot (one scan on
+    # the Spark side; the SQL restates both and joins on doc_id)
+    "text_quality": f"""
+WITH counts AS ({_LANG_COUNTS}),
+langs AS (
+  SELECT doc_id,
+    CASE
+      WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+      WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+      WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+      WHEN c_es > 0 THEN 'es'
+      ELSE 'und' END AS pred_lang
+  FROM counts
+),
+feats AS ({_QUALITY_EXPR})
+SELECT doc_id, pred_lang, n_chars, n_words, mean_word_len, stopword_ratio,
+       punct_ratio,
        round(least(1.0, n_words / 100.0) * 0.4 + stopword_ratio * 0.4
              + (1.0 - punct_ratio) * 0.2, 6) AS quality
-FROM feats
+FROM langs JOIN feats USING (doc_id)
 """,
     "corpus_quantiles": """
 SELECT lang, count(*) AS n_docs,
@@ -2096,16 +2147,22 @@ SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_word_len,
              THEN 1 ELSE 0 END AS INTEGER) AS passes
 FROM feats
 """,
-    # token accounting + packing placement: the full concat-then-chunk
-    # layout restated with one window per shard (same shape as Spark's)
     "token_counts": r"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+    AS INTEGER) AS bpe_tokens
+FROM documents
+""",
+    # packing placement (its own slot since round 6): the concat-then-
+    # chunk layout restated with one window per shard — DuckDB runs the
+    # SINGLE-window formulation, so the hash match proves the two-level
+    # (block + carry) Spark plan computes the identical placement
+    "pack_placement": r"""
 WITH toks AS (
   SELECT doc_id,
     CAST(doc_id % 16 AS INTEGER) AS shard,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
-    CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
-    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-      AS INTEGER) AS bpe_tokens
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
   FROM documents
 ),
 placed AS (
@@ -2113,7 +2170,7 @@ placed AS (
             ROWS UNBOUNDED PRECEDING) - t AS BIGINT) AS pack_offset
   FROM toks
 )
-SELECT doc_id, ws_tokens, bpe_tokens, shard, pack_offset,
+SELECT doc_id, shard, CAST(t AS BIGINT) AS n_tokens, pack_offset,
   CAST(floor(pack_offset / 512) AS BIGINT) AS seq_first,
   CAST(floor((pack_offset + greatest(t - 1, 0)) / 512) AS BIGINT)
     AS seq_last
