@@ -504,3 +504,107 @@ class TestEncryptedLegacyOffice:
 
 
 _ = struct  # symmetry with the fuzz helpers above
+
+
+def test_xfa_entity_bomb_rejected():
+    # a billion-laughs datasets packet must be refused pre-parse (ET
+    # expands internal entities; the 4 MB cap checks pre-expansion bytes)
+    bomb = (
+        '<!DOCTYPE x [<!ENTITY a "aaaaaaaaaa">'
+        '<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">]>'
+        '<xfa:datasets xmlns:xfa="http://www.xfa.org/schema/xfa-data/1.0/">'
+        "<xfa:data><f><v>&b;</v></f></xfa:data></xfa:datasets>"
+    ).encode()
+    pdf = render_pdf_xfa(7)
+    from zerox_spark.synth import _XFA_DATASETS
+
+    ds = _XFA_DATASETS.format(d=7, a=49).encode()
+    assert ds in pdf
+    # splice the bomb in with a corrected /Length
+    broken = pdf.replace(
+        b"<< /Length %d >>\nstream\n" % len(ds) + ds,
+        b"<< /Length %d >>\nstream\n" % len(bomb) + bomb,
+    )
+    import time
+
+    t0 = time.time()
+    pages = extract_document(broken, None)
+    assert time.time() - t0 < 5
+    # page text survives, the poisoned packet contributes nothing
+    assert pages[0].status == "SUCCESS"
+    assert "applicant" not in pages[0].markdown
+
+
+def test_type3_fontmatrix_scales_widths():
+    # §9.6.5: Type 3 /Widths are glyph-space — a dvips-style
+    # FontMatrix [0.01 ...] means width 50 = 0.5 text units, which the
+    # /1000-convention store must hold as 500
+    from zerox_spark.extract.pdf import Font
+
+    def fdict(matrix):
+        return {
+            Name("Subtype"): Name("Type3"),
+            Name("FontMatrix"): matrix,
+            Name("FirstChar"): 65,
+            Name("Widths"): [50.0, 70.0],
+            Name("Encoding"): {Name("Differences"): [65, Name("A"), Name("B")]},
+        }
+
+    f = Font(_StubDoc(), fdict([0.01, 0, 0, 0.01, 0, 0]))
+    assert f.width(65) == 500.0 and f.width(66) == 700.0
+    # the standard matrix is a no-op
+    f = Font(_StubDoc(), fdict([0.001, 0, 0, 0.001, 0, 0]))
+    assert f.width(65) == 50.0
+    # decode still rides /Differences
+    assert f.decode(b"AB") == "AB"
+
+
+def test_type3_letter_spaced_tj_with_coarse_matrix():
+    # end-to-end: a Type 3 font with FontMatrix [0.01 ...] and
+    # glyph-space widths through the exact-advance TJ path — kern -60
+    # (0.06 em) must merge, word gaps must split, exactly like the
+    # standard-matrix fonts
+    import zlib as _z
+
+    text = "UNITED WORDS HERE"
+    chars = sorted(set(text) - {" "})
+    diffs = " ".join(f"{ord(c)} /{c}" for c in chars)
+    parts = []
+    for i, w in enumerate(text.split(" ")):
+        if i:
+            parts.append("-700")
+        for j, ch in enumerate(w):
+            if j:
+                parts.append("-60")
+            parts.append(f"({ch})")
+    content = f"BT /F1 12 Tf 72 700 Td [{' '.join(parts)}] TJ ET".encode()
+    comp = _z.compress(content)
+    widths = " ".join(["50"] * 224)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Font /Subtype /Type3"
+            b" /FontBBox [0 0 100 100] /FontMatrix [0.01 0 0 0.01 0 0]"
+            b" /CharProcs << "
+            + " ".join(f"/{c} 6 0 R" for c in chars).encode()
+            + b" >> /Encoding << /Differences ["
+            + diffs.encode()
+            + b"] >> /FirstChar 32 /LastChar 255 /Widths ["
+            + widths.encode()
+            + b"] >>"
+        ),
+        4: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F1 3 0 R >> >>"
+            b" /Contents 5 0 R >>"
+        ),
+        5: (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        ),
+        6: b"<< /Length 7 >>\nstream\n50 0 d0\nendstream",
+    }
+    pages = real_pdf_to_pages(_assemble_pdf(objs))
+    assert pages and pages[0][1] == "UNITED WORDS HERE"

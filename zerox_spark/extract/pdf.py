@@ -1506,6 +1506,24 @@ class Font:
                 float(mw) if isinstance(mw, (int, float)) else 500.0
             )
             self.has_widths = bool(self.widths)
+        if doc.resolve(fdict.get(Name("Subtype"))) == Name("Type3"):
+            # §9.6.5: Type 3 /Widths are in GLYPH space, scaled to text
+            # space by /FontMatrix — the usual [0.001 …] matrix matches
+            # the /1000 convention every other simple font uses, but a
+            # dvips-style bitmap font with [0.01 …] would mis-advance
+            # 10× through the exact-advance line assembler; normalize
+            # the stored widths back to the /1000 convention here
+            fm = _as_list(doc.resolve(fdict.get(Name("FontMatrix"))))
+            scale = 1.0
+            if fm:
+                v = doc.resolve(fm[0])
+                if isinstance(v, (int, float)) and float(v) > 0:
+                    scale = float(v) * 1000.0
+            if scale != 1.0:
+                self.widths = {
+                    c: w * scale for c, w in self.widths.items()
+                }
+                self.default_width *= scale
 
     def width(self, code: int) -> float:
         return self.widths.get(code, self.default_width)
@@ -2278,6 +2296,11 @@ def _xfa_dataset_values(doc: Document) -> list[tuple[str, str]]:
     try:
         data = doc.stream_bytes(packet)[:MAX_XFA_BYTES]
     except PdfError:
+        return []
+    # an XFA datasets packet never legitimately carries a DTD; an inline
+    # one enables entity-expansion bombs (the byte cap above checks
+    # PRE-expansion size only) — same guard as ooxml._read_xml
+    if b"<!DOCTYPE" in data or b"<!ENTITY" in data:
         return []
     import xml.etree.ElementTree as ET
 
