@@ -490,7 +490,7 @@ class TestReferenceCorpus:
         "0003.pdf": 0.95,
         "0004.pdf": 0.95,
         "0013.pdf": 0.55,
-        "0016.pdf": 0.70,
+        "0016.pdf": 0.85,  # raised r6: Type3 widths + prose-column cut
         "0017.pdf": 0.98,
         "0018.pdf": 0.90,
     }
@@ -512,7 +512,7 @@ class TestReferenceCorpus:
         "0003.pdf": 0.97,
         "0004.pdf": 0.88,
         "0013.pdf": 0.75,
-        "0016.pdf": 0.45,
+        "0016.pdf": 0.65,  # raised r6 (measured 0.716, was 0.544)
         "0017.pdf": 0.75,
         "0018.pdf": 0.85,
     }

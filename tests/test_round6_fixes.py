@@ -608,3 +608,95 @@ def test_type3_letter_spaced_tj_with_coarse_matrix():
     }
     pages = real_pdf_to_pages(_assemble_pdf(objs))
     assert pages and pages[0][1] == "UNITED WORDS HERE"
+
+
+# --------------------------------------------------------------------------
+# /ActualText marked-content spans (§14.9.4 — the replacement-text
+# semantics poppler honors: ligature fix-ups, dehyphenation, alt text)
+
+
+class TestActualText:
+    def _one_page(self, content: bytes, props: bytes | None = None) -> bytes:
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >>"
+                + (b" /Properties << /MC0 6 0 R >>" if props else b"")
+                + b" >> /Contents 5 0 R >>"
+            ),
+            5: (
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            ),
+        }
+        if props:
+            objs[6] = props
+        return _assemble_pdf(objs)
+
+    def test_inline_span_replaces_shown_text(self):
+        c = (
+            b"BT /F1 12 Tf 72 700 Td (The ) Tj"
+            b" /Span << /ActualText (effective) >> BDC (e@ective) Tj EMC"
+            b" ( rate) Tj ET"
+        )
+        assert real_pdf_to_pages(self._one_page(c))[0][1] == (
+            "The effective rate"
+        )
+
+    def test_empty_actualtext_removes_content(self):
+        c = (
+            b"BT /F1 12 Tf 72 700 Td (estab) Tj"
+            b" /Span << /ActualText () >> BDC (-HYPHEN-) Tj EMC ET"
+        )
+        assert real_pdf_to_pages(self._one_page(c))[0][1] == "estab"
+
+    def test_indirect_properties_and_utf16(self):
+        at = b"\xfe\xff" + "naïve".encode("utf-16-be")
+        props = b"<< /ActualText <" + at.hex().encode() + b"> >>"
+        c = (
+            b"BT /F1 12 Tf 72 700 Td /Span /MC0 BDC (na@ve) Tj EMC"
+            b" ( idea) Tj ET"
+        )
+        assert real_pdf_to_pages(self._one_page(c, props))[0][1] == (
+            "naïve idea"
+        )
+
+    def test_plain_bmc_emc_transparent_and_unbalanced_tolerated(self):
+        c = b"BT /F1 12 Tf 72 700 Td /P BMC (kept) Tj EMC ET"
+        assert real_pdf_to_pages(self._one_page(c))[0][1] == "kept"
+        c = b"BT /F1 12 Tf 72 700 Td EMC (survives) Tj EMC EMC ET"
+        assert real_pdf_to_pages(self._one_page(c))[0][1] == "survives"
+
+    def test_nested_spans_outer_wins(self):
+        c = (
+            b"BT /F1 12 Tf 72 700 Td"
+            b" /Span << /ActualText (OUTER) >> BDC (a) Tj"
+            b" /Span << /ActualText (inner) >> BDC (b) Tj EMC"
+            b" (c) Tj EMC ET"
+        )
+        assert real_pdf_to_pages(self._one_page(c))[0][1] == "OUTER"
+
+    def test_variant5_heading_is_actualtext_borne(self):
+        # the synth Type 3 variant paints a scrambled heading whose true
+        # text exists ONLY in /ActualText — the family oracle therefore
+        # locks the feature
+        import re
+
+        from zerox_spark.synth import render_pdf_real
+
+        pdf = render_pdf_real(5, TEXT)
+        streams = [
+            zlib.decompress(m.group(1))
+            for m in re.finditer(rb"stream\n(.*?)\nendstream", pdf, re.S)
+            if m.group(1).startswith(b"\x78")
+        ]
+        assert any(b"ActualText" in s for s in streams)
+        pages = real_pdf_to_pages(pdf)
+        assert pages[0][1].startswith("# Document 5")

@@ -1712,6 +1712,11 @@ def _interpret(
     word_spacing = 0.0
     hscale = 1.0
     stack: list = []
+    # marked-content nesting: one entry per open BDC/BMC — a dict for
+    # /ActualText spans (§14.9.4: the enclosed content's REPLACEMENT
+    # text — ligature/hyphenation fix-ups, dropcaps, logo alt text; the
+    # semantics poppler honors), None for every other tag
+    mc_stack: list[dict | None] = []
 
     def advance_of(raw: bytes) -> float:
         """Text-space advance of a shown string (§9.4.4) — accurate only
@@ -1946,6 +1951,64 @@ def _interpret(
                     # image XObject: emit the dialect's figure placeholder
                     # at the painted position (never decode pixels)
                     _emit_figure(runs, ctm)
+            elif op == b"BDC" and len(stack) >= 2:
+                props = stack[-1]
+                if isinstance(props, Name) and resources:
+                    # indirect form: /Span /MC0 BDC → /Properties lookup
+                    pdict = doc.resolve(resources.get(Name("Properties")))
+                    props = (
+                        doc.resolve(pdict.get(props))
+                        if isinstance(pdict, dict)
+                        else None
+                    )
+                actual = None
+                if isinstance(props, dict):
+                    v = doc.resolve(props.get(Name("ActualText")))
+                    if isinstance(v, bytes):
+                        actual = _pdf_text_string(v)
+                mc_stack.append(
+                    {"text": actual, "start": len(runs)}
+                    if actual is not None
+                    else None
+                )
+            elif op == b"BMC":
+                mc_stack.append(None)
+            elif op == b"EMC":
+                frame = mc_stack.pop() if mc_stack else None
+                if frame is not None:
+                    # replace everything shown inside the span with the
+                    # declared text, anchored where the span started
+                    # painting (empty ActualText = deliberate removal)
+                    inner = runs[frame["start"] :]
+                    del runs[frame["start"] :]
+                    if frame["text"]:
+                        if inner:
+                            # keep the span's PAINTED extent (start of
+                            # first inner run → end of last) so line
+                            # assembly and column cuts see the same
+                            # geometry the page shows
+                            r0, rl = inner[0], inner[-1]
+                            runs.append(
+                                Run(
+                                    r0.x,
+                                    r0.y,
+                                    r0.size,
+                                    frame["text"],
+                                    rl.x_end,
+                                    rl.y_end,
+                                )
+                            )
+                        else:
+                            m = _mat_mul(tm, ctm)
+                            eff = (
+                                abs(size)
+                                * (m[2] * m[2] + m[3] * m[3]) ** 0.5
+                                or abs(size)
+                                or 11.0
+                            )
+                            runs.append(
+                                Run(m[4], m[5], eff, frame["text"])
+                            )
             elif op == b"BI":
                 # inline image: binary payload would derail the scanner —
                 # skip to the EI delimiter (whitespace-bounded, spec §8.9.7);
@@ -2041,6 +2104,9 @@ _XY_MAX_BANDS = 8
 # each side's baselines has a partner baseline on the other side (±2 pt),
 # the two "columns" are really table columns sharing rows
 _XY_PAIRED_FRAC = 0.7
+# a paired side whose median per-baseline text is this short reads as a
+# value column (label/value table); longer on BOTH sides = prose columns
+_XY_VALUE_MAX_CHARS = 14
 
 
 def _baseline_paired(left: list["Run"], right: list["Run"]) -> bool:
@@ -2055,7 +2121,28 @@ def _baseline_paired(left: list["Run"], right: list["Run"]) -> bool:
         )
         return hit / len(a)
 
-    return frac(lys, rys) >= _XY_PAIRED_FRAC and frac(rys, lys) >= _XY_PAIRED_FRAC
+    if not (
+        frac(lys, rys) >= _XY_PAIRED_FRAC
+        and frac(rys, lys) >= _XY_PAIRED_FRAC
+    ):
+        return False
+    # shared baselines are only a TABLE signal when at least one side
+    # reads as VALUES (short cells — "49.9 g"). Two independent prose
+    # columns set in the same leading share a line grid too, and
+    # row-major order would WEAVE their sentences together; both sides
+    # carrying long lines means flowing text, so let the column cut win.
+    def median_line_len(rs: list["Run"]) -> int:
+        by: dict[int, int] = {}
+        for r in rs:
+            key = round(r.y)
+            by[key] = by.get(key, 0) + len(r.text.strip())
+        lens = sorted(by.values())
+        return lens[len(lens) // 2] if lens else 0
+
+    return (
+        min(median_line_len(left), median_line_len(right))
+        <= _XY_VALUE_MAX_CHARS
+    )
 
 
 def _xycut(runs: list[Run], depth: int = 0) -> list[list[Run]]:
@@ -2098,13 +2185,19 @@ def _xycut(runs: list[Run], depth: int = 0) -> list[list[Run]]:
                 return None
             if narrow:
                 # narrow-gutter mode (justified two-column bodies leave
-                # only ~10 pt): additionally demand many runs per side,
-                # each side running most of the region's height, cut near
-                # the middle
-                if len(c) < max(10, len(runs) // 4):
+                # only ~10 pt): additionally demand several runs per
+                # side, each side covering a real slice of the region's
+                # height, cut near the middle. The thresholds are
+                # deliberately permissive for L-shaped layouts (a short
+                # side column over a tall main column): cutting reads
+                # each column contiguously, while refusing WEAVES both
+                # columns' sentences together — strictly worse. The
+                # paired-baseline check below still keeps genuine
+                # label/value tables row-major.
+                if len(c) < max(4, len(runs) // 10):
                     return None
                 cys = [r.y for r in c]
-                if y_span > 0 and (max(cys) - min(cys)) < 0.5 * y_span:
+                if y_span > 0 and (max(cys) - min(cys)) < 0.2 * y_span:
                     return None
         if narrow:
             rel = (cut - x_lo) / max(x_hi - x_lo, 1.0)

@@ -1022,6 +1022,33 @@ def _pdf_content_v3(lines) -> bytes:
     return "\n".join(ops).encode("cp1252", errors="replace")
 
 
+def _pdf_content_v5(lines) -> bytes:
+    """Type 3 variant content: v0 line ops, except the FIRST line (the
+    heading) paints SCRAMBLED bytes inside a /Span whose /ActualText
+    declares the true text (§14.9.4 — the ligature/fix-up pattern).
+    Only an interpreter that honors ActualText recovers the heading, so
+    the hashed oracle locks the feature."""
+    ops = []
+    for idx, (x, y, size, txt) in enumerate(lines):
+        if idx == 0 and len(txt) >= 4:
+            # swap two middle characters: stays within the font's
+            # Differences map, differs from the true text
+            mid = len(txt) // 2
+            shown = (
+                txt[: mid - 1] + txt[mid] + txt[mid - 1] + txt[mid + 1 :]
+            )
+            ops.append(
+                f"BT /F1 {size:g} Tf {x:g} {y:g} Td"
+                f" /Span << /ActualText ({_pdf_esc(txt)}) >> BDC"
+                f" ({_pdf_esc(shown)}) Tj EMC ET"
+            )
+        else:
+            ops.append(
+                f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_esc(txt)}) Tj ET"
+            )
+    return "\n".join(ops).encode("cp1252", errors="replace")
+
+
 def _tounicode_cmap(chars: set[str]) -> bytes:
     """Identity ToUnicode CMap (code == codepoint) over the chars used:
     the printable-ASCII bfrange plus one bfchar per non-ASCII char."""
@@ -1171,7 +1198,7 @@ def render_pdf_real(doc_id: int, text: str) -> bytes:
         )
     content_fn = (
         _pdf_content_v0, _pdf_content_v1, _pdf_content_v2, _pdf_content_v3,
-        _pdf_content_v0, _pdf_content_v0,
+        _pdf_content_v0, _pdf_content_v5,
     )[variant]
     for i, (height, lines) in enumerate(layout):
         pnum, cnum = page_nums[i], page_nums[i] + 1
