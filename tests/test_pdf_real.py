@@ -492,7 +492,7 @@ class TestReferenceCorpus:
         "0013.pdf": 0.55,
         "0016.pdf": 0.85,  # raised r6: Type3 widths + prose-column cut
         "0017.pdf": 0.98,
-        "0018.pdf": 0.90,
+        "0018.pdf": 0.95,  # raised r6: wrapped-cell merge + comma fold -> 100%
     }
 
     @pytest.fixture(scope="class")

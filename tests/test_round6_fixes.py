@@ -700,3 +700,74 @@ class TestActualText:
         assert any(b"ActualText" in s for s in streams)
         pages = real_pdf_to_pages(pdf)
         assert pages[0][1].startswith("# Document 5")
+
+
+# --------------------------------------------------------------------------
+# wrapped-cell column merge (round 6): 2-3 consecutive lines whose wide
+# aligned gaps form 2-3 columns of PROSE cells read column-major — the
+# "(State or other jurisdiction of | (I.R.S. Employer" 10-Q shape
+
+
+class TestWrappedCellMerge:
+    def _pdf(self, ops: str) -> bytes:
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                b"<< /Length %d >>\nstream\n" % len(ops.encode())
+                + ops.encode()
+                + b"\nendstream"
+            ),
+        }
+        return _assemble_pdf(objs)
+
+    def test_parenthetical_pair_reads_column_major(self):
+        ops = "\n".join(
+            [
+                "BT /F1 10 Tf 72 700 Td (heading words here) Tj ET",
+                "BT /F1 10 Tf 90 650 Td (State or other jurisdiction of) Tj ET",
+                "BT /F1 10 Tf 330 650 Td (I.R.S. Employer words) Tj ET",
+                "BT /F1 10 Tf 92 636 Td (incorporation or organization) Tj ET",
+                "BT /F1 10 Tf 332 636 Td (Identification No. here) Tj ET",
+            ]
+        )
+        md = real_pdf_to_pages(self._pdf(ops))[0][1]
+        flat = md.replace("\n", " ")
+        assert "State or other jurisdiction of incorporation or organization" in flat
+        assert "I.R.S. Employer words Identification No. here" in flat
+
+    def test_value_table_stays_row_major(self):
+        # numeric value cells must keep row association
+        ops = "\n".join(
+            [
+                "BT /F1 10 Tf 72 650 Td (Total revenue for year) Tj ET",
+                "BT /F1 10 Tf 330 650 Td (100) Tj ET",
+                "BT /F1 10 Tf 72 636 Td (Net operating income) Tj ET",
+                "BT /F1 10 Tf 330 636 Td (50) Tj ET",
+            ]
+        )
+        md = real_pdf_to_pages(self._pdf(ops))[0][1].replace("\n", " ")
+        assert md.index("Total revenue for year") < md.index("100")
+        assert md.index("100") < md.index("Net operating income")
+
+    def test_long_prose_columns_read_column_major(self):
+        # a 6-row aligned window of LONG cells on both sides is
+        # indistinguishable from two prose columns sharing a line grid —
+        # the XY-cut prose gate reads it column-major (each column
+        # contiguous); only short value cells force row-major
+        ops = "\n".join(
+            f"BT /F1 10 Tf {x} {700 - 14 * i} Td ({side}cell{i} extra words) Tj ET"
+            for i in range(6)
+            for x, side in ((72, "left"), (330, "right"))
+        )
+        md = real_pdf_to_pages(self._pdf(ops))[0][1].replace("\n", " ")
+        assert md.index("leftcell5") < md.index("rightcell0")

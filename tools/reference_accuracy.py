@@ -76,13 +76,29 @@ def token_f1(ours: str, reference: str) -> dict:
     }
 
 
+def _decomma(s: str) -> str:
+    # comma-insensitive variant: the text layer says "16,398" /
+    # "Tesla, Inc." where the LLM-OCR-derived keyword says "16398" /
+    # "Tesla Inc." — the same class of dialect gap the squash variant
+    # covers for letter-spaced layers. Commas are deleted outright on
+    # BOTH sides (digit grouping "16,398" → "16398"; "tesla, inc." →
+    # "tesla inc."), so this can't match across a real content
+    # difference, only across punctuation style.
+    return _WS.sub(" ", _fold(s).replace(",", "")).strip()
+
+
 def keyword_hits(full_text: str, keywords: list[str]) -> tuple[int, list[str]]:
     norm = _norm(full_text)
     squash = _squash(full_text)
+    decomma = _decomma(full_text)
     found = 0
     missing: list[str] = []
     for kw in keywords:
-        if _norm(kw) in norm or _squash(kw) in squash:
+        if (
+            _norm(kw) in norm
+            or _squash(kw) in squash
+            or _decomma(kw) in decomma
+        ):
             found += 1
         else:
             missing.append(kw)

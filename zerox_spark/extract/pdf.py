@@ -2235,14 +2235,32 @@ _EXACT_GAP_FACTOR = 0.15
 _EST_GLYPH_WIDTH = 0.5
 
 
+# wrapped-cell detection (round 6): a gap this wide inside one baseline
+# reads as a COLUMN boundary, not a word space
+_CELL_GAP_MIN_PTS = 12.0
+_CELL_GAP_SIZE_FACTOR = 2.5
+_CELL_ALIGN_TOL = 16.0  # column x-starts may drift this much across lines
+_CELL_MIN_CHARS = 9  # every cell longer than this → prose cells, not values
+
+
 def runs_to_lines(runs: list[Run]):
     """Positioned runs → LayoutLine list: cluster by baseline y, order by x,
     join with a space when the x-gap implies one (exact gap when the font
     declared widths, estimated otherwise). Deterministic: stable sorts,
-    fixed tolerances."""
+    fixed tolerances.
+
+    A post-pass re-reads 2-3 consecutive lines whose wide internal gaps
+    align into 2-3 columns of PROSE-length cells as WRAPPED TABLE CELLS
+    and emits them column-major — the '(State or other jurisdiction of |
+    (I.R.S. Employer' → 'incorporation or organization) | Identification
+    No.)' 10-Q shape, which read row-major weaves both phrases (the
+    reference's golden renders it as a two-column table with wrapped
+    cells). Genuine value tables (short cells) and long aligned windows
+    (financial statements) stay row-major."""
     from zerox_spark.extract.layout import LayoutLine
 
     lines: list[LayoutLine] = []
+    cells_per_line: list[list[tuple[float, str]]] = []
     runs = sorted(runs, key=lambda r: (-r.y, r.x))
     i, n = 0, len(runs)
     while i < n:
@@ -2251,12 +2269,19 @@ def runs_to_lines(runs: list[Run]):
             j += 1
         cluster = sorted(runs[i:j], key=lambda r: r.x)
         text = cluster[0].text
+        cells: list[tuple[float, str]] = [(cluster[0].x, cluster[0].text)]
         for prev, cur in zip(cluster, cluster[1:]):
             gap = cur.x - _est_x1(prev)
             factor = (
                 _EXACT_GAP_FACTOR if prev.x_end is not None else _RUN_GAP_FACTOR
             )
             need_space = gap > factor * max(prev.size, 1.0)
+            if gap > max(
+                _CELL_GAP_MIN_PTS, _CELL_GAP_SIZE_FACTOR * max(prev.size, 1.0)
+            ):
+                cells.append((cur.x, cur.text))
+            else:
+                cells[-1] = (cells[-1][0], cells[-1][1] + (" " if need_space and not cells[-1][1].endswith(" ") and not cur.text.startswith(" ") else "") + cur.text)
             if (
                 need_space
                 and not text.endswith(" ")
@@ -2278,8 +2303,69 @@ def runs_to_lines(runs: list[Run]):
                     text=text,
                 )
             )
+            cells_per_line.append(
+                [
+                    (x, re.sub(r"\s+", " ", t).strip())
+                    for x, t in cells
+                    if t.strip()
+                ]
+            )
         i = j
-    return lines
+    return _merge_wrapped_cells(lines, cells_per_line)
+
+
+def _merge_wrapped_cells(lines, cells_per_line):
+    """Column-major re-read of short aligned wrapped-cell windows (see
+    runs_to_lines). Everything else passes through untouched."""
+    from zerox_spark.extract.layout import LayoutLine
+
+    out = []
+    i, n = 0, len(lines)
+    while i < n:
+        k = len(cells_per_line[i])
+        j = i + 1
+        if 2 <= k <= 3:
+            while (
+                j < n
+                and len(cells_per_line[j]) == k
+                and all(
+                    abs(cells_per_line[j][c][0] - cells_per_line[i][c][0])
+                    <= _CELL_ALIGN_TOL
+                    for c in range(k)
+                )
+                and 0
+                < (lines[j - 1].y - lines[j].y)
+                <= 1.8 * max(lines[j].size, 1.0)
+            ):
+                j += 1
+        w = j - i
+        if (
+            2 <= k <= 3
+            and 2 <= w <= 3
+            and all(
+                len(cells_per_line[r][c][1]) > _CELL_MIN_CHARS
+                for r in range(i, j)
+                for c in range(k)
+            )
+        ):
+            for c in range(k):
+                src = lines[i + min(c, w - 1)]
+                out.append(
+                    LayoutLine(
+                        y=src.y,
+                        x=cells_per_line[i][c][0],
+                        size=lines[i].size,
+                        kind="",
+                        text=" ".join(
+                            cells_per_line[r][c][1] for r in range(i, j)
+                        ),
+                    )
+                )
+            i = j
+        else:
+            out.extend(lines[i:j])
+            i = j
+    return out
 
 
 # --------------------------------------------------------------------------
