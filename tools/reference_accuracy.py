@@ -35,13 +35,22 @@ from zerox_spark.extract.core import extract_document  # noqa: E402
 _WS = re.compile(r"\s+")
 
 
+# real markup only — must open with a letter or a closing slash, so the
+# datasheet prose "< 100KΩ ... > 1 MΩ" is never eaten as a tag
+_TAG = re.compile(r"</?[A-Za-z][^<>]{0,78}>")
+
+
 def _fold(s: str) -> str:
     # NFKC folds compatibility forms both sides may disagree on: Kangxi
     # radicals vs unified ideographs (a real ToUnicode in the corpus maps
-    # glyphs to U+2Fxx radicals), fullwidth forms, ligatures (ﬁ → fi)
+    # glyphs to U+2Fxx radicals), fullwidth forms, ligatures (ﬁ → fi).
+    # Markup tags (our dialect's HTML tables, <page_number>) are
+    # STRUCTURE, not content — they fold to a space so cell texts stay
+    # adjacent the way the reference's pipe-table markdown reads, and so
+    # <td>/<tr> never count as tokens in the F1
     import unicodedata
 
-    return unicodedata.normalize("NFKC", s).lower()
+    return unicodedata.normalize("NFKC", _TAG.sub(" ", s)).lower()
 
 
 def _norm(s: str) -> str:

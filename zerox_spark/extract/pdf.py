@@ -2221,6 +2221,13 @@ def _xycut(runs: list[Run], depth: int = 0) -> list[list[Run]]:
         res = try_cut(lo, hi, narrow=True)
         if res is not None:
             return res
+    # NOTE (round 6): an experiment re-reading pairing-refused regions
+    # as reconstructed HTML table rows (column clustering + anchor-row
+    # assignment) REGRESSED the reference corpus — real paired regions
+    # are often IMPURE (table columns sharing a region with caption or
+    # footer prose whose spans hide the gutters), and anchor-row
+    # assignment then shuffles that prose. Until segmentation can carve
+    # pure table regions, paired regions stay row-ordered plain lines.
     return [runs]
 
 
