@@ -146,7 +146,7 @@ class TestEncryptedPdfRoundtrip:
     @pytest.mark.parametrize("mode", ["rc4", "aesv2", "aesv3"])
     def test_empty_password_roundtrip(self, mode):
         pdf = render_pdf_encrypted(7, TEXT, mode)
-        assert _success_pages(pdf) == expected_pdf_real_pages(7, TEXT)
+        assert _success_pages(pdf) == expected_pdf_real_pages(7, TEXT, figure=False)
 
     def test_aesv2_stream_decrypts_byte_exactly(self):
         # the decrypted+inflated first content stream must equal the
@@ -202,7 +202,7 @@ class TestEncryptedPdfRoundtrip:
             pdf = render_pdf_encrypted(12, TEXT, "aesv3")
         finally:
             synth._V5_CACHE = saved
-        assert _success_pages(pdf) == expected_pdf_real_pages(12, TEXT)
+        assert _success_pages(pdf) == expected_pdf_real_pages(12, TEXT, figure=False)
 
     def test_v5_perms_tamper_contained(self):
         pdf = render_pdf_encrypted(2, TEXT, "aesv3")
@@ -225,7 +225,7 @@ class TestEncryptedPdfRoundtrip:
             got = _success_pages(render_pdf_crypt(doc_id, TEXT))
             v = doc_id % 8
             if v in (0, 1, 2):
-                assert got == expected_pdf_real_pages(doc_id, TEXT)
+                assert got == expected_pdf_real_pages(doc_id, TEXT, figure=False)
             elif v == 3:
                 assert got == [(1, expected_pdf_form_page(doc_id))]
             elif v == 4:
@@ -603,7 +603,7 @@ class TestSecurityHandlerEdges:
             )
         finally:
             synth._V5_CACHE = saved
-        assert _success_pages(pdf) == expected_pdf_real_pages(17, TEXT)
+        assert _success_pages(pdf) == expected_pdf_real_pages(17, TEXT, figure=False)
 
     def test_v4_encrypt_metadata_false_key_derivation(self):
         # /EncryptMetadata false appends ffffffff to the MD5 key input
@@ -994,7 +994,7 @@ class TestReviewFindings:
         pdf = synth._assemble_pdf(
             objs, b"/Encrypt 99 0 R /ID [<%s> <%s>] " % (idhex, idhex)
         )
-        assert _success_pages(pdf) == expected_pdf_real_pages(doc_id, TEXT)
+        assert _success_pages(pdf) == expected_pdf_real_pages(doc_id, TEXT, figure=False)
 
     def test_ucs2_halfwidth_cmap_decodes(self):
         txt = "日本語 ﾃｷｽﾄ test"

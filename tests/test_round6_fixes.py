@@ -771,3 +771,151 @@ class TestWrappedCellMerge:
         )
         md = real_pdf_to_pages(self._pdf(ops))[0][1].replace("\n", " ")
         assert md.index("leftcell5") < md.index("rightcell0")
+
+
+# --------------------------------------------------------------------------
+# round-6 self-review regressions
+
+
+class TestReviewRound6:
+    def test_vh_size_bomb_contained_fast(self):
+        # a crafted verifierHashSize must be rejected at parse, never
+        # drive gigabytes of RC4 keystream per password attempt
+        import time
+
+        from zerox_spark.extract.cfb import CfbReader, write_cfb
+
+        base = render_doc_encrypted(9, TEXT, capi=True)
+        cfb = CfbReader(base)
+        table = bytearray(cfb.read_stream("1Table"))
+        csp = "Microsoft Enhanced Cryptographic Provider v1.0\x00".encode(
+            "utf-16-le"
+        )
+        at = bytes(table).find(csp) + len(csp) + 4 + 16 + 16
+        struct.pack_into("<I", table, at, 0xFFFFFFF0)
+        bomb = write_cfb(
+            [
+                ("WordDocument", cfb.read_stream("WordDocument")),
+                ("1Table", bytes(table)),
+            ]
+        )
+        t0 = time.time()
+        p = extract_document(bomb, None)[0]
+        assert time.time() - t0 < 5
+        assert p.status == "ERROR"
+        assert "out of range" in (p.error or "")
+
+    def test_image_only_appearance_falls_back_to_value(self):
+        # a widget whose /AP paints ONLY an image (signature stamp) must
+        # still emit the typed /V
+        img = (
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length 4 >>\n"
+            b"stream\n\x00\x01\x02\x03\nendstream"
+        )
+        ap = b"q 180 0 0 40 10 5 cm /Im0 Do Q"
+        objs = {
+            1: (
+                b"<< /Type /Catalog /Pages 2 0 R"
+                b" /AcroForm << /Fields [6 0 R] >> >>"
+            ),
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R /Annots [6 0 R] >>"
+            ),
+            5: (
+                b"<< /Length 44 >>\nstream\n"
+                b"BT /F1 20 Tf 72 720 Td (Form head) Tj ET\nendstream"
+            ),
+            6: (
+                b"<< /Type /Annot /Subtype /Widget /FT /Tx"
+                b" /T (applicant) /V (John Q Applicant)"
+                b" /Rect [72 600 372 650] /AP << /N 7 0 R >> >>"
+            ),
+            7: (
+                b"<< /Type /XObject /Subtype /Form /BBox [0 0 300 50]"
+                b" /Resources << /XObject << /Im0 8 0 R >> >>"
+                b" /Length %d >>\nstream\n" % len(ap)
+                + ap
+                + b"\nendstream"
+            ),
+            8: img,
+        }
+        md = real_pdf_to_pages(_assemble_pdf(objs))[0][1]
+        assert "John Q Applicant" in md
+
+    def test_hairline_rule_image_is_not_a_figure(self):
+        content = (
+            b"BT /F1 20 Tf 72 720 Td (Head line) Tj ET\n"
+            b"q 468 0 0 1 72 700 cm /Im0 Do Q\n"
+            b"BT /F1 11 Tf 72 600 Td (Body line) Tj ET"
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >>"
+                b" /XObject << /Im0 6 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            ),
+            6: (
+                b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+                b" /Length 4 >>\nstream\n\x00\x01\x02\x03\nendstream"
+            ),
+        }
+        md = real_pdf_to_pages(_assemble_pdf(objs))[0][1]
+        assert "![figure](#)" not in md
+
+    def test_header_row_does_not_swallow_wrapped_pair(self):
+        # a short header row above a wrapped prose pair: the pair's own
+        # window must still merge column-major
+        ops = "\n".join(
+            [
+                "BT /F1 10 Tf 90 664 Td (Name) Tj ET",
+                "BT /F1 10 Tf 330 664 Td (Date) Tj ET",
+                "BT /F1 10 Tf 90 650 Td (State or other jurisdiction of) Tj ET",
+                "BT /F1 10 Tf 330 650 Td (I.R.S. Employer words) Tj ET",
+                "BT /F1 10 Tf 92 636 Td (incorporation or organization) Tj ET",
+                "BT /F1 10 Tf 332 636 Td (Identification No. here) Tj ET",
+            ]
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                b"<< /Length %d >>\nstream\n" % len(ops.encode())
+                + ops.encode()
+                + b"\nendstream"
+            ),
+        }
+        flat = real_pdf_to_pages(_assemble_pdf(objs))[0][1].replace("\n", " ")
+        assert (
+            "State or other jurisdiction of incorporation or organization"
+            in flat
+        )

@@ -444,6 +444,15 @@ def _parse_encryption_header(body: bytes):
         salt = body[at : at + salt_size]
         enc_verifier = body[at + salt_size : at + salt_size + 16]
         (vh_size,) = struct.unpack_from("<I", body, at + salt_size + 16)
+        # §2.3.5.1: verifierHashSize is the DIGEST length — 20 for the
+        # only hash this header family uses (SHA-1). An attacker-chosen
+        # huge value would drive 16+vh_size bytes of RC4 keystream PER
+        # PASSWORD ATTEMPT in the verifiers below (u32 max ≈ 8 GB) —
+        # clamp hard; no legitimate digest exceeds 64 bytes
+        if not 0 < vh_size <= 64:
+            raise ValueError(
+                f"encryption verifier hash size {vh_size} out of range"
+            )
         enc_vhash = body[
             at + salt_size + 20 : at + salt_size + 20 + max(vh_size, 20)
         ]

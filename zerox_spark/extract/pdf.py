@@ -972,16 +972,21 @@ class Document:
             raise PdfError("page-count budget exceeded")
         return out
 
-    def _catalog_pages(self):
-        # last catalog wins (incremental updates append)
+    def _last_catalog(self, having: Name):
+        """The LAST /Type/Catalog carrying ``having`` — incremental
+        updates append, so the final one is current. One helper so the
+        page-tree and AcroForm/XFA paths share the convention."""
         best = None
         for num in sorted(self.objects):
             obj = self.resolve(self.objects[num])
             if isinstance(obj, dict) and obj.get(Name("Type")) == Name("Catalog"):
-                pages = self.resolve(obj.get(Name("Pages")))
-                if isinstance(pages, dict):
-                    best = pages
+                val = self.resolve(obj.get(having))
+                if isinstance(val, dict):
+                    best = val
         return best
+
+    def _catalog_pages(self):
+        return self._last_catalog(Name("Pages"))
 
     _INHERIT = ("Resources", "MediaBox", "Rotate")
 
@@ -1635,6 +1640,8 @@ from zerox_spark.extract.layout import FIGURE_PLACEHOLDER  # noqa: E402
 # images smaller than this on both axes (device points) are decorations —
 # list bullets, rules, border art — not figures
 _FIGURE_MIN_PTS = 24.0
+# ... and anything thinner than this on its SHORT axis is a rule/border
+_FIGURE_MIN_SHORT_PTS = 6.0
 
 
 def _emit_figure(runs: list[Run], ctm: Matrix) -> None:
@@ -1645,9 +1652,13 @@ def _emit_figure(runs: list[Run], ctm: Matrix) -> None:
     pts = [_mat_apply(ctm, ux, uy) for ux in (0.0, 1.0) for uy in (0.0, 1.0)]
     xs = [p[0] for p in pts]
     ys = [p[1] for p in pts]
-    if max(xs) - min(xs) < _FIGURE_MIN_PTS and (
-        max(ys) - min(ys) < _FIGURE_MIN_PTS
+    w = max(xs) - min(xs)
+    h = max(ys) - min(ys)
+    if (w < _FIGURE_MIN_PTS and h < _FIGURE_MIN_PTS) or (
+        min(w, h) < _FIGURE_MIN_SHORT_PTS
     ):
+        # small icons/bullets AND stretched hairlines (a 468×1 separator
+        # rule is decoration, not a figure — review r6 finding #3)
         return
     runs.append(Run(min(xs), max(ys), 11.0, FIGURE_PLACEHOLDER))
 
@@ -2370,8 +2381,11 @@ def _merge_wrapped_cells(lines, cells_per_line):
                 )
             i = j
         else:
-            out.extend(lines[i:j])
-            i = j
+            # pass ONE line through and retry from i+1: a short header
+            # row ('Name | Date') above a wrapped prose pair must not
+            # swallow the pair's own window (review r6 finding #4)
+            out.append(lines[i])
+            i += 1
     return out
 
 
@@ -2417,7 +2431,11 @@ def parse_real_pdf(payload: bytes):
             _interpret(doc, content, resources, runs, _IDENTITY, 0)
         before = len(runs)
         _harvest_annots(doc, page, resources, runs)
-        annot_runs += len(runs) - before
+        # only TEXT-bearing widget output counts: a decorative image-only
+        # appearance must not disable the XFA datasets fold below
+        annot_runs += sum(
+            1 for r in runs[before:] if r.text != FIGURE_PLACEHOLDER
+        )
         rotate = doc.resolve(page.get(Name("Rotate")))
         rotate = int(rotate) % 360 if isinstance(rotate, (int, float)) else 0
         if rotate in (90, 180, 270) and runs:
@@ -2458,13 +2476,7 @@ def _xfa_dataset_values(doc: Document) -> list[tuple[str, str]]:
     ``xfa:datasets``/``xfa:data`` envelope); leaf elements with text are
     the filled field values. Empty on anything malformed — a broken form
     never kills the document."""
-    acro = None
-    for num in sorted(doc.objects):
-        obj = doc.resolve(doc.objects[num])
-        if isinstance(obj, dict) and obj.get(Name("Type")) == Name("Catalog"):
-            af = doc.resolve(obj.get(Name("AcroForm")))
-            if isinstance(af, dict):
-                acro = af  # last catalog wins (incremental updates)
+    acro = doc._last_catalog(Name("AcroForm"))
     if acro is None:
         return []
     xfa = doc.resolve(acro.get(Name("XFA")))
@@ -2601,8 +2613,13 @@ def _harvest_annots(
                 )
             except PdfError:
                 pass  # a broken appearance stream drops, page survives
-        if len(runs) > before:
-            continue  # the appearance stream supplied the rendered text
+        if any(
+            r.text != FIGURE_PLACEHOLDER for r in runs[before:]
+        ):
+            continue  # the appearance stream supplied the rendered TEXT
+        # an appearance that painted only images (signature stamps,
+        # decorated widgets) did NOT render the value — fall through so
+        # the typed /V still reaches the output (review r6 finding #2)
         # no (usable) appearance stream → the value itself, at /Rect
         if subtype == Name("FreeText"):
             raw_c = a.get(Name("Contents"))

@@ -1261,14 +1261,21 @@ def _assemble_pdf(objs: dict[int, bytes], trailer_extra: bytes = b"") -> bytes:
     return bytes(out)
 
 
-def expected_pdf_real_pages(doc_id: int, text: str) -> list[tuple[int, str]]:
+def expected_pdf_real_pages(
+    doc_id: int, text: str, figure: bool | None = None
+) -> list[tuple[int, str]]:
     """Closed-form expected markdown for render_pdf_real — the Python
     statement of the extract_pdf_real oracle contract. The figure variant
     (doc_id % 6 == 4) carries the image placeholder between the heading
     and the body; every other variant changes only the font/content
-    machinery, never the markdown."""
+    machinery, never the markdown. Callers comparing against
+    render_pdf_encrypted (which ALWAYS renders the figure-less variant-0
+    layout) must pass figure=False — the doc_id default only matches
+    render_pdf_real itself."""
     sect = " ".join(text.split(" ")[:SECTION_WORDS])
-    fig = "![figure](#)\n\n" if doc_id % 6 == 4 else ""
+    if figure is None:
+        figure = doc_id % 6 == 4
+    fig = "![figure](#)\n\n" if figure else ""
     return [
         (
             1,
