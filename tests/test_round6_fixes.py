@@ -919,3 +919,78 @@ class TestReviewRound6:
             "State or other jurisdiction of incorporation or organization"
             in flat
         )
+
+
+class TestReviewRound6Pass2:
+    def test_four_row_aligned_table_stays_whole_row_major(self):
+        # a 4+-row aligned window of long cells is a real table: it must
+        # pass through WHOLE — never shed rows until a trailing pair or
+        # triple merges column-major
+        ops = "\n".join(
+            f"BT /F1 10 Tf {x} {700 - 14 * i} Td ({side}term{i} definition words) Tj ET"
+            for i in range(4)
+            for x, side in ((90, "alpha"), (330, "beta"))
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                b"<< /Length %d >>\nstream\n" % len(ops.encode())
+                + ops.encode()
+                + b"\nendstream"
+            ),
+        }
+        from zerox_spark.extract.pdf import (
+            _interpret as _interp,
+            _IDENTITY as _ID,
+            Document as _Doc,
+            _merge_wrapped_cells,
+            runs_to_lines,
+        )
+
+        doc = _Doc(_assemble_pdf(objs))
+        page = list(doc.pages())[0]
+        content = doc.stream_bytes(doc.resolve(page[Name("Contents")]))
+        res = doc.resolve(page.get(Name("Resources"))) or {}
+        runs = []
+        _interp(doc, content, res, runs, _ID, 0)
+        # bypass XY-cut (which may column-cut this prose shape) — the
+        # line assembler itself must keep all four rows row-major
+        texts = [ln.text for ln in runs_to_lines(runs)]
+        assert texts == [
+            f"alphaterm{i} definition words betaterm{i} definition words"
+            for i in range(4)
+        ]
+
+    def test_standard_ooxml_zero_vhsize_rejected(self):
+        import hashlib as _hl
+
+        from zerox_spark.extract import office_crypto as oc
+        from zerox_spark.extract.cfb import write_cfb
+        from zerox_spark.synth import render_xlsx
+
+        info, pkg = oc.encrypt_ooxml_standard(
+            render_xlsx(6), _hl.sha256(b"s").digest()[:16]
+        )
+        # verifierHashSize sits after header + salt_size(4)+salt(16)+verifier(16)
+        (hdr_size,) = struct.unpack_from("<I", info, 8)
+        at = 12 + hdr_size + 4 + 16 + 16
+        broken = bytearray(info)
+        struct.pack_into("<I", broken, at, 0)
+        p = extract_document(
+            write_cfb(
+                [("EncryptionInfo", bytes(broken)), ("EncryptedPackage", pkg)]
+            ),
+            None,
+        )[0]
+        assert p.status == "ERROR"
+        assert "out of range" in (p.error or "")

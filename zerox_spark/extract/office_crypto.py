@@ -100,6 +100,14 @@ def _decrypt_standard(info: bytes, package: bytes, password: str) -> bytes:
     salt = info[v + 4 : v + 4 + salt_size]
     enc_verifier = info[v + 4 + salt_size : v + 20 + salt_size]
     (vh_size,) = struct.unpack_from("<I", info, v + 20 + salt_size)
+    # same clamp as _parse_encryption_header: the digest is SHA-1 (20
+    # bytes); a zero vh_size would make the verifier compare b'' == b''
+    # and "validate" ANY password, decrypting the package to garbage
+    # instead of the contract's clear password error
+    if not 0 < vh_size <= 64:
+        raise ValueError(
+            f"encryption verifier hash size {vh_size} out of range"
+        )
     enc_vhash = info[v + 24 + salt_size : v + 24 + salt_size + 32]
     key = _standard_key(salt, password, key_bytes)
     verifier = _ecb_decrypt(key, enc_verifier)
