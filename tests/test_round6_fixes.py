@@ -994,3 +994,81 @@ class TestReviewRound6Pass2:
         )[0]
         assert p.status == "ERROR"
         assert "out of range" in (p.error or "")
+
+
+# --------------------------------------------------------------------------
+# property tests: the new line-assembly paths never lose or duplicate text
+
+
+class TestLayoutProperties:
+    def test_merge_preserves_word_multiset(self):
+        # whatever windows merge, the words on the page are exactly the
+        # words in the runs — no loss, no duplication, for a sweep of
+        # geometries (aligned, misaligned, ragged, value-like, prose)
+        from collections import Counter
+
+        from zerox_spark.extract.pdf import Run, runs_to_lines
+
+        rng_words = [f"w{i}tok" for i in range(40)]
+        for seed in range(30):
+            runs = []
+            y = 700.0
+            n_lines = 2 + seed % 5
+            k = 1 + seed % 3
+            for li in range(n_lines):
+                x = 72.0
+                for c in range(k):
+                    nw = 1 + (seed + li + c) % 4
+                    words = [
+                        rng_words[(seed * 7 + li * 5 + c * 3 + wi) % 40]
+                        for wi in range(nw)
+                    ]
+                    text = " ".join(words)
+                    w_est = 5.0 * len(text)
+                    runs.append(Run(x, y, 10.0, text, x + w_est, y))
+                    x += w_est + (8.0 if seed % 2 else 40.0)
+                y -= 10.0 + (seed % 7)
+            want = Counter(
+                w for r in runs for w in r.text.split(" ")
+            )
+            got = Counter(
+                w
+                for ln in runs_to_lines(runs)
+                for w in ln.text.split(" ")
+                if w
+            )
+            assert got == want, seed
+
+    def test_actualtext_replacement_is_exact(self):
+        # nested/unbalanced spans over arbitrary content: output text is
+        # outside-text plus each outermost span's ActualText, in order
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (pre ) Tj"
+            b" /Span << /ActualText (ONE) >> BDC (dropped a) Tj"
+            b" /Span << /ActualText (inner) >> BDC (dropped b) Tj EMC"
+            b" (dropped c) Tj EMC"
+            b" ( mid ) Tj"
+            b" /Span << /ActualText () >> BDC (erased) Tj EMC"
+            b" (post) Tj ET"
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            3: (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+                b" /Encoding /WinAnsiEncoding >>"
+            ),
+            4: (
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+                b" /Resources << /Font << /F1 3 0 R >> >>"
+                b" /Contents 5 0 R >>"
+            ),
+            5: (
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content
+                + b"\nendstream"
+            ),
+        }
+        md = real_pdf_to_pages(_assemble_pdf(objs))[0][1]
+        assert md == "pre ONE mid post"
+        assert "dropped" not in md and "erased" not in md
