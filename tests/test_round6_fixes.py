@@ -1072,3 +1072,57 @@ class TestLayoutProperties:
         md = real_pdf_to_pages(_assemble_pdf(objs))[0][1]
         assert md == "pre ONE mid post"
         assert "dropped" not in md and "erased" not in md
+
+
+def test_cmap_format12_unicode_inversion():
+    # modern fonts carry their Unicode map as a (3,10) format-12
+    # subtable; glyph→unicode inversion must ride it like (3,1)
+    from zerox_spark.extract.truetype import decode_map_from_ttf
+
+    def sfnt(tables):
+        out = bytearray(
+            struct.pack(">IHHHH", 0x00010000, len(tables), 0, 0, 0)
+        )
+        off = 12 + 16 * len(tables)
+        recs = b""
+        body = b""
+        for tag, data in tables:
+            recs += tag + struct.pack(">III", 0, off, len(data))
+            body += data
+            off += len(data)
+        return bytes(out) + recs + body
+
+    cmap6 = struct.pack(">HHHHH", 6, 18, 0, 0x80, 4) + b"".join(
+        struct.pack(">H", g) for g in (1, 2, 3, 4)
+    )
+    groups = [
+        (0xE9, 0xE9, 1),
+        (0xFC, 0xFC, 2),
+        (0xDF, 0xDF, 3),
+        (0x20AC, 0x20AC, 4),
+    ]
+    cmap12 = struct.pack(
+        ">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups)
+    ) + b"".join(struct.pack(">III", s, e, g) for s, e, g in groups)
+    cmap = struct.pack(">HH", 0, 2)
+    cmap += struct.pack(">HHI", 1, 0, 4 + 8 * 2)
+    cmap += struct.pack(">HHI", 3, 10, 4 + 8 * 2 + len(cmap6))
+    cmap += cmap6 + cmap12
+    m = decode_map_from_ttf(sfnt([(b"cmap", cmap)]))
+    assert m == {0x80: "é", 0x81: "ü", 0x82: "ß", 0x83: "€"}
+
+
+def test_cmap_format12_bomb_bounded():
+    # a crafted group list claiming 4-billion-code ranges must stay
+    # within the glyph budget, not loop forever
+    import time
+
+    from zerox_spark.extract.truetype import _parse_code_to_glyph
+
+    sub = struct.pack(">HHIII", 12, 0, 16 + 12, 0, 1) + struct.pack(
+        ">III", 0, 0xFFFFFFF0, 1
+    )
+    t0 = time.time()
+    out = _parse_code_to_glyph(sub)
+    assert time.time() - t0 < 5
+    assert len(out) <= 65_536

@@ -7,8 +7,9 @@ FONT PROGRAM usually still knows:
 
 - ``cmap`` (3,0) "symbol" or (1,0) Macintosh subtables map the 1-byte
   character codes (often offset into U+F000..U+F0FF) to glyph ids
-- a sibling (3,1) Windows-Unicode subtable, when present, inverts glyph
-  id → Unicode directly
+- a sibling Unicode subtable — Windows (3,1) BMP or (3,10) UCS-4 where
+  format 12 lives, or the Unicode-platform (0,x) encodings — inverts
+  glyph id → Unicode directly
 - a ``post`` table version 2.0 carries per-glyph NAMES, which resolve
   through the same Adobe-Glyph-List logic the /Differences path uses
   (``uniXXXX``/``uXXXX``/AGL). Custom indexes (≥ 258) read from the
@@ -20,7 +21,7 @@ FONT PROGRAM usually still knows:
 Everything is bounds-checked slicing over the already-budget-capped
 stream bytes (pdf.MAX_STREAM_BYTES); any structural damage raises and
 the caller treats the font as unmapped. Spec: the public OpenType/sfnt
-specification (cmap formats 0/4/6, post 2.0)."""
+specification (cmap formats 0/4/6/12, post 2.0)."""
 
 from __future__ import annotations
 
@@ -121,12 +122,43 @@ def _cmap_subtables(cmap: bytes) -> dict[tuple[int, int], bytes]:
     return out
 
 
+def _unicode_subtable(subs: dict[tuple[int, int], bytes]) -> bytes | None:
+    """The best Unicode cmap subtable: Windows UCS-4 (3,10 — where
+    format 12 lives in modern fonts), then Windows BMP (3,1), then the
+    Unicode-platform encodings."""
+    for key in ((3, 10), (3, 1), (0, 6), (0, 4), (0, 3), (0, 2), (0, 1), (0, 0)):
+        if key in subs:
+            return subs[key]
+    return None
+
+
 def _parse_code_to_glyph(sub: bytes) -> dict[int, int]:
-    """cmap subtable formats 0 / 4 / 6 → {code: glyph_id}."""
+    """cmap subtable formats 0 / 4 / 6 / 12 → {code: glyph_id}."""
     if len(sub) < 4:
         return {}
     (fmt,) = struct.unpack_from(">H", sub, 0)
     out: dict[int, int] = {}
+    if fmt == 12:
+        # segmented coverage (OpenType cmap format 12): 32-bit code
+        # ranges — the subtable modern Unicode fonts ship; budgeted the
+        # same way format 4 is (a crafted full-range group list is a
+        # CPU bomb otherwise)
+        if len(sub) < 16:
+            return {}
+        (n_groups,) = struct.unpack_from(">I", sub, 12)
+        budget = MAX_GLYPHS
+        for i in range(min(n_groups, MAX_SEGMENTS)):
+            at = 16 + 12 * i
+            if at + 12 > len(sub) or budget <= 0:
+                break
+            start, end, gstart = struct.unpack_from(">III", sub, at)
+            if start > end or start > 0x10FFFF:
+                continue
+            span = min(end - start + 1, budget)
+            budget -= span
+            for k in range(span):
+                out[start + k] = (gstart + k) & 0xFFFF
+        return out
     if fmt == 0:
         for c in range(min(256, len(sub) - 6)):
             g = sub[6 + c]
@@ -236,21 +268,22 @@ def decode_map_from_ttf(data: bytes) -> dict[int, str]:
         if key in subs:
             code_to_glyph = _parse_code_to_glyph(subs[key])
             break
+    uni_sub = _unicode_subtable(subs)
     if not code_to_glyph:
-        # only a (3,1) unicode subtable: the font addresses glyphs BY
-        # unicode, so a 1-byte code c that the table maps is simply the
-        # character chr(c) — declare exactly those
-        if (3, 1) in subs:
-            uni = _parse_code_to_glyph(subs[(3, 1)])
+        # only a unicode subtable: the font addresses glyphs BY unicode,
+        # so a 1-byte code c that the table maps is simply the character
+        # chr(c) — declare exactly those
+        if uni_sub is not None:
+            uni = _parse_code_to_glyph(uni_sub)
             return {
                 c: chr(c) for c in range(0x20, 256) if uni.get(c)
             }
         return {}
-    # glyph → unicode: prefer a sibling (3,1) unicode subtable inverted,
+    # glyph → unicode: prefer a sibling unicode subtable inverted,
     # then post-2.0 custom names through the AGL logic
     glyph_to_char: dict[int, str] = {}
-    if (3, 1) in subs:
-        for uni, g in _parse_code_to_glyph(subs[(3, 1)]).items():
+    if uni_sub is not None:
+        for uni, g in _parse_code_to_glyph(uni_sub).items():
             if g not in glyph_to_char and 0x20 <= uni and not (
                 0xD800 <= uni <= 0xDFFF or 0xE000 <= uni <= 0xF8FF
             ):
