@@ -1126,3 +1126,91 @@ def test_cmap_format12_bomb_bounded():
     out = _parse_code_to_glyph(sub)
     assert time.time() - t0 < 5
     assert len(out) <= 65_536
+
+
+class TestCmap12ReviewFixes:
+    @staticmethod
+    def _sfnt(tables):
+        out = bytearray(
+            struct.pack(">IHHHH", 0x00010000, len(tables), 0, 0, 0)
+        )
+        off = 12 + 16 * len(tables)
+        recs = b""
+        body = b""
+        for tag, data in tables:
+            recs += tag + struct.pack(">III", 0, off, len(data))
+            body += data
+            off += len(data)
+        return bytes(out) + recs + body
+
+    @staticmethod
+    def _cmap(records):
+        head = struct.pack(">HH", 0, len(records))
+        off = 4 + 8 * len(records)
+        dirs = b""
+        body = b""
+        for (plat, enc), sub in records:
+            dirs += struct.pack(">HHI", plat, enc, off)
+            body += sub
+            off += len(sub)
+        return head + dirs + body
+
+    _CMAP6 = struct.pack(">HHHHH", 6, 14, 0, 0x80, 2) + struct.pack(
+        ">HH", 1, 2
+    )
+
+    def test_end_clamped_valid_groups_survive(self):
+        from zerox_spark.extract.truetype import decode_map_from_ttf
+
+        groups = [(0xE9, 0xE9, 1), (0x10FFF0, 0xFFFFFFFF, 2)]
+        cmap12 = struct.pack(
+            ">HHIII", 12, 0, 16 + 12 * len(groups), 0, len(groups)
+        ) + b"".join(struct.pack(">III", *g) for g in groups)
+        font = self._sfnt(
+            [(b"cmap", self._cmap([((1, 0), self._CMAP6), ((3, 10), cmap12)]))]
+        )
+        m = decode_map_from_ttf(font)  # must not raise, é must survive
+        assert m.get(0x80) == "é"
+
+    def test_unparseable_310_does_not_shadow_31(self):
+        from zerox_spark.extract.truetype import decode_map_from_ttf
+
+        fmt13 = struct.pack(">HHIII", 13, 0, 28, 0, 1) + struct.pack(
+            ">III", 0xE9, 0xE9, 1
+        )
+        # valid (3,1) format 6 mapping unicode é -> glyph 1
+        u6 = struct.pack(">HHHHH", 6, 12, 0, 0xE9, 1) + struct.pack(">H", 1)
+        font = self._sfnt(
+            [
+                (
+                    b"cmap",
+                    self._cmap(
+                        [((1, 0), self._CMAP6), ((3, 10), fmt13), ((3, 1), u6)]
+                    ),
+                )
+            ]
+        )
+        assert decode_map_from_ttf(font).get(0x80) == "é"
+
+    def test_supplementary_pua_dropped(self):
+        from zerox_spark.extract.truetype import decode_map_from_ttf
+
+        groups = [(0xF0001, 0xF0001, 1)]
+        cmap12 = struct.pack(">HHIII", 12, 0, 28, 0, 1) + struct.pack(
+            ">III", *groups[0]
+        )
+        font = self._sfnt(
+            [(b"cmap", self._cmap([((1, 0), self._CMAP6), ((3, 10), cmap12)]))]
+        )
+        m = decode_map_from_ttf(font)
+        assert 0x80 not in m  # PUA never transcribed
+
+    def test_wrapping_glyph_ids_dropped_not_guessed(self):
+        from zerox_spark.extract.truetype import _parse_code_to_glyph
+
+        sub = struct.pack(">HHIII", 12, 0, 28, 0, 1) + struct.pack(
+            ">III", 0x41, 0x43, 0xFFFF - 1
+        )
+        out = _parse_code_to_glyph(sub)
+        # 0x41->0xFFFE, 0x42->0xFFFF kept; 0x43 would wrap -> dropped
+        assert out == {0x41: 0xFFFE, 0x42: 0xFFFF}

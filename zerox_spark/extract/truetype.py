@@ -122,14 +122,18 @@ def _cmap_subtables(cmap: bytes) -> dict[tuple[int, int], bytes]:
     return out
 
 
-def _unicode_subtable(subs: dict[tuple[int, int], bytes]) -> bytes | None:
-    """The best Unicode cmap subtable: Windows UCS-4 (3,10 — where
+def _unicode_map(subs: dict[tuple[int, int], bytes]) -> dict[int, int]:
+    """The best PARSEABLE Unicode cmap: Windows UCS-4 (3,10 — where
     format 12 lives in modern fonts), then Windows BMP (3,1), then the
-    Unicode-platform encodings."""
+    Unicode-platform encodings. Selection is by parse RESULT, not key
+    presence — a (3,10) record pointing at an unsupported format (13)
+    or at garbage must not shadow a valid (3,1) table."""
     for key in ((3, 10), (3, 1), (0, 6), (0, 4), (0, 3), (0, 2), (0, 1), (0, 0)):
         if key in subs:
-            return subs[key]
-    return None
+            m = _parse_code_to_glyph(subs[key])
+            if m:
+                return m
+    return {}
 
 
 def _parse_code_to_glyph(sub: bytes) -> dict[int, int]:
@@ -154,10 +158,19 @@ def _parse_code_to_glyph(sub: bytes) -> dict[int, int]:
             start, end, gstart = struct.unpack_from(">III", sub, at)
             if start > end or start > 0x10FFFF:
                 continue
+            # clamp the END too: codes past U+10FFFF would blow chr()
+            # in the inversion and lose the whole font map
+            end = min(end, 0x10FFFF)
             span = min(end - start + 1, budget)
             budget -= span
             for k in range(span):
-                out[start + k] = (gstart + k) & 0xFFFF
+                g = gstart + k
+                if g > 0xFFFF:
+                    # glyph ids are 16-bit — a damaged group must DROP,
+                    # never wrap onto unrelated low glyph ids (mojibake)
+                    break
+                if g:
+                    out[start + k] = g
         return out
     if fmt == 0:
         for c in range(min(256, len(sub) - 6)):
@@ -268,26 +281,30 @@ def decode_map_from_ttf(data: bytes) -> dict[int, str]:
         if key in subs:
             code_to_glyph = _parse_code_to_glyph(subs[key])
             break
-    uni_sub = _unicode_subtable(subs)
+    uni = _unicode_map(subs)
     if not code_to_glyph:
         # only a unicode subtable: the font addresses glyphs BY unicode,
         # so a 1-byte code c that the table maps is simply the character
         # chr(c) — declare exactly those
-        if uni_sub is not None:
-            uni = _parse_code_to_glyph(uni_sub)
+        if uni:
             return {
                 c: chr(c) for c in range(0x20, 256) if uni.get(c)
             }
         return {}
     # glyph → unicode: prefer a sibling unicode subtable inverted,
-    # then post-2.0 custom names through the AGL logic
+    # then post-2.0 custom names through the AGL logic. Exclusions:
+    # surrogates, BMP private use, AND the supplementary-plane PUA
+    # (Plane 15/16 — icon fonts map there via format 12); private-use
+    # codepoints in SUCCESS output are the mojibake the drops-never-
+    # guesses policy forbids
     glyph_to_char: dict[int, str] = {}
-    if uni_sub is not None:
-        for uni, g in _parse_code_to_glyph(uni_sub).items():
-            if g not in glyph_to_char and 0x20 <= uni and not (
-                0xD800 <= uni <= 0xDFFF or 0xE000 <= uni <= 0xF8FF
-            ):
-                glyph_to_char[g] = chr(uni)
+    for u, g in uni.items():
+        if g not in glyph_to_char and 0x20 <= u and not (
+            0xD800 <= u <= 0xDFFF
+            or 0xE000 <= u <= 0xF8FF
+            or 0xF0000 <= u <= 0x10FFFD
+        ):
+            glyph_to_char[g] = chr(u)
     if b"post" in tables:
         for g, name in _post_names(tables[b"post"]).items():
             if g not in glyph_to_char:
