@@ -34,18 +34,34 @@ LSH_TABLES = 12
 LSH_PLANES = 4
 
 
-def _cosine(a, b):
-    """Cosine similarity of two array<double> columns, JVM-side."""
-    dot = F.aggregate(
+def _dot(a, b):
+    """Inner product of two array<double> columns, JVM-side left fold."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
-    na = F.sqrt(
+
+
+def _norm(a):
+    """sqrt(Σ x²) of an array<double> column — the same expression the old
+    per-pair _cosine evaluated, exposed so operators can compute it ONCE per
+    row (projection before the join) instead of once per scored pair: the
+    value is bit-identical, the join stage drops 2/3 of its interpreted
+    higher-order-function work (measured 3.5 s → 0.7 s on the sf0.1
+    brute-force top-k).
+
+    An expression-unrolled formulation (Σ a[i]·b[i] over getItem) was
+    measured too: the giant Add tree is NOT whole-stage-codegen'd and
+    interpreted evaluation of it is far slower than this fold (1.1 s vs
+    0.7 s for the scoring join; 10.9 s vs 0.45 s for the 48-projection LSH
+    bucketing) — don't resurrect it."""
+    return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
     )
-    nb = F.sqrt(
-        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
-    )
-    return dot / (na * nb)
+
+
+def _cosine(a, b):
+    """Cosine similarity of two array<double> columns, JVM-side."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def _as_double(col):
@@ -58,20 +74,26 @@ def ann_topk_exact(
     k: int = DEFAULT_K,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, cos) top-k cosine neighbors for each
-    query vector (self excluded). queries: (vec_id, embedding) subset."""
+    query vector (self excluded). queries: (vec_id, embedding) subset.
+
+    Norms are computed once per ROW in each side's projection (see _norm),
+    not once per scored pair — bit-identical cos values, Q·N fewer norm
+    folds in the join stage."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
+    ).select("query_id", "qv", _norm(F.col("qv")).alias("qn"))
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
-    )
+    ).select("neighbor_id", "cv", _norm(F.col("cv")).alias("cn"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -164,10 +186,10 @@ def embedding_dup_pairs(
     exact contract the oracle checks)."""
     a = embeddings.select(
         F.col("vec_id").alias("id_a"), _as_double("embedding").alias("va")
-    )
+    ).select("id_a", "va", _norm(F.col("va")).alias("na"))
     b = embeddings.select(
         F.col("vec_id").alias("id_b"), _as_double("embedding").alias("vb")
-    )
+    ).select("id_b", "vb", _norm(F.col("vb")).alias("nb"))
     if brute_force:
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -192,8 +214,9 @@ def embedding_dup_pairs(
             .distinct()
         )
         cand = pairs.join(a, "id_a").join(b, "id_b")
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.withColumn("cos", _cosine(F.col("va"), F.col("vb")))
+        cand.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b")
     )
@@ -231,13 +254,19 @@ def ann_topk_lsh(
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
+    ).select("query_id", "qv", _norm(F.col("qv")).alias("qn"))
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
-    )
+    ).select("neighbor_id", "cv", _norm(F.col("cv")).alias("cn"))
     scored = (
         cand.join(q, "query_id").join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", _cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -291,11 +320,18 @@ def ivf_assignments(
     nested-loop against the (small) centroid set — embarrassingly parallel,
     no shuffle on the big side until the one map-side-combined max_by agg.
     Deterministic tie-break: higher cosine, then lower cent_id."""
-    ev = embeddings.select("vec_id", _as_double("embedding").alias("v"))
-    scored = ev.crossJoin(F.broadcast(centroids)).select(
+    ev = embeddings.select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).select("vec_id", "v", _norm(F.col("v")).alias("vn"))
+    cents = centroids.select(
+        "cent_id", "cv", _norm(F.col("cv")).alias("cn")
+    )
+    scored = ev.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
-        _cosine(F.col("v"), F.col("cv")).alias("cos"),
+        (_dot(F.col("v"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias(
+            "cos"
+        ),
     )
     key = F.struct(F.col("cos"), (-F.col("cent_id")).cast("double"))
     return scored.groupBy("vec_id").agg(
@@ -339,9 +375,13 @@ def ann_topk_ivf(
     # query-side: nprobe nearest cells (tiny Q×C set; window is fine)
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
-    )
+    ).select("query_id", "qv", _norm(F.col("qv")).alias("qn"))
     q_scored = q.crossJoin(F.broadcast(cents)).select(
-        "query_id", "cent_id", _cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        "cent_id",
+        (
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * _norm(F.col("cv")))
+        ).alias("cos"),
     )
     w_cells = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cent_id").asc()
@@ -358,14 +398,16 @@ def ann_topk_ivf(
     )
     c = embeddings.select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("cv")
-    )
+    ).select("neighbor_id", "cv", _norm(F.col("cv")).alias("cn"))
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            (
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -53,6 +53,32 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _spread(df: DataFrame, *keys: str, target: int | None = None) -> DataFrame:
+    """Scan-parallelism floor for CPU-heavy operators over small inputs
+    (guide §2.5/§6): the sandbox tables are single-row-group parquet files,
+    so Spark can give their scans at most ONE task per file — and every
+    expensive pre-shuffle stage (shingle explode + 128 minhash permutations,
+    n-gram explode, winnowing UDF, cosine scoring) was measured running on
+    1-3 tasks of a 32-core session (dedup_minhash: 6.8 core-seconds of work,
+    5.7 s wall). A deterministic hash repartition on ``keys`` spreads that
+    work; replay-stable (no rand(), SPARK-38388-safe) and a NO-OP whenever
+    the input already has >= target partitions — which at production scale
+    (many splits) is always, so no shuffle is added there.
+
+    Placement matters, measured: spread the SMALLEST stream that feeds the
+    expensive work (e.g. after with_injected_duplicates' union, not before
+    it — 3 branches × 32 partitions = 96 tasks whose fixed per-task cost in
+    the 128-aggregate stage tripled its CPU), and only where downstream
+    work is heavy (a _spread under a single cheap projection costs more in
+    exchange + task launches than it buys — text_quality lost 0.3 s to
+    one)."""
+    spark = df.sparkSession
+    target = target or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *[F.col(k) for k in keys])
+
+
 def _extracted(spark: SparkSession, sf_dir: str, **cfg) -> DataFrame:
     pages = synth_pages(spark, sf_dir)
     return extract_pages(pages, ExtractConfig(**cfg), NUM_BUCKETS)
@@ -273,7 +299,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark gram table — the crawl side never shuffles for the match."""
     from zerox_spark.operators.decontam import decontaminate
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir), "doc_id")
     bench = docs.filter((F.col("doc_id") % 41) == 0)
     return decontaminate(docs, bench)
 
@@ -426,21 +452,29 @@ def q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_exact(with_injected_duplicates(_docs(spark, sf_dir)))
+    return dedup_exact(
+        _spread(with_injected_duplicates(_docs(spark, sf_dir)), "doc_id")
+    )
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_ngram_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+    return dedup_ngram_pairs(
+        _spread(with_injected_duplicates(_docs(spark, sf_dir)), "doc_id")
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_minhash_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+    return dedup_minhash_pairs(
+        _spread(with_injected_duplicates(_docs(spark, sf_dir)), "doc_id")
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No SQL oracle (xxhash64 parity impossible in DuckDB); recall/precision
     asserted against exact pairs in pytest."""
-    return dedup_simhash_pairs(with_injected_duplicates(_docs(spark, sf_dir)))
+    return dedup_simhash_pairs(
+        _spread(with_injected_duplicates(_docs(spark, sf_dir)), "doc_id")
+    )
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,7 +525,7 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     text), mirroring dedup_ngram's role."""
     from zerox_spark.operators.dedup import simhash
 
-    corpus = with_injected_duplicates(_docs(spark, sf_dir))
+    corpus = _spread(with_injected_duplicates(_docs(spark, sf_dir)), "doc_id")
     sigs = simhash(corpus)
     l, r = sigs.alias("l"), sigs.alias("r")
     exact = (
@@ -525,7 +559,10 @@ def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _embeddings(spark, sf_dir)
+    # the CORPUS is the stream side of the broadcast nested-loop join
+    # (the tiny query set is the build side) — unspread, one scan task
+    # does all Q×N cosine scoring
+    emb = _spread(_embeddings(spark, sf_dir), "vec_id")
     queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return ann_topk_exact(emb, queries, k=ANN_K).select(
         "query_id", "rank", "neighbor_id"
@@ -543,7 +580,9 @@ def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     no natural near-dups): an exact copy and a first-component-zeroed copy
     (cosine ≈ 0.99) for every vec_id % 10 == 6 — the same derivation the
     oracle states in SQL."""
-    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    emb = _spread(
+        _embeddings(spark, sf_dir).select("vec_id", "embedding"), "vec_id"
+    )
     base = emb.filter(F.col("vec_id") % EMB_DUP_MOD == EMB_DUP_EQ)
     exact = base.select(
         (F.col("vec_id") + EMB_DUP_EXACT_OFFSET).alias("vec_id"), "embedding"
@@ -565,7 +604,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same closure with a DuckDB recursive CTE."""
     from zerox_spark.operators.dedup import connected_components
 
-    corpus = with_injected_duplicates(_docs(spark, sf_dir))
+    corpus = _spread(with_injected_duplicates(_docs(spark, sf_dir)), "doc_id")
     return connected_components(dedup_minhash_pairs(corpus))
 
 
@@ -581,7 +620,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate path (recall vs exact verified in pytest AND by the
     driver-checked q_ann_recall floor; the raw rows stay rows-only because
     per-query LSH output is probabilistic w.r.t. any SQL restatement)."""
-    emb = _embeddings(spark, sf_dir)
+    emb = _spread(_embeddings(spark, sf_dir), "vec_id")
     queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
     return ann_topk_lsh(emb, queries, EMBED_DIM, k=ANN_K).select(
         "query_id", "rank", "neighbor_id"
@@ -606,7 +645,7 @@ def _recall_floor(
     ANN_RECALL_FLOOR). Above the floor the value is the constant
     ANN_RECALL_FLOOR (hash-stable); a recall regression below the floor
     changes the value and fails the driver's hash check."""
-    emb = _embeddings(spark, sf_dir)
+    emb = _spread(_embeddings(spark, sf_dir), "vec_id")
     queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
     exact = ann_topk_exact(emb, queries, k=ANN_K).select(
         "query_id", "neighbor_id"
@@ -706,7 +745,9 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup removal → token accounting, one lazy plan."""
     from zerox_spark.operators.curation import curate
 
-    return curate(with_injected_duplicates(_docs(spark, sf_dir)))
+    return curate(
+        _spread(with_injected_duplicates(_docs(spark, sf_dir)), "doc_id")
+    )
 
 
 SAMPLE_RATES = {"en": 50, "de": 100, "fr": 25}
@@ -817,7 +858,7 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zerox_spark.operators.textstats import repetition_stats
 
-    return repetition_stats(_docs(spark, sf_dir))
+    return repetition_stats(_spread(_docs(spark, sf_dir), "doc_id"))
 
 
 def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,7 +932,7 @@ def q_text_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload=comma-joined fingerprint list)."""
     from zerox_spark.operators.textstats import ngram_counts
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir), "doc_id")
     grams = ngram_counts(docs, n=2, k=100).select(
         F.lit("bigram").alias("kind"),
         F.col("ngram").alias("key"),
@@ -940,7 +981,7 @@ def q_recall_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-mismatches
     from zerox_spark.operators.decontam import decontaminate_fuzzy
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir), "doc_id")
     bench = docs.filter((F.col("doc_id") % 41) == 0)
     fz = (
         decontaminate_fuzzy(docs, bench)

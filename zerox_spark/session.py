@@ -55,6 +55,14 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor is 1 MiB/partition; several of our shuffles
+        # carry KILOBYTES per row of downstream CPU (the 128-permutation
+        # minhash aggregate, per-pair jaccard verify), so a 4 MiB shuffle was
+        # coalesced to 3-4 tasks and serialized seconds of work at any
+        # width. 64 KiB keeps small CPU-bound stages wide; at production
+        # shuffle sizes the parallelismFirst target (total/parallelism)
+        # dominates this floor, so large-scale coalescing is unchanged.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # parquet writes for the sandbox sink; an Iceberg catalog is wired in
         # sinks.py when the runtime provides one (spark-submit --packages).
