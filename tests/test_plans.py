@@ -212,9 +212,12 @@ def test_decontaminate_short_docs_pass(spark):
 
 def test_pdf_crypt_plan_single_exchange(spark):
     """The encrypted-PDF family keeps extract_pdf_real's plan shape: one
-    Exchange (the synth repartition), two MapInPandas (payload build +
-    extract), no join — all crypto cost stays in-UDF and budget-bounded,
-    so the plan survives a 100x scale-up unchanged."""
+    Exchange (the synth repartition) and — since the round-7 fusion — ONE
+    MapInPandas doing payload build + extract together (the chained
+    two-UDF shape moved every payload across the JVM↔Python boundary
+    three times; operators/extract.extract_synthetic), no join — all
+    crypto cost stays in-UDF and budget-bounded, so the plan survives a
+    100x scale-up unchanged."""
     from zerox_spark.queries import q_extract_pdf_crypt
 
     plan = (
@@ -225,7 +228,7 @@ def test_pdf_crypt_plan_single_exchange(spark):
         .lower()
     )
     assert plan.count("exchange") == 1
-    assert plan.count("mapinpandas") == 2
+    assert plan.count("mapinpandas") == 1
     assert "join" not in plan
 
 

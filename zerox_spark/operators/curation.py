@@ -102,12 +102,22 @@ def curate(
         "doc_id", "text", quality_col().alias("quality")
     ).filter(F.col("quality") >= quality_min)
 
-    # exact dedup: keep min doc_id per text — one window, one shuffle
-    w = Window.partitionBy("text").orderBy("doc_id")
+    # exact dedup: keep min doc_id per text — one shuffle, as a hash
+    # AGGREGATE rather than the former row_number window: quality is a
+    # pure function of text, so min(doc_id)+min(quality) per text is
+    # row-identical to "first row by doc_id" (oracle-hash-checked), the
+    # partial agg collapses duplicates BEFORE the shuffle (guide §2.3 —
+    # at scale the exchange carries distinct texts, not all rows), and
+    # the post-shuffle work the plan's FOUR consumers of ``deduped``
+    # re-execute on top of the reused exchange is a hash-agg probe, not
+    # a full sort + row_number per consumer
     deduped = (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        gated.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("quality").alias("quality"),
+        )
+        .select("doc_id", "text", "quality")
     )
 
     # near-dup removal: for each pair at jaccard ≥ threshold, the larger

@@ -71,17 +71,29 @@ def _spread(df: DataFrame, *keys: str, target: int | None = None) -> DataFrame:
     the 128-aggregate stage tripled its CPU), and only where downstream
     work is heavy (a _spread under a single cheap projection costs more in
     exchange + task launches than it buys — text_quality lost 0.3 s to
-    one)."""
+    one).
+
+    The partition key is xxhash64(keys), NOT the keys themselves: a spread
+    whose partitioning satisfies a downstream groupBy's distribution elides
+    that aggregation's Exchange — and the Exchange is the materialization
+    point AQE reuse deduplicates when several consumers share the subtree.
+    Measured on dedup_minhash: spreading by raw doc_id removed the
+    signature agg's exchange and the band self-join recomputed the whole
+    128-permutation pipeline on BOTH sides (cpu 14.9 s → 37.7 s)."""
     spark = df.sparkSession
     target = target or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
-    return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target, F.xxhash64(*[F.col(k) for k in keys]))
 
 
 def _extracted(spark: SparkSession, sf_dir: str, **cfg) -> DataFrame:
-    pages = synth_pages(spark, sf_dir)
-    return extract_pages(pages, ExtractConfig(**cfg), NUM_BUCKETS)
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_taxonomy
+
+    return extract_synthetic(
+        _docs(spark, sf_dir), _row_taxonomy, ExtractConfig(**cfg), NUM_BUCKETS
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -129,13 +141,15 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_page_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8/A8: select_pages=[2,3] over ≥3-page PDF docs — page pruning +
     renumbering semantics (py_zerox/pyzerox/core/zerox.py:182-194)."""
-    pages = synth_pages(spark, sf_dir)
-    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
-    multi = pages.filter(
-        (doc_id % 5 == 0) & ((doc_id % 3 == 1) | (doc_id % 3 == 2))
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_taxonomy
+
+    d = F.col("doc_id")
+    multi = _docs(spark, sf_dir).filter(
+        (d % 5 == 0) & ((d % 3 == 1) | (d % 3 == 2))
     )
-    ex = extract_pages(
-        multi, ExtractConfig(select_pages=[2, 3]), NUM_BUCKETS
+    ex = extract_synthetic(
+        multi, _row_taxonomy, ExtractConfig(select_pages=[2, 3]), NUM_BUCKETS
     )
     return ex.select("url", "page_no", "markdown")
 
@@ -143,10 +157,12 @@ def q_page_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_ooxml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real OOXML containers (stdlib zip+XML): xlsx sheet-per-page + docx
     heading/list/table/page-break extraction (extract/ooxml.py)."""
-    from zerox_spark.synth import synth_ooxml_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_ooxml
 
-    pages = synth_ooxml_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_ooxml, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
@@ -154,10 +170,12 @@ def q_extract_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real legacy-Office CFB containers (stdlib struct): .xls BIFF8
     sheet-per-page + .doc Word97 piece-table pages (extract/cfb.py,
     extract/legacy_office.py)."""
-    from zerox_spark.synth import synth_legacy_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_legacy
 
-    pages = synth_legacy_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_legacy, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
@@ -165,10 +183,12 @@ def q_extract_pptx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real presentation containers, slide = page: pptx (zip+XML, even
     doc_ids) and legacy .ppt ([MS-PPT] records in CFB, odd doc_ids) —
     extract/ooxml.py pptx path + extract/legacy_office.py ppt path."""
-    from zerox_spark.synth import synth_pres_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_pres
 
-    pages = synth_pres_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_pres, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
@@ -176,10 +196,12 @@ def q_extract_odf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real OpenDocument containers: ods sheet-per-page (even doc_ids,
     byte-identical to the xlsx/xls containers of the same workbook) + odt
     heading/list/table extraction (odd) — extract/ooxml.py ODF branch."""
-    from zerox_spark.synth import synth_odf_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_odf
 
-    pages = synth_odf_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_odf, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
@@ -192,20 +214,24 @@ def q_extract_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     RC4/CryptoAPI .xls — the 'protected workbook' crawl shape the
     reference opens implicitly via libreoffice, file.ts:129-150;
     extract/office_crypto.py)."""
-    from zerox_spark.synth import synth_misc_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_misc
 
-    pages = synth_misc_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_misc, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
 def q_extract_rtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RTF group/control-word extraction: destinations stripped, \\page
     page split, paragraph blocks (extract/rtf.py)."""
-    from zerox_spark.synth import synth_rtf_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_rtf
 
-    pages = synth_rtf_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_rtf, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
@@ -213,10 +239,12 @@ def q_extract_delimited(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-sniffed csv/tsv structured fast path: one first-row-<th>
     table page per payload (csv carries the sheet_cells data grid; tsv
     carries a quoted field pinning csv-module escaping)."""
-    from zerox_spark.synth import synth_delimited_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_delimited
 
-    pages = synth_delimited_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_delimited, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
@@ -225,10 +253,12 @@ def q_extract_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically-corrupt CFB payload → exactly one ERROR row with
     empty markdown and content_length 0; valid docs extract normally. The
     oracle states the ERROR set and per-status counts in closed form."""
-    from zerox_spark.synth import synth_poison_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_poison
 
-    pages = synth_poison_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_poison, ExtractConfig(), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "status", "content_length")
 
 
@@ -242,10 +272,12 @@ def q_extract_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer instead of rasterize+OCR (node-zerox/src/utils/file.ts:153-207).
     Figure placeholders follow the reference dialect's mandate
     (shared/systemPrompt.txt; goldens shared/outputs/*.md use ![...](#))."""
-    from zerox_spark.synth import synth_pdf_real_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_pdf_real
 
-    pages = synth_pdf_real_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_pdf_real, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
@@ -261,10 +293,12 @@ def q_extract_pdf_crypt(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard SIDs; TrueType post-2.0 standard Macintosh names — the
     pdfTeX-era European-document shape, round 6), and an XFA-only
     LiveCycle form whose values live in the ``datasets`` packet."""
-    from zerox_spark.synth import synth_pdf_crypt_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_pdf_crypt
 
-    pages = synth_pdf_crypt_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(trust_text=False), NUM_BUCKETS)
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_pdf_crypt, ExtractConfig(trust_text=False), NUM_BUCKETS
+    )
     return ex.select("url", "page_no", "markdown")
 
 
@@ -277,10 +311,12 @@ def q_extract_binary_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (offset-based ftyp brands incl. heic — the C2
     convertHeicToJpeg analog), folded in here so the driver checks both
     in one registry slot (r4 driver/registry-drift fix)."""
-    from zerox_spark.synth import synth_binary_pages
+    from zerox_spark.operators.extract import extract_synthetic
+    from zerox_spark.synth import _row_binary, synth_binary_pages
 
-    pages = synth_binary_pages(spark, sf_dir)
-    ex = extract_pages(pages, ExtractConfig(), NUM_BUCKETS).select(
+    ex = extract_synthetic(
+        _docs(spark, sf_dir), _row_binary, ExtractConfig(), NUM_BUCKETS
+    ).select(
         "url",
         "status",
         F.regexp_extract("error", r"\((\w+)", 1).alias("kind"),
