@@ -58,18 +58,27 @@ def test_lang_filter_pushed_to_scan(spark, pages_parquet):
     assert m2 and "html" not in m2.group(1)
 
 
-def test_minhash_default_plan_has_reusable_exchange(spark):
-    """The DEFAULT signature formulation must be the map-side-combined
-    aggregation: its Exchange is the materialization point ReuseExchange
-    deduplicates when the LSH band self-join consumes signatures twice
-    (measured 2× end-to-end vs the shuffle-free map formulation — see
-    minhash_signatures docstring)."""
-    from zerox_spark.operators.dedup import minhash_signatures
+def test_minhash_default_plan_is_vectorized_and_shuffle_free(spark):
+    """The DEFAULT signature formulation (round 7) hashes shingles
+    JVM-side and runs the k-permutation minima as ONE vectorized Arrow
+    batch op — no 128-column aggregation (whose giant generated method
+    measured 4-10× slower in long-lived driver JVMs), no shuffle of its
+    own. The two-consumer reuse point moved into dedup_minhash_pairs
+    (an explicit repartition — locked below)."""
+    from zerox_spark.operators.dedup import (
+        dedup_minhash_pairs,
+        minhash_signatures,
+        with_injected_duplicates,
+    )
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = plan_of(minhash_signatures(docs))
-    assert plan.count("HashAggregate") >= 2  # partial + final
-    assert "Exchange" in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "HashAggregate" not in plan and "Exchange" not in plan
+    # the pairs plan must carry the signature materialization exchange so
+    # the band self-join's two sides don't re-run the UDF subtree
+    pairs_plan = plan_of(dedup_minhash_pairs(with_injected_duplicates(docs)))
+    assert "REPARTITION_BY_COL" in pairs_plan or "hashpartitioning(xxhash64" in pairs_plan
 
 
 def test_minhash_map_formulation_is_shuffle_free_and_agrees(spark):
@@ -101,7 +110,10 @@ def test_curation_plan_uses_lsh_not_raw_shingle_join(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = plan_of(curate(docs))
     assert "sig_hash" in plan, "curation near-dup stage is not the LSH path"
-    assert plan.count("pmod") >= 128, "minhash permutation hashes missing"
+    # the permutation arithmetic lives in the vectorized signature UDF
+    # since round 7; its Arrow node is the LSH fingerprint the raw
+    # shingle join never produces
+    assert "_minhash_sig" in plan, "minhash signature UDF missing"
 
 
 def test_repetition_plan_is_linear_not_quadratic(spark):

@@ -25,6 +25,10 @@ every dedup operator value-checkable end to end.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # injected-duplicate derivation (mirrored in oracle SQL — keep in sync)
@@ -202,41 +206,85 @@ def _minhash_params() -> tuple[list[int], list[int]]:
     return a, b
 
 
+_MINHASH_NP_PARAMS = None
+
+
+def _minhash_np_params():
+    """(a, b) as (k, 1) int64 numpy arrays, cached per process."""
+    global _MINHASH_NP_PARAMS
+    if _MINHASH_NP_PARAMS is None:
+        import numpy as np
+
+        a, b = _minhash_params()
+        _MINHASH_NP_PARAMS = (
+            np.asarray(a, dtype=np.int64)[:, None],
+            np.asarray(b, dtype=np.int64)[:, None],
+        )
+    return _MINHASH_NP_PARAMS
+
+
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) — min over shingle hashes per
-    permutation, computed as explode + groupBy(128 map-side-combined mins).
+    permutation. Shingle hashing stays JVM-side (split/transform/xxhash64
+    in codegen); the k×shingles permutation arithmetic runs as ONE
+    vectorized Arrow/numpy batch op per partition (guide §4.2: hand whole
+    batches to vectorized native code). Bit-identical output to the
+    historical explode + groupBy(128 mins) aggregation and to
+    ``minhash_signatures_map`` (all-int64 modular arithmetic, products
+    < 2^62 — no overflow on any path; equality is pytest-locked).
 
-    Why the AGG formulation and not a shuffle-free pure map (see
-    ``minhash_signatures_map``): the banded LSH consumer self-joins the
-    band table, putting the signature subtree in TWO consumers' lineage.
-    The aggregation's Exchange is a materialization point Spark's
-    ReuseExchange deduplicates — signatures compute ONCE and the shuffle
-    (one 129-column row per doc, ∝ docs not shingles) is re-read by both
-    sides. The map formulation is ~17% faster in isolation but recomputes
-    the full shingle-hash work per consumer: measured end-to-end at sf0.1
-    (interleaved ×4), agg = 8.2 s median vs map = 16.9 s. Same trade at
-    100 TB — a per-doc exchange is cheap; doubling the k×shingles
-    arithmetic is not."""
-    a_coef, b_coef = _minhash_params()
-    sh = corpus.select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("sh")
-    ).select(
-        "doc_id",
-        F.pmod(F.xxhash64(F.col("sh")), F.lit(MERSENNE_PRIME)).alias("h"),
+    Why not the 128-column aggregation any more (round 7): its generated
+    code was a single huge method whose JIT state collapsed in long-lived
+    driver JVMs — the SAME query measured 9-20 core-seconds in a fresh
+    process and 80-110 core-seconds in a bench session that had run other
+    heavy stages first (per-pass, not just first-run). numpy's cost is
+    flat in both. Scale shape: strictly better — zero shuffle here (the
+    old agg exchanged one 129-column row per doc); consumers that read
+    signatures more than once add their own materialization point (see
+    dedup_minhash_pairs)."""
+    hs = F.transform(
+        _shingles(F.col("text")),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME)),
     )
-    mins = [
-        F.min(
-            F.pmod(
-                F.col("h") * F.lit(a_coef[i]) + F.lit(b_coef[i]),
-                F.lit(MERSENNE_PRIME),
-            )
-        ).alias(f"m{i}")
-        for i in range(MINHASH_K)
-    ]
-    agged = sh.groupBy("doc_id").agg(*mins)
-    return agged.select(
-        "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_K)]).alias("sig")
+    base = corpus.select("doc_id", hs.alias("_hs")).filter(
+        F.size("_hs") > 0
     )
+    return base.select(
+        "doc_id", _minhash_sig_udf(F.col("_hs")).alias("sig")
+    )
+
+
+def _minhash_sig_batches(
+    it: "Iterator[pd.Series]",
+) -> "Iterator[pd.Series]":
+    """Iterator-form pandas UDF body: per Arrow batch, flatten the batch's
+    shingle-hash arrays, compute the (k × total) permutation matrix in one
+    numpy op, and take per-document segment minima via minimum.reduceat —
+    no Python loop over shingles or permutations."""
+    import numpy as np
+    import pandas as pd
+
+    a, b = _minhash_np_params()
+    for hs in it:
+        if len(hs) == 0:
+            yield pd.Series([], dtype=object)
+            continue
+        arrs = [np.asarray(h, dtype=np.int64) for h in hs]
+        lens = np.array([len(x) for x in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs)
+        # h < p and a <= p-1 with p = 2^31 - 1 → a*h + b < 2^62: exact int64
+        prods = (a * flat[None, :] + b) % MERSENNE_PRIME
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        mins = np.minimum.reduceat(prods, starts, axis=1)
+        yield pd.Series(list(mins.T))
+
+
+from pyspark.sql import types as _T  # noqa: E402
+
+_minhash_sig_udf = F.pandas_udf(
+    _minhash_sig_batches, _T.ArrayType(_T.LongType())
+)
 
 
 def minhash_signatures_map(corpus: DataFrame) -> DataFrame:
@@ -329,7 +377,12 @@ def dedup_minhash_pairs(
     and is better handled by line/exact dedup anyway. None (default) keeps
     the exact test-scale contract the oracle checks.
     """
-    sigs = minhash_signatures(corpus)
+    # the band self-join consumes the signature subtree twice; signatures
+    # now plan shuffle-free (scan → Arrow UDF), so give the two consumers
+    # an Exchange to reuse — one small shuffle of one 129-column row per
+    # doc, exactly the materialization the old aggregation formulation got
+    # for free (deterministic hash key: see queries._spread rationale)
+    sigs = minhash_signatures(corpus).repartition(F.xxhash64("doc_id"))
     bands = band_table(sigs)
     if max_bucket is not None:
         bands = drop_viral_buckets(bands, ["band", "sig_hash"], max_bucket)
