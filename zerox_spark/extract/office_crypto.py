@@ -736,9 +736,15 @@ _PPT_MAX_EDITS = 64
 
 def _ppt_persist_map(stream: bytes, edit_off: int):
     """Chase the UserEditAtom chain (offsetLastEdit) collecting persist
-    directories; the CURRENT edit's entries win. → ({persist_id: offset},
+    directories; the CURRENT edit's entries win in the id→offset map, but
+    every (id, offset) pair across the chain is ALSO returned: in a
+    multi-edit deck the superseded copies of re-persisted objects still
+    sit in the stream as ciphertext, and the linear record walker would
+    parse them — they must be decrypted too, not just the winners.
+    → ({persist_id: current_offset}, [(persist_id, offset) …all edits],
     encrypt_session_persist_id | None)."""
     persists: dict[int, int] = {}
+    pairs: list[tuple[int, int]] = []
     crypt_ref = None
     seen: set[int] = set()
     off = edit_off
@@ -775,8 +781,9 @@ def _ppt_persist_map(stream: bytes, edit_off: int):
                         p += 4
                         # earlier edits must not clobber the current one
                         persists.setdefault(pid + k, o)
+                        pairs.append((pid + k, o))
         off = off_last
-    return persists, crypt_ref
+    return persists, pairs, crypt_ref
 
 
 def decrypt_ppt_document(stream: bytes, current_user: bytes) -> bytes:
@@ -795,7 +802,7 @@ def decrypt_ppt_document(stream: bytes, current_user: bytes) -> bytes:
     if token != PPT_TOKEN_ENCRYPTED:
         return stream
     (edit_off,) = struct.unpack_from("<I", current_user, 16)
-    persists, crypt_ref = _ppt_persist_map(stream, edit_off)
+    persists, pairs, crypt_ref = _ppt_persist_map(stream, edit_off)
     if crypt_ref is None or crypt_ref not in persists:
         raise ValueError("encrypted ppt (no crypt session persist)")
     cs_off = persists[crypt_ref]
@@ -817,9 +824,31 @@ def decrypt_ppt_document(stream: bytes, current_user: bytes) -> bytes:
     from zerox_spark.extract.pdf import _rc4
 
     out = bytearray(stream)
-    for pid, off in persists.items():
-        if pid == crypt_ref or off + 8 > len(stream):
-            continue
+    # Decrypt EVERY (id, offset) pair seen across the edit chain, not just
+    # the current-edit winners: superseded copies of re-persisted objects
+    # remain in the stream and the linear walker parses them — leaving
+    # them ciphertext would truncate the walk on a random reclen or emit
+    # mojibake as SUCCESS text. Offsets are processed in order with each
+    # decrypted extent tracked: an adversarial directory listing
+    # overlapping persist ranges would otherwise RC4 the overlap twice
+    # after its first header already validated — garbled bytes instead of
+    # a contained error.
+    todo = sorted(
+        {(o, pid) for pid, o in pairs if pid != crypt_ref and o + 8 <= len(stream)}
+    )
+    prev_end = -1
+    prev_off = -1
+    for off, pid in todo:
+        if off == prev_off:
+            raise ValueError(
+                "encrypted ppt (one persist offset listed under two "
+                "persist ids — refusing to double-decrypt)"
+            )
+        if off < prev_end:
+            raise ValueError(
+                "encrypted ppt (overlapping persist ranges in the "
+                "directory — structure mismatch, refusing to emit garbage)"
+            )
         key = _xls_block_key(base, pid, True, klen)
         head = _rc4(key, bytes(out[off : off + 8]))
         _vi, rectype, reclen = struct.unpack("<HHI", head)
@@ -830,8 +859,17 @@ def decrypt_ppt_document(stream: bytes, current_user: bytes) -> bytes:
             )
         dec = _rc4(key, bytes(out[off : off + 8 + reclen]))
         out[off : off + 8 + reclen] = dec
+        prev_end = off + 8 + reclen
+        prev_off = off
     # neutralize the crypt-session record so the plain walker (which
     # treats 0x2F14 as "encrypted, contained error") skips it as an
-    # unknown atom; its length stays intact for the linear walk
+    # unknown atom; its length stays intact for the linear walk. Earlier
+    # edits' superseded crypt-session copies (stored clear, like the
+    # current one) get the same treatment.
+    for off in {o for pid, o in pairs if pid == crypt_ref}:
+        if off + 8 <= len(out):
+            _vo, t_o, l_o = struct.unpack_from("<HHI", out, off)
+            if t_o == PPT_CRYPTSESSION and off + 8 + l_o <= len(out):
+                struct.pack_into("<H", out, off + 2, 0x0000)
     struct.pack_into("<H", out, cs_off + 2, 0x0000)
     return bytes(out)

@@ -1962,7 +1962,13 @@ def _interpret(
                     # image XObject: emit the dialect's figure placeholder
                     # at the painted position (never decode pixels)
                     _emit_figure(runs, ctm)
-            elif op == b"BDC" and len(stack) >= 2:
+            elif op == b"BDC" and len(stack) < 2:
+                # malformed BDC still OPENS a frame: EMC always pops, so
+                # skipping the push would desynchronize the marked-content
+                # nesting and a later EMC could close an enclosing
+                # /ActualText frame early (replacing the wrong run range)
+                mc_stack.append(None)
+            elif op == b"BDC":
                 props = stack[-1]
                 if isinstance(props, Name) and resources:
                     # indirect form: /Span /MC0 BDC → /Properties lookup
@@ -2512,10 +2518,16 @@ def _xfa_dataset_values(doc: Document) -> list[tuple[str, str]]:
     except ET.ParseError:
         return []
     if not root.tag.endswith("datasets"):
-        # whole-XDP packet: narrow to the datasets subtree
+        # whole-XDP packet: narrow to the datasets subtree. NO fallback to
+        # the full document — a single-stream form without a datasets
+        # packet would otherwise emit every text-bearing leaf of the
+        # template/config packets (UI captions, font names, locale
+        # strings) as 'field: value' lines
         root = next(
-            (el for el in root.iter() if el.tag.endswith("datasets")), root
+            (el for el in root.iter() if el.tag.endswith("datasets")), None
         )
+        if root is None:
+            return []
     out: list[tuple[str, str]] = []
     for el in root.iter():
         if len(el) == 0:
