@@ -229,3 +229,45 @@ def test_ppt_duplicate_offset_under_two_ids_contained():
     )
     pages = extract_document(payload, None, ExtractConfig(trust_text=False))
     assert len(pages) == 1 and pages[0].status == "ERROR"
+
+
+# --------------------------------------------------------------------------
+# simhash vectorization (round 7): UDF output ≡ the old 64-column agg
+
+
+def test_simhash_udf_matches_agg_formulation(spark):
+    from pyspark.sql import functions as F
+
+    from zerox_spark.operators.dedup import (
+        _bit_lit,
+        simhash,
+        with_injected_duplicates,
+    )
+    from tests.conftest import SF_SMOKE
+
+    corpus = with_injected_duplicates(
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ).limit(150)
+    # the historical aggregation formulation, inline as the reference
+    sh = corpus.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    ).select("doc_id", F.xxhash64(F.col("w")).alias("h"))
+    bit_sums = sh.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(_bit_lit(i)) != 0, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    acc = F.when(F.col("b0") > 0, _bit_lit(0)).otherwise(F.lit(0).cast("long"))
+    for i in range(1, 64):
+        acc = acc.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, _bit_lit(i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    ref = {r.doc_id: r.s for r in bit_sums.select("doc_id", acc.alias("s")).collect()}
+    got = {r.doc_id: r.simhash for r in simhash(corpus).collect()}
+    assert got == ref and len(got) == 150

@@ -483,35 +483,61 @@ def substring_overlap_pairs(
 
 
 def _bit_lit(i: int):
-    """Signed-long literal with only bit i set (bit 63 = Long.MIN_VALUE)."""
+    """Signed-long literal with only bit i set (bit 63 = Long.MIN_VALUE).
+    Kept for the reference (agg) formulation in the equality test."""
     return F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+
+
+def _simhash_batches(
+    it: "Iterator[pd.Series]",
+) -> "Iterator[pd.Series]":
+    """Vectorized SimHash body (the minhash UDF's sibling): per Arrow
+    batch, flatten the feature-hash arrays, expand each 64-bit hash to ±1
+    per bit, per-document segment sums via add.reduceat, sign → bit."""
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(64, dtype=np.uint64)
+    for hs in it:
+        if len(hs) == 0:
+            yield pd.Series([], dtype="int64")
+            continue
+        arrs = [np.asarray(h, dtype=np.int64) for h in hs]
+        lens = np.array([len(x) for x in arrs], dtype=np.int64)
+        flat = np.concatenate(arrs).view(np.uint64)
+        pm = (((flat[:, None] >> shifts) & 1) << 1).astype(np.int64) - 1
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        sums = np.add.reduceat(pm, starts, axis=0)  # (docs, 64)
+        packed = np.bitwise_or.reduce(
+            (sums > 0).astype(np.uint64) << shifts, axis=1
+        )
+        yield pd.Series(packed.view(np.int64))
+
+
+_simhash_udf = F.pandas_udf(_simhash_batches, _T.LongType())
 
 
 def simhash(corpus: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: xxhash64 per distinct word *unigram* feature,
     sum ±1 per bit, sign → bit. Unigram features (the classic Charikar
     setup) keep small edits small in hamming space — n-gram features would
-    amplify a 2-word edit into ~3n flipped features. All JVM-side."""
-    sh = corpus.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("sh"),
-    ).select("doc_id", F.xxhash64(F.col("sh")).alias("h"))
-    bit_sums = sh.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(_bit_lit(i)) != 0, 1).otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+    amplify a 2-word edit into ~3n flipped features.
+
+    Feature hashing stays JVM-side; the 64 bit-sums run as one vectorized
+    Arrow/numpy op per partition — the same round-7 rework as
+    minhash_signatures and for the same measured reason (the 64-column
+    aggregation's generated code collapsed in long-lived JVMs; see that
+    docstring). Bit-identical: integer bit tests and sums, sign bit via
+    uint64 view (bit 63 ≡ the old negative-long _bit_lit(63)); equality
+    with the agg formulation is pytest-locked."""
+    hs = F.transform(
+        F.array_distinct(F.split(F.col("text"), " ")),
+        lambda w: F.xxhash64(w),
     )
-    bit_terms = [
-        F.when(F.col(f"b{i}") > 0, _bit_lit(i)).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    acc = bit_terms[0]
-    for t in bit_terms[1:]:
-        acc = acc.bitwiseOR(t)
-    return bit_sums.select("doc_id", acc.alias("simhash"))
+    return corpus.select("doc_id", hs.alias("_hs")).select(
+        "doc_id", _simhash_udf(F.col("_hs")).alias("simhash")
+    )
 
 
 def dedup_simhash_pairs(corpus: DataFrame, max_hamming: int = 7) -> DataFrame:
@@ -519,7 +545,10 @@ def dedup_simhash_pairs(corpus: DataFrame, max_hamming: int = 7) -> DataFrame:
     8-band exact-match blocking (any pair within hamming 7 of a 64-bit hash
     agrees exactly on ≥1 of 8 8-bit bands — pigeonhole, zero false
     negatives w.r.t. the hamming radius)."""
-    sigs = simhash(corpus)
+    # same two-consumer reuse point as dedup_minhash_pairs: the band
+    # self-join reads signatures twice; the repartition Exchange is the
+    # materialization AQE deduplicates
+    sigs = simhash(corpus).repartition(F.xxhash64("doc_id"))
     bands = sigs.select(
         "doc_id",
         "simhash",
