@@ -616,9 +616,7 @@ def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     no natural near-dups): an exact copy and a first-component-zeroed copy
     (cosine ≈ 0.99) for every vec_id % 10 == 6 — the same derivation the
     oracle states in SQL."""
-    emb = _spread(
-        _embeddings(spark, sf_dir).select("vec_id", "embedding"), "vec_id"
-    )
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
     base = emb.filter(F.col("vec_id") % EMB_DUP_MOD == EMB_DUP_EQ)
     exact = base.select(
         (F.col("vec_id") + EMB_DUP_EXACT_OFFSET).alias("vec_id"), "embedding"
@@ -630,7 +628,9 @@ def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("embedding"), 2, EMBED_DIM - 1),
         ).alias("embedding"),
     )
-    return emb.unionByName(exact).unionByName(near)
+    # spread AFTER the union (the minhash lesson: spreading each branch
+    # multiplies partitions by the branch count and per-task fixed costs)
+    return _spread(emb.unionByName(exact).unionByName(near), "vec_id")
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
