@@ -242,11 +242,20 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
     old agg exchanged one 129-column row per doc); consumers that read
     signatures more than once add their own materialization point (see
     dedup_minhash_pairs)."""
+    return _sig_from_shingle_arrays(
+        corpus.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    )
+
+
+def _sig_from_shingle_arrays(sh_arrays: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) → (doc_id, sig). Split out so a
+    consumer that ALSO needs the shingle arrays (the LSH verify stage)
+    can compute them once and feed both paths."""
     hs = F.transform(
-        _shingles(F.col("text")),
+        F.col("sh"),
         lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_PRIME)),
     )
-    base = corpus.select("doc_id", hs.alias("_hs")).filter(
+    base = sh_arrays.select("doc_id", hs.alias("_hs")).filter(
         F.size("_hs") > 0
     )
     return base.select(
@@ -378,10 +387,14 @@ def dedup_minhash_pairs(
     the exact test-scale contract the oracle checks.
     """
     # the band self-join consumes the signature subtree twice; signatures
-    # now plan shuffle-free (scan → Arrow UDF), so give the two consumers
-    # an Exchange to reuse — one small shuffle of one 129-column row per
-    # doc, exactly the materialization the old aggregation formulation got
-    # for free (deterministic hash key: see queries._spread rationale)
+    # plan shuffle-free (scan → Arrow UDF), so give the two consumers an
+    # Exchange to reuse — one small shuffle of one 129-column row per doc,
+    # exactly the materialization the old aggregation formulation got for
+    # free (deterministic hash key: see queries._spread rationale).
+    # (A variant that ALSO materialized the shingle arrays behind their
+    # own exchange for the verify sides was measured and rejected: the
+    # extra exchange+broadcast chain added blocking and the plan computed
+    # the corpus union twice — 53.8 vs 28.4 core-seconds.)
     sigs = minhash_signatures(corpus).repartition(F.xxhash64("doc_id"))
     bands = band_table(sigs)
     if max_bucket is not None:
