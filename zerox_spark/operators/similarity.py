@@ -45,9 +45,10 @@ def _norm(a):
     """sqrt(Σ x²) of an array<double> column — the same expression the old
     per-pair _cosine evaluated, exposed so operators can compute it ONCE per
     row (projection before the join) instead of once per scored pair: the
-    value is bit-identical, the join stage drops 2/3 of its interpreted
-    higher-order-function work (measured 3.5 s → 0.7 s on the sf0.1
-    brute-force top-k).
+    value is bit-identical and the join stage drops 2/3 of its interpreted
+    higher-order-function work (sf0.1 brute-force scoring join, corpus
+    already spread: 0.90 s with per-pair norms → 0.69 s with per-row;
+    the full query fell 3.5 → ~1.0 s from spread + this combined).
 
     An expression-unrolled formulation (Σ a[i]·b[i] over getItem) was
     measured too: the giant Add tree is NOT whole-stage-codegen'd and
